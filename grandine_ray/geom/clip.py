@@ -1,0 +1,221 @@
+"""Rectangle clipping for points / linestrings / polygons.
+
+Line clipping reproduces the reference's segment-split semantics exactly
+(lib/spatial/line.go:101-136, 270-310, 10-23): per-segment clip against the
+bbox borders, then re-chaining of contiguous segments into 1..N sublines.
+Golden vectors: line_test.go:176-267.
+
+Polygon clipping keeps the reference's shortcut paths (polygon.go:26-40) and
+replaces the GEOS general case (clip_geos.go) with a from-scratch
+Sutherland–Hodgman rectangle clip per ring. Divergence from GEOS, by design:
+a concave polygon whose intersection with the box has multiple components
+comes back as one ring connected along the box border (GEOS would split it);
+the self-intersecting-input repair path (GEOS Buffer(0)) is not reproduced.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .ops import rounded_coords
+from .predicates import segment_intersection, bbox_fully_in
+
+# --------------------------------------------------------------------- points
+
+
+def clip_points_mask(px, py, minx, miny, maxx, maxy):
+    """Inclusive-edge containment mask (point.go:18-29)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    return (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+
+
+# ---------------------------------------------------------------------- lines
+
+
+def _bbox_borders(sw, ne):
+    """Counter-clockwise border segments (line.go:396-415)."""
+    (sx, sy), (nx, ny) = sw, ne
+    return [
+        ((sx, sy), (sx, ny)),
+        ((sx, ny), (nx, ny)),
+        ((nx, ny), (nx, sy)),
+        ((nx, sy), (sx, sy)),
+    ]
+
+
+def _seg_fully_in(s, sw, ne) -> bool:
+    """line.go:312-320 — bounds rounded to 8 decimals."""
+    sx, sy = (float(rounded_coords(sw[0])), float(rounded_coords(sw[1])))
+    nx, ny = (float(rounded_coords(ne[0])), float(rounded_coords(ne[1])))
+    (x1, y1), (x2, y2) = s
+    return (
+        x1 >= sx and y1 >= sy and x2 >= sx and y2 >= sy
+        and x1 <= nx and y1 <= ny and x2 <= nx and y2 <= ny
+    )
+
+
+def _seg_clip(s, sw, ne):
+    """Segment ∩ bbox → [] or [segment] (line.go:270-310)."""
+    borders = _bbox_borders(sw, ne)
+    inters = []
+    for bseg in borders:
+        ipt = segment_intersection(s, bseg)
+        if ipt is not None:
+            inters.append(ipt)
+
+    def length_nonzero(a, b):
+        return a != b
+
+    for i, ipt in enumerate(inters):
+        for cand in (((s[0]), ipt), (ipt, (s[1]))):
+            if length_nonzero(*cand) and _seg_fully_in(cand, sw, ne):
+                return [cand]
+        s1 = (s[0], ipt)
+        s2 = (ipt, s[1])
+        for ii, iis in enumerate(inters):
+            if i == ii:
+                continue
+            for base in (s1, s2):
+                for cand in ((base[0], iis), (iis, base[1])):
+                    if length_nonzero(*cand) and _seg_fully_in(cand, sw, ne):
+                        return [cand]
+    return []
+
+
+def _lines_from_segments(segs):
+    """Chain contiguous segments into lines (line.go:10-23)."""
+    lines = [[]]
+    for i, seg in enumerate(segs):
+        if i != 0 and seg[0] != segs[i - 1][1]:
+            lines[-1].append(segs[i - 1][1])
+            lines.append([seg[0]])
+            continue
+        lines[-1].append(seg[0])
+    lines[-1].append(segs[-1][1])
+    return [np.asarray(ln, dtype=np.float64) for ln in lines]
+
+
+def clip_line(pts: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:
+    """LineString ∩ bbox → 0..N sublines (line.go:101-136)."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    bminx, bminy = pts.min(axis=0)
+    bmaxx, bmaxy = pts.max(axis=0)
+    if minx <= bminx and maxx >= bmaxx and miny <= bminy and maxy >= bmaxy:
+        return [pts]
+    if bmaxx < minx or bmaxy < miny or bminx > maxx or bminy > maxy:
+        return []
+    sw = (float(minx), float(miny))
+    ne = (float(maxx), float(maxy))
+    cutsegs = []
+    for i in range(len(pts) - 1):
+        s = ((float(pts[i, 0]), float(pts[i, 1])), (float(pts[i + 1, 0]), float(pts[i + 1, 1])))
+        if _seg_fully_in(s, sw, ne):
+            cutsegs.append(s)
+            continue
+        cutsegs.extend(_seg_clip(s, sw, ne))
+    if not cutsegs:
+        return []
+    return _lines_from_segments(cutsegs)
+
+
+# ------------------------------------------------------------------- polygons
+
+
+def _sutherland_hodgman(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
+    """Clip one ring against the rectangle; returns possibly-empty ring."""
+    pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    for edge in range(4):
+        if len(pts) == 0:
+            break
+        x = pts[:, 0]
+        y = pts[:, 1]
+        if edge == 0:
+            inside = x >= minx
+        elif edge == 1:
+            inside = x <= maxx
+        elif edge == 2:
+            inside = y >= miny
+        else:
+            inside = y <= maxy
+        nxt = np.roll(np.arange(len(pts)), -1)
+        out = []
+        for i in range(len(pts)):
+            j = nxt[i]
+            ci, cj = inside[i], inside[j]
+            if ci:
+                out.append(pts[i])
+            if ci != cj:
+                out.append(_edge_intersect(pts[i], pts[j], edge, minx, miny, maxx, maxy))
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    # drop consecutive duplicates (and closing duplicate)
+    if len(pts) > 1:
+        keep = np.ones(len(pts), dtype=bool)
+        same = (pts[1:] == pts[:-1]).all(axis=1)
+        keep[1:][same] = False
+        pts = pts[keep]
+        if len(pts) > 1 and (pts[0] == pts[-1]).all():
+            pts = pts[:-1]
+    return pts
+
+
+def _edge_intersect(p, q, edge, minx, miny, maxx, maxy):
+    px, py = p
+    qx, qy = q
+    if edge == 0:
+        t = (minx - px) / (qx - px)
+        return np.array([minx, py + t * (qy - py)])
+    if edge == 1:
+        t = (maxx - px) / (qx - px)
+        return np.array([maxx, py + t * (qy - py)])
+    if edge == 2:
+        t = (miny - py) / (qy - py)
+        return np.array([px + t * (qx - px), miny])
+    t = (maxy - py) / (qy - py)
+    return np.array([px + t * (qx - px), maxy])
+
+
+def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[list[np.ndarray]]:
+    """Polygon ∩ bbox → 0..1 polygons (each a ring list).
+
+    Shortcut paths follow polygon.go:26-40: a single-ring polygon whose
+    outer ring does not intersect the bbox border either fully covers the
+    bbox (→ the bbox rectangle) or lies fully inside it (→ unchanged).
+    """
+    rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rings]
+    outer = rings[0]
+    ominx, ominy = outer.min(axis=0)
+    omaxx, omaxy = outer.max(axis=0)
+    poly_bb = (ominx, ominy, omaxx, omaxy)
+    clip_bb = (minx, miny, maxx, maxy)
+
+    if len(rings) == 1 and not _ring_intersects_bbox(outer, minx, miny, maxx, maxy):
+        if bbox_fully_in(clip_bb, poly_bb):
+            return [[np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])]]
+        if bbox_fully_in(poly_bb, clip_bb):
+            return [rings]
+        # fall through: disjoint or corner-overlap-only — S-H yields empty
+
+    out_rings = []
+    for i, ring in enumerate(rings):
+        clipped = _sutherland_hodgman(ring, minx, miny, maxx, maxy)
+        if len(clipped) >= 3:
+            out_rings.append(clipped)
+        elif i == 0 and len(clipped) < 3:
+            return []
+    if not out_rings:
+        return []
+    return [out_rings]
+
+
+def _ring_intersects_bbox(ring: np.ndarray, minx, miny, maxx, maxy) -> bool:
+    """Any ring segment intersects any bbox border (polygon.go:28)."""
+    sw = (float(minx), float(miny))
+    ne = (float(maxx), float(maxy))
+    borders = _bbox_borders(sw, ne)
+    closed = np.vstack([ring, ring[:1]])
+    for i in range(len(closed) - 1):
+        s = ((closed[i, 0], closed[i, 1]), (closed[i + 1, 0], closed[i + 1, 1]))
+        for bseg in borders:
+            if segment_intersection(s, bseg) is not None:
+                return True
+    return False

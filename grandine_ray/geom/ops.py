@@ -1,0 +1,148 @@
+"""Scalar/vector geometry kernels.
+
+Reimplements the reference's observable semantics:
+  * rounding to 8 decimals   — lib/spatial/point.go:63-70,129-139
+  * ring area / winding      — lib/spatial/line.go:149-169
+  * winding fix              — lib/spatial/polygon.go:48-72
+  * RDP simplification       — lib/spatial/line.go:171-200
+  * haversine / bearing      — lib/spatial/point.go:107-123, line.go:383-392
+  * EPSG:4326→3857           — lib/mvt/project.go:36-41
+  * line center              — lib/spatial/line.go:35-50
+"""
+from __future__ import annotations
+
+import numpy as np
+
+POINT_PRECISION = 8
+EARTH_RADIUS_3857 = 6378137.0
+EARTH_RADIUS_M = 6371000.0
+
+
+def round_half_away(v):
+    """Go-style round: half away from zero (point.go:129-134)."""
+    v = np.asarray(v, dtype=np.float64)
+    return np.where(v < 0, np.ceil(v - 0.5), np.floor(v + 0.5))
+
+
+def rounded_coords(v, decimals: int = POINT_PRECISION):
+    s = 10.0 ** decimals
+    return round_half_away(np.asarray(v, dtype=np.float64) * s) / s
+
+
+def ring_area(pts: np.ndarray) -> float:
+    """Signed 2x-area; positive ⇔ clockwise (line.go:156-169)."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    x = pts[:, 0]
+    y = pts[:, 1]
+    xn = np.roll(x, -1)
+    yn = np.roll(y, -1)
+    return float(np.sum((y + yn) * (x - xn)))
+
+
+def is_clockwise(pts: np.ndarray) -> bool:
+    return ring_area(pts) > 0
+
+
+def fix_winding(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Outer ring clockwise; holes by odd containment count (polygon.go:48-72)."""
+    from .predicates import point_in_rings
+
+    out = [np.array(r, dtype=np.float64, copy=True) for r in rings]
+    for n, ring in enumerate(out):
+        if n == 0:
+            if not is_clockwise(ring):
+                out[0] = ring[::-1].copy()
+            continue
+        inrings = 0
+        for ninner, cring in enumerate(out):
+            if n == ninner:
+                continue
+            if point_in_rings(ring[0, 0], ring[0, 1], [cring]):
+                inrings += 1
+        cw = is_clockwise(ring)
+        if (inrings % 2 == 0 and not cw) or (inrings % 2 == 1 and cw):
+            out[n] = ring[::-1].copy()
+    return out
+
+
+def simplify_rdp(pts: np.ndarray, epsilon: float) -> np.ndarray:
+    """Ramer-Douglas-Peucker, matching line.go:171-200 (iterative form)."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        return pts
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        seg = pts[[lo, hi]]
+        d = _seg_dist_to_pts(seg[0], seg[1], pts[lo + 1:hi])
+        imax = int(np.argmax(d))
+        if d[imax] > epsilon:
+            mid = lo + 1 + imax
+            keep[mid] = True
+            stack.append((lo, mid))
+            stack.append((mid, hi))
+    return pts[keep]
+
+
+def _seg_dist_to_pts(a: np.ndarray, b: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Perpendicular distance of pts to segment a-b (line.go:351-380)."""
+    c = b - a
+    len_sq = float(c @ c)
+    d = pts - a
+    if len_sq == 0:
+        param = np.zeros(len(pts))
+    else:
+        param = (d @ c) / len_sq
+    proj = a + np.clip(param, 0.0, 1.0)[:, None] * c
+    diff = pts - proj
+    return np.sqrt((diff * diff).sum(axis=1))
+
+
+def haversine_m(lon1, lat1, lon2, lat2):
+    """Distance in meters, R=6371000 (point.go:107-123). Vectorized."""
+    lon1, lat1, lon2, lat2 = (np.asarray(v, dtype=np.float64) for v in (lon1, lat1, lon2, lat2))
+    p1 = np.radians(lat1)
+    p2 = np.radians(lat2)
+    dlat = p2 - p1
+    dlon = np.radians(lon2) - np.radians(lon1)
+    a = np.sin(dlat / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlon / 2) ** 2
+    return 2 * np.arctan2(np.sqrt(a), np.sqrt(1 - a)) * EARTH_RADIUS_M
+
+
+def bearing_deg(lon1, lat1, lon2, lat2):
+    """Heading from first to second point in degrees (line.go:383-392)."""
+    lon1, lat1, lon2, lat2 = (np.asarray(v, dtype=np.float64) for v in (lon1, lat1, lon2, lat2))
+    dlon = np.radians(lon2 - lon1)
+    la1 = np.radians(lat1)
+    la2 = np.radians(lat2)
+    y = np.sin(dlon) * np.cos(la2)
+    x = np.cos(la1) * np.sin(la2) - np.sin(la1) * np.cos(la2) * np.cos(dlon)
+    return np.mod(np.degrees(np.arctan2(y, x)) + 360.0, 360.0)
+
+
+def proj_4326_to_3857(lon, lat):
+    """Spherical-mercator forward projection (project.go:36-41). Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = np.radians(lon) * EARTH_RADIUS_3857
+    y = np.log(np.tan(np.radians(lat) / 2.0 + np.pi / 4.0)) * EARTH_RADIUS_3857
+    return x, y
+
+
+def line_center(pts: np.ndarray) -> tuple[float, float]:
+    """Cross-product weighted center (line.go:35-50)."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    x = pts[:, 0]
+    y = pts[:, 1]
+    xn = np.roll(x, -1)
+    yn = np.roll(y, -1)
+    cross = x * yn - y * xn
+    s = cross.sum()
+    px = ((x + xn) * cross).sum()
+    py = ((y + yn) * cross).sum()
+    z = 1.0 / (3.0 * s)
+    return px * z, py * z

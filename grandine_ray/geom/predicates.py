@@ -1,0 +1,194 @@
+"""Geometric predicates: segment intersection, point-in-polygon, bbox tests.
+
+Parity notes (reference: /root/reference/lib/spatial):
+  * Segment intersection via cartesian line form + determinant, with the
+    result rounded to 8 decimals before the on-segment check
+    (line.go:333-348, conversion.go:5-10, point.go:63).
+  * Point-in-polygon casts a ray to a point just outside the outer ring's
+    bbox and counts *distinct* intersection points (point.go:72-101 keeps
+    them in a set); even count ⇒ outside unless one intersection equals the
+    query point itself.
+  * BBox overlap is the reference's corner-in-box test (bbox.go:15-21) —
+    kept as `bbox_overlaps_ref` for parity; `bbox_overlaps` is the standard
+    interval form used internally.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .ops import rounded_coords
+
+
+def segment_carthesian(x1, y1, x2, y2):
+    """Line form (a, b, c) with a*x + b*y = c (conversion.go:5-10)."""
+    a = np.asarray(y2, np.float64) - y1
+    b = np.asarray(x1, np.float64) - x2
+    c = a * x1 + b * y1
+    return a, b, c
+
+
+def segment_intersection(s1, s2):
+    """Scalar: intersection point of two segments, or None (line.go:333-348)."""
+    (x1, y1), (x2, y2) = s1
+    (x3, y3), (x4, y4) = s2
+    a1, b1, c1 = segment_carthesian(x1, y1, x2, y2)
+    a2, b2, c2 = segment_carthesian(x3, y3, x4, y4)
+    det = a1 * b2 - a2 * b1
+    if det == 0:
+        return None
+    ix = float(rounded_coords((b2 * c1 - b1 * c2) / det))
+    iy = float(rounded_coords((a1 * c2 - a2 * c1) / det))
+    if _seg_has_point(s1, ix, iy) and _seg_has_point(s2, ix, iy):
+        return (ix, iy)
+    return None
+
+
+def _seg_has_point(s, px, py) -> bool:
+    """Bounding-interval test with rounded endpoints (line.go:240-253)."""
+    (x1, y1), (x2, y2) = s
+    x1, y1, x2, y2 = (float(rounded_coords(v)) for v in (x1, y1, x2, y2))
+    return (
+        min(x1, x2) <= px <= max(x1, x2) and min(y1, y2) <= py <= max(y1, y2)
+    )
+
+
+def ring_segments(ring: np.ndarray) -> np.ndarray:
+    """All segments of an (unclosed) ring incl. the closing one → [n,2,2]."""
+    ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    closed = np.vstack([ring, ring[:1]])
+    return np.stack([closed[:-1], closed[1:]], axis=1)
+
+
+def point_in_rings(px: float, py: float, rings) -> bool:
+    """Scalar reference-parity PIP (point.go:72-101)."""
+    outer = np.asarray(rings[0], dtype=np.float64).reshape(-1, 2)
+    minx, miny = outer.min(axis=0)
+    maxx, maxy = outer.max(axis=0)
+    if not (minx <= px <= maxx and miny <= py <= maxy):
+        return False
+    ox, oy = minx - 1.0, miny - 1.0
+    ray = ((px, py), (ox, oy))
+    inters: set[tuple[float, float]] = set()
+    for ring in rings:
+        for seg in ring_segments(ring):
+            ipt = segment_intersection(ray, ((seg[0, 0], seg[0, 1]), (seg[1, 0], seg[1, 1])))
+            if ipt is not None:
+                inters.add(ipt)
+    if len(inters) % 2 == 0:
+        return (px, py) in inters
+    return True
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Vectorized over query points; same semantics as point_in_rings.
+
+    Designed for the PIP join hot path: P query points against one polygon
+    whose segments are iterated in numpy (cost O(P) per segment).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    n = len(px)
+    result = np.zeros(n, dtype=bool)
+    outer = np.asarray(rings[0], dtype=np.float64).reshape(-1, 2)
+    minx, miny = outer.min(axis=0)
+    maxx, maxy = outer.max(axis=0)
+    inbb = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+    if not inbb.any():
+        return result
+    idx = np.nonzero(inbb)[0]
+    qx = px[idx]
+    qy = py[idx]
+    ox, oy = minx - 1.0, miny - 1.0
+
+    # ray segment per query point: (qx,qy) -> (ox,oy)
+    a1 = oy - qy
+    b1 = qx - ox
+    c1 = a1 * qx + b1 * qy
+    rqx = rounded_coords(qx)
+    rqy = rounded_coords(qy)
+    rox = float(rounded_coords(ox))
+    roy = float(rounded_coords(oy))
+    rminx = np.minimum(rqx, rox)
+    rmaxx = np.maximum(rqx, rox)
+    rminy = np.minimum(rqy, roy)
+    rmaxy = np.maximum(rqy, roy)
+
+    pt_idx_parts = []
+    ix_parts = []
+    iy_parts = []
+    for ring in rings:
+        for seg in ring_segments(ring):
+            sx1, sy1 = seg[0]
+            sx2, sy2 = seg[1]
+            a2 = sy2 - sy1
+            b2 = sx1 - sx2
+            c2 = a2 * sx1 + b2 * sy1
+            det = a1 * b2 - a2 * b1
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ix = rounded_coords((b2 * c1 - b1 * c2) / det)
+                iy = rounded_coords((a1 * c2 - a2 * c1) / det)
+            rsx1, rsy1, rsx2, rsy2 = (float(rounded_coords(v)) for v in (sx1, sy1, sx2, sy2))
+            valid = (
+                (det != 0)
+                & (ix >= rminx) & (ix <= rmaxx) & (iy >= rminy) & (iy <= rmaxy)
+                & (ix >= min(rsx1, rsx2)) & (ix <= max(rsx1, rsx2))
+                & (iy >= min(rsy1, rsy2)) & (iy <= max(rsy1, rsy2))
+            )
+            if valid.any():
+                w = np.nonzero(valid)[0]
+                pt_idx_parts.append(w)
+                ix_parts.append(ix[w])
+                iy_parts.append(iy[w])
+    if not pt_idx_parts:
+        return result
+    pidx = np.concatenate(pt_idx_parts)
+    ixs = np.concatenate(ix_parts)
+    iys = np.concatenate(iy_parts)
+    # distinct intersection points per query point
+    rec = np.empty(len(pidx), dtype=[("p", np.int64), ("x", np.float64), ("y", np.float64)])
+    rec["p"] = pidx
+    rec["x"] = ixs
+    rec["y"] = iys
+    rec = np.unique(rec)
+    counts = np.bincount(rec["p"], minlength=len(idx))
+    odd = counts % 2 == 1
+    # even count but intersection == the query point itself ⇒ inside
+    eq_self = (rec["x"] == rqx[rec["p"]]) & (rec["y"] == rqy[rec["p"]])
+    self_hit = np.zeros(len(idx), dtype=bool)
+    if eq_self.any():
+        self_hit[np.unique(rec["p"][eq_self])] = True
+    result[idx] = odd | (~odd & self_hit)
+    return result
+
+
+def bbox_overlaps(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy):
+    """Standard interval-overlap mask (vectorized)."""
+    return ~(
+        (np.asarray(aminx) > bmaxx)
+        | (np.asarray(amaxx) < bminx)
+        | (np.asarray(aminy) > bmaxy)
+        | (np.asarray(amaxy) < bminy)
+    )
+
+
+def bbox_overlaps_ref(a, b) -> bool:
+    """Reference corner-in-box test, both directions (bbox.go:15-21)."""
+
+    def corner_in(bb1, bb2):
+        (minx, miny, maxx, maxy) = bb1
+        for cx, cy in ((minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy)):
+            if bb2[0] <= cx <= bb2[2] and bb2[1] <= cy <= bb2[3]:
+                return True
+        return False
+
+    return corner_in(a, b) or corner_in(b, a)
+
+
+def bbox_fully_in(inner, outer) -> bool:
+    """inner fully inside outer (bbox.go: FullyIn)."""
+    return (
+        outer[0] <= inner[0] <= outer[2]
+        and outer[1] <= inner[1] <= outer[3]
+        and outer[0] <= inner[2] <= outer[2]
+        and outer[1] <= inner[3] <= outer[3]
+    )
