@@ -1,0 +1,210 @@
+"""The flagship pipeline: documents → vector tiles (SURVEY §3.1 Ray form).
+
+    docs = ray.data.read_parquet(...)                       # streaming read
+    feats = docs.map_batches(extract_features)              # spans → features
+    tiled = feats.map_batches(coverage)                     # 1 row → N (z,x,y)
+    tiles = tiled.groupby("tile_key").map_groups(TileEncoder)   # THE shuffle
+    tiles → partitioned parquet + per-partition manifest    # resumable
+
+Replaces the reference's single-process FeatureCache + worker goroutines
+(cmd/tiler/tiler.go, featurecache*.go) with one wide groupby; no global
+feature index exists anywhere.
+
+Skew handling (BASELINE.json: "skewed hot cells are salted and
+re-partitioned explicitly"): hot tile keys are estimated from a sample
+pre-pass, broadcast via ``ray.put``, and the coverage stage assigns
+``salt = hash(doc_id) % k`` for rows landing on hot keys. The shuffle then
+runs in two phases: groupby (tile_key, salt) does project+clip on the
+spread-out key, groupby tile_key merges + assembles the protobuf.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..index import xyz
+from ..stages.coverage import make_coverage_fn
+from ..stages.extract import extract_features
+from ..stages.mvt import TileEncoder, TileFinalize, TilePrepare
+from ..state.checkpoint import PartitionWriter, completed_partitions, partition_of_keys
+
+DEFAULT_ZOOMS = list(range(0, 9))
+
+
+def read_documents(path: str) -> rd.Dataset:
+    """Storage seam: Lance when available, else Parquet (SURVEY §7.0)."""
+    try:  # pragma: no cover - lance not in this sandbox
+        import lance  # noqa: F401
+
+        return rd.read_lance(path)
+    except ImportError:
+        return rd.read_parquet(path)
+
+
+def features_dataset(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(extract_features, batch_format="pyarrow")
+
+
+def detect_hot_cells(
+    docs: rd.Dataset,
+    zooms: list[int],
+    sample_fraction: float = 0.05,
+    threshold: int = 2000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Sample pre-pass: estimate per-tile feature counts, return hot keys.
+
+    ``threshold`` applies to the *estimated full* count (sample count
+    scaled by 1/fraction).
+    """
+    sample = docs.random_sample(sample_fraction, seed=seed)
+    tiled = features_dataset(sample).map_batches(
+        make_coverage_fn(zooms), batch_format="pyarrow"
+    )
+
+    def count_keys(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch["tile_key"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"tile_key": pa.array(keys, pa.uint64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    partials = tiled.map_batches(count_keys, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby("tile_key").aggregate(Sum("n", alias_name="n")).to_pandas()
+    est = agg["n"].to_numpy() / sample_fraction
+    hot = agg["tile_key"].to_numpy()[est >= threshold]
+    return hot.astype(np.uint64)
+
+
+def _add_salt(hot_ref, salt_k: int):
+    """Coverage post-stage: salt rows on hot tile keys."""
+
+    def salt(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref) if hot_ref is not None else None
+        keys = batch["tile_key"].to_numpy(zero_copy_only=False)
+        salt_col = np.zeros(len(keys), dtype=np.int32)
+        if hot is not None and len(hot):
+            mask = np.isin(keys, hot)
+            if mask.any():
+                doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                h = np.asarray(
+                    [hash(d) & 0x7FFFFFFF for d in doc_ids[mask]], dtype=np.int64
+                )
+                salt_col[mask] = (h % salt_k).astype(np.int32)
+        return batch.append_column("salt", pa.array(salt_col, pa.int32()))
+
+    return salt
+
+
+def tile_dataset(
+    docs: rd.Dataset,
+    zooms: list[int] | None = None,
+    salt: bool = False,
+    salt_k: int = 8,
+    hot_keys: np.ndarray | None = None,
+    skip_partitions: set[int] | None = None,
+    encoder_concurrency=None,
+) -> rd.Dataset:
+    """documents Dataset → tiles Dataset (z, x, y, mvt, n_features, bytes)."""
+    zooms = zooms if zooms is not None else DEFAULT_ZOOMS
+    tiled = features_dataset(docs).map_batches(
+        make_coverage_fn(zooms), batch_format="pyarrow"
+    )
+
+    if skip_partitions:
+        skip = np.asarray(sorted(skip_partitions), dtype=np.int64)
+
+        def resume_filter(batch: pa.Table) -> pa.Table:
+            keys = batch["tile_key"].to_numpy(zero_copy_only=False)
+            pids = partition_of_keys(keys)
+            return batch.filter(pa.array(~np.isin(pids, skip)))
+
+        tiled = tiled.map_batches(resume_filter, batch_format="pyarrow")
+
+    # MVT encoders run on an autoscaling actor pool (T8); state (zoom lookup
+    # tables, buffers) is built once per actor in __init__.
+    if encoder_concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        encoder_concurrency = (1, max(2, ncpu))
+    kwargs = {"concurrency": encoder_concurrency}
+
+    if salt:
+        if hot_keys is None:
+            hot_keys = detect_hot_cells(docs, zooms)
+        hot_ref = ray.put(hot_keys) if hot_keys is not None and len(hot_keys) else None
+        tiled = tiled.map_batches(_add_salt(hot_ref, salt_k), batch_format="pyarrow")
+        prepared = tiled.groupby(["tile_key", "salt"]).map_groups(
+            TilePrepare, batch_format="pyarrow", **kwargs
+        )
+        tiles = prepared.groupby("tile_key").map_groups(
+            TileFinalize, batch_format="pyarrow", **kwargs
+        )
+    else:
+        tiles = tiled.groupby("tile_key").map_groups(
+            TileEncoder, batch_format="pyarrow", **kwargs
+        )
+    return tiles
+
+
+def run_tiler(
+    docs_path: str,
+    out_dir: str | None = None,
+    zooms: list[int] | None = None,
+    salt: bool = False,
+    resume: bool = True,
+    input_fragments: list[str] | None = None,
+) -> rd.Dataset:
+    """Full job. With ``out_dir``: resumable partitioned output + manifest;
+    returns the manifest dataset. Without: returns the tiles dataset (lazy).
+    """
+    docs = read_documents(docs_path)
+    skip = completed_partitions(out_dir) if (out_dir and resume) else None
+    tiles = tile_dataset(docs, zooms=zooms, salt=salt, skip_partitions=skip)
+    if out_dir is None:
+        return tiles
+
+    def add_partition(batch: pa.Table) -> pa.Table:
+        keys = xyz.tile_key(
+            batch["z"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["x"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["y"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return batch.append_column(
+            "partition", pa.array(partition_of_keys(keys), pa.int64())
+        )
+
+    with_part = tiles.map_batches(add_partition, batch_format="pyarrow")
+    manifest = with_part.groupby("partition").map_groups(
+        PartitionWriter,
+        fn_constructor_args=(out_dir, input_fragments or [docs_path]),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return manifest
+
+
+def write_tiles_dir(tiles: rd.Dataset, out_dir: str, ext: str = "mvt") -> int:
+    """Reference-layout sink: one file per tile at out_dir/z/x/y.ext
+    (cmd/tiler/tiler.go:269-294). For small outputs / parity checks only —
+    the scalable layout is the partitioned parquet of :func:`run_tiler`.
+    """
+    import os
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        zs = batch["z"].to_pylist()
+        xs = batch["x"].to_pylist()
+        ys = batch["y"].to_pylist()
+        bufs = batch["mvt"].to_pylist()
+        for z, x, y, buf in zip(zs, xs, ys, bufs):
+            d = os.path.join(out_dir, str(z), str(x))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{y}.{ext}"), "wb") as f:
+                f.write(buf)
+        return pa.table({"n": pa.array([len(zs)], pa.int64())})
+
+    counts = tiles.map_batches(write_batch, batch_format="pyarrow")
+    return int(counts.sum("n") or 0)

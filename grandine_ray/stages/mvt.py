@@ -1,0 +1,593 @@
+"""Mapbox Vector Tile v2 encoding (reference lib/mvt/codec.go, project.go).
+
+From-scratch MVT protobuf writer (no compiled proto needed — the wire format
+is hand-rolled with numpy-vectorized varint packing for the geometry command
+streams). Field numbers follow the public vector-tile 2.1 spec:
+
+    Tile      { repeated Layer layers = 3 }
+    Layer     { name=1, repeated Feature features=2, repeated string keys=3,
+                repeated Value values=4, extent=5, version=15 }
+    Feature   { id=1, packed uint32 tags=2, GeomType type=3,
+                packed uint32 geometry=4 }
+    Value     { string=1, float=2, double=3, int=4, uint=5, sint=6, bool=7 }
+
+Pipeline semantics per reference assembleLayer (codec.go:139-198): project
+each vertex to tile-local coords (project.go:43-76, with Go int truncation
+on the flipped Y), clip to [0,4096]², MergeFeatures, intern tags (keys that
+start with "@" skipped), delta+zigzag command streams (codec.go:202-261).
+Canonicalization where Go is nondeterministic: layers sorted by name, props
+iterated in sorted key order (SURVEY §7.5).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import clip as clipmod
+from ..geom import wkb as wkbmod
+from ..geom.ops import proj_4326_to_3857
+from ..index import xyz
+from .merge import merge_features
+
+EXTENT = 4096
+CMD_MOVETO = 1
+CMD_LINETO = 2
+CMD_CLOSEPATH = 7
+
+# ------------------------------------------------------------- protobuf bits
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    v = int(v)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def varint_array(vals: np.ndarray) -> bytes:
+    """Vectorized varint encoding of a uint64 array (packed repeated)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, dtype=np.int64)
+    v = vals >> np.uint64(7)
+    while v.any():
+        nbytes += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    maxb = int(nbytes.max())
+    buf = np.zeros((n, maxb), dtype=np.uint8)
+    v = vals.copy()
+    for i in range(maxb):
+        buf[:, i] = (v & np.uint64(0x7F)).astype(np.uint8)
+        v >>= np.uint64(7)
+    cont = np.arange(maxb)[None, :] < (nbytes - 1)[:, None]
+    buf[cont] |= 0x80
+    keep = np.arange(maxb)[None, :] < nbytes[:, None]
+    return buf[keep].tobytes()
+
+
+def _field(num: int, wire: int) -> bytes:
+    return _varint((num << 3) | wire)
+
+
+def _len_field(num: int, payload: bytes) -> bytes:
+    return _field(num, 2) + _varint(len(payload)) + payload
+
+
+def _varint_field(num: int, v: int) -> bytes:
+    return _field(num, 0) + _varint(v)
+
+
+def encode_zigzag(i: np.ndarray) -> np.ndarray:
+    i = np.asarray(i, dtype=np.int64)
+    return ((i << 1) ^ (i >> 63)).astype(np.uint64)
+
+
+def command_int(cmd: int, count: int) -> int:
+    return (cmd & 0x7) | (count << 3)
+
+
+# ------------------------------------------------------- geometry commands
+
+
+def encode_geometry_commands(gtype: int, rings: list[np.ndarray]) -> np.ndarray:
+    """Tile-space rings → MVT command stream (codec.go:202-261).
+
+    Coordinates are truncated to int (Go int() cast) here.
+    """
+    cur = np.zeros(2, dtype=np.int64)
+    cmds: list[np.ndarray] = []
+    if gtype == wkbmod.GEOM_POINT:
+        pt = rings[0][0]
+        d = np.trunc(pt).astype(np.int64) - cur
+        return np.concatenate(
+            [
+                np.array([command_int(CMD_MOVETO, 1)], dtype=np.uint64),
+                encode_zigzag(d),
+            ]
+        )
+    if gtype == wkbmod.GEOM_LINESTRING:
+        return _encode_line(rings[0], cur)
+    # polygon
+    for ring in rings:
+        enc = _encode_line(ring, cur)
+        cmds.append(enc)
+        cmds.append(np.array([command_int(CMD_CLOSEPATH, 1)], dtype=np.uint64))
+    return np.concatenate(cmds) if cmds else np.empty(0, dtype=np.uint64)
+
+
+def _encode_line(pts: np.ndarray, cur: np.ndarray) -> np.ndarray:
+    """codec.go:239-261 — MoveTo(1) first vertex, LineTo(n-1) rest."""
+    ipts = np.trunc(np.asarray(pts, dtype=np.float64)).astype(np.int64)
+    deltas = np.empty_like(ipts)
+    deltas[0] = ipts[0] - cur
+    deltas[1:] = ipts[1:] - ipts[:-1]
+    cur[:] = ipts[-1]
+    zz = encode_zigzag(deltas.reshape(-1)).reshape(-1, 2)
+    n = len(ipts)
+    out = np.empty(2 * n + 2, dtype=np.uint64)
+    out[0] = command_int(CMD_MOVETO, 1)
+    out[1:3] = zz[0]
+    out[3] = command_int(CMD_LINETO, n - 1)
+    out[4:] = zz[1:].reshape(-1)
+    return out
+
+
+def decode_geometry_commands(cmds: list[int]):
+    """Inverse of encode_geometry_commands, for tests/inspection.
+
+    Returns list of (cmd, [(x, y), ...]) runs with absolute coords.
+    """
+    out = []
+    x = y = 0
+    i = 0
+    while i < len(cmds):
+        c = cmds[i] & 0x7
+        count = cmds[i] >> 3
+        i += 1
+        pts = []
+        if c == CMD_CLOSEPATH:
+            out.append((c, []))
+            continue
+        for _ in range(count):
+            dx = _unzigzag(cmds[i])
+            dy = _unzigzag(cmds[i + 1])
+            i += 2
+            x += dx
+            y += dy
+            pts.append((x, y))
+        out.append((c, pts))
+    return out
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+# ----------------------------------------------------------- value encoding
+
+
+def encode_value(v) -> bytes:
+    if isinstance(v, bool):
+        return _varint_field(7, 1 if v else 0)
+    if isinstance(v, str):
+        return _len_field(1, v.encode("utf-8"))
+    if isinstance(v, float):
+        return _field(3, 1) + np.float64(v).tobytes()
+    if isinstance(v, (int, np.integer)):
+        zz = int(encode_zigzag(np.array([int(v)]))[0])
+        return _field(6, 0) + _varint(zz)
+    return _len_field(1, str(v).encode("utf-8"))
+
+
+# -------------------------------------------------------------- tile params
+
+
+def tile_params(z: int, x: int, y: int, extent: int = EXTENT):
+    """project.go:64-76: offsets/scales from the tile's 3857 bbox."""
+    minx, miny, maxx, maxy = (float(v) for v in xyz.tile_bbox(x, y, z))
+    sw_x, sw_y = proj_4326_to_3857(minx, miny)
+    ne_x, ne_y = proj_4326_to_3857(maxx, maxy)
+    return (
+        float(sw_x),
+        float(sw_y),
+        abs(float(sw_x) - float(ne_x)),
+        abs(float(sw_y) - float(ne_y)),
+        extent,
+    )
+
+
+def project_to_tile(coords: np.ndarray, tp) -> np.ndarray:
+    """Vectorized tilePoint (project.go:48-54): lon/lat → tile-local.
+
+    Y is flipped with Go int-truncation: extent - trunc(v).
+    """
+    xoff, yoff, dx, dy, extent = tp
+    px, py = proj_4326_to_3857(coords[:, 0], coords[:, 1])
+    tx = (px - xoff) / dx * extent
+    ty = extent - np.trunc((py - yoff) / dy * extent)
+    return np.stack([tx, ty], axis=1)
+
+
+# ------------------------------------------------------------- tile assembly
+
+
+def _clip_feature(gtype: int, rings: list[np.ndarray], extent: int):
+    """Clip one tile-space geometry to [0,extent]² (codec.go:156-158)."""
+    if gtype == wkbmod.GEOM_POINT:
+        p = rings[0][0]
+        if 0 <= p[0] <= extent and 0 <= p[1] <= extent:
+            return [(gtype, rings)]
+        return []
+    if gtype == wkbmod.GEOM_LINESTRING:
+        parts = clipmod.clip_line(rings[0], 0, 0, extent, extent)
+        return [(gtype, [part]) for part in parts if len(part) >= 2]
+    polys = clipmod.clip_polygon(rings, 0, 0, extent, extent)
+    return [(gtype, pr) for pr in polys if pr]
+
+
+def prepare_features(tp, feats: list[dict]) -> list[dict]:
+    """Project lon/lat features to tile space and clip to [0,extent]².
+
+    The salted two-phase path runs this per (tile, salt) sub-group; the
+    single-phase path runs it inline before :func:`finalize_tile`.
+    """
+    extent = tp[4]
+    clipped: list[dict] = []
+    for ft in feats:
+        tile_rings = [project_to_tile(r, tp) for r in ft["rings"]]
+        for gtype, rings in _clip_feature(ft["type"], tile_rings, extent):
+            clipped.append(
+                {
+                    "props": ft.get("props") or (),
+                    "type": gtype,
+                    "rings": rings,
+                    "layer": ft.get("layer", "default"),
+                }
+            )
+    return clipped
+
+
+def encode_tile(z: int, x: int, y: int, layer_feats: dict) -> bytes:
+    """layer_feats: {layer_name: [ {props: dict, type: int, rings: [...] } ]}
+
+    Geometries are given in lon/lat; this function projects, clips, merges
+    and assembles the tile protobuf. Returns b"" for an empty tile.
+    """
+    tp = tile_params(z, x, y)
+    layer_bufs = []
+    for lname in sorted(layer_feats):
+        clipped = prepare_features(tp, layer_feats[lname])
+        buf = _assemble_layer(clipped, tp, lname)
+        if buf:
+            layer_bufs.append(buf)
+    if not layer_bufs:
+        return b""
+    return b"".join(_len_field(3, lb) for lb in layer_bufs)
+
+
+def finalize_tile(layer_feats_tilespace: dict, extent: int = EXTENT) -> bytes:
+    """Assemble a tile from *already projected+clipped* tile-space features."""
+    tp = (0.0, 0.0, 1.0, 1.0, extent)
+    layer_bufs = []
+    for lname in sorted(layer_feats_tilespace):
+        buf = _assemble_layer(layer_feats_tilespace[lname], tp, lname)
+        if buf:
+            layer_bufs.append(buf)
+    if not layer_bufs:
+        return b""
+    return b"".join(_len_field(3, lb) for lb in layer_bufs)
+
+
+def _assemble_layer(clipped: list[dict], tp, lname: str) -> bytes:
+    extent = tp[4]
+    merged = merge_features(clipped)
+
+    keys: dict[str, int] = {}
+    vals: dict = {}
+    feat_bufs = []
+    for ft in merged:
+        tags = []
+        props = dict(ft["props"]) if ft["props"] else {}
+        for k in props:  # props built in sorted order upstream
+            if k.startswith("@"):  # skipAtKeys (codec.go:30,165-167)
+                continue
+            v = props[k]
+            kpos = keys.setdefault(k, len(keys))
+            vkey = (type(v).__name__, v)
+            vpos = vals.setdefault(vkey, len(vals))
+            tags.extend((kpos, vpos))
+        cmds = encode_geometry_commands(ft["type"], ft["rings"])
+        if len(cmds) == 0:
+            continue
+        body = b""
+        if tags:
+            body += _len_field(2, varint_array(np.asarray(tags, dtype=np.uint64)))
+        body += _varint_field(3, int(ft["type"]))  # POINT=1 LINESTRING=2 POLYGON=3
+        body += _len_field(4, varint_array(cmds))
+        feat_bufs.append(body)
+
+    if not feat_bufs:
+        return b""
+    out = _len_field(1, lname.encode("utf-8"))
+    for fb in feat_bufs:
+        out += _len_field(2, fb)
+    for k in keys:
+        out += _len_field(3, k.encode("utf-8"))
+    for (_, v) in vals:
+        out += _len_field(4, encode_value(v))
+    out += _varint_field(5, extent)
+    out += _varint_field(15, 2)  # layer version
+    return out
+
+
+# ----------------------------------------------------------- group encoder
+
+
+class TileEncoder:
+    """Actor-pool map_groups callable: one (z,x,y) group → one tile row.
+
+    State built once per actor (T8 in SURVEY §2.4): nothing heavyweight is
+    needed for XYZ tiles beyond reusable buffers, but the class keeps the
+    per-actor construction point for zoom lookup tables.
+    """
+
+    def __init__(self, extent: int = EXTENT):
+        self.extent = extent
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        key = int(group["tile_key"][0].as_py())
+        z, x, y = (int(v) for v in xyz.tile_key_unpack(np.uint64(key)))
+
+        # canonical order for merge determinism (SURVEY §7.5)
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("doc_id", "ascending"), ("span_idx", "ascending")]
+        )
+        group = group.take(order)
+        layer_feats = _group_to_feats(group)
+        buf = encode_tile(z, x, y, layer_feats)
+        if not buf:
+            return _EMPTY_TILE_TABLE
+        return pa.table(
+            {
+                "z": pa.array([z], pa.int8()),
+                "x": pa.array([x], pa.int32()),
+                "y": pa.array([y], pa.int32()),
+                "mvt": pa.array([buf], pa.binary()),
+                "n_features": pa.array([group.num_rows], pa.int32()),
+                "bytes": pa.array([len(buf)], pa.int64()),
+            }
+        )
+
+
+def _group_to_feats(group: pa.Table):
+    """Decode a sorted tile group into per-layer feature dicts (lon/lat)."""
+    blobs = group["geom_wkb"].to_pylist()
+    gb = wkbmod.decode_wkb_batch(blobs)
+    layers = group["layer"].to_pylist()
+    props_json = (
+        group["props_json"].to_pylist() if "props_json" in group.column_names else None
+    )
+    layer_feats: dict[str, list[dict]] = {}
+    for i in range(len(gb)):
+        props = ()
+        if props_json is not None and props_json[i]:
+            import json
+
+            props = tuple(sorted(json.loads(props_json[i]).items()))
+        layer_feats.setdefault(layers[i], []).append(
+            {"props": props, "type": int(gb.types[i]), "rings": gb.rings_of(i)}
+        )
+    return layer_feats
+
+
+_EMPTY_TILE_TABLE = pa.table(
+    {
+        "z": pa.array([], pa.int8()),
+        "x": pa.array([], pa.int32()),
+        "y": pa.array([], pa.int32()),
+        "mvt": pa.array([], pa.binary()),
+        "n_features": pa.array([], pa.int32()),
+        "bytes": pa.array([], pa.int64()),
+    }
+)
+
+
+class TilePrepare:
+    """Phase-A callable for the salted path: (tile_key, salt) group →
+    projected+clipped tile-space feature rows (geometry re-encoded as WKB in
+    tile coordinates). Runs the per-feature heavy work on the salted key so
+    hot cells are spread over the pool; the phase-B group on tile_key alone
+    only merges + assembles protobuf.
+    """
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        key = int(group["tile_key"][0].as_py())
+        z, x, y = (int(v) for v in xyz.tile_key_unpack(np.uint64(key)))
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("doc_id", "ascending"), ("span_idx", "ascending")]
+        )
+        group = group.take(order)
+        tp = tile_params(z, x, y)
+
+        blobs = group["geom_wkb"].to_pylist()
+        gb = wkbmod.decode_wkb_batch(blobs)
+        layers = group["layer"].to_pylist()
+        doc_ids = group["doc_id"].to_pylist()
+        span_idx = group["span_idx"].to_pylist()
+        props_json = (
+            group["props_json"].to_pylist() if "props_json" in group.column_names else None
+        )
+
+        out = {k: [] for k in (
+            "tile_key", "doc_id", "span_idx", "part", "geom_type", "geom_wkb",
+            "layer", "props_json",
+        )}
+        for i in range(len(gb)):
+            tile_rings = [project_to_tile(r, tp) for r in gb.rings_of(i)]
+            parts = _clip_feature(int(gb.types[i]), tile_rings, tp[4])
+            for p, (gtype, rings) in enumerate(parts):
+                if gtype == wkbmod.GEOM_POINT:
+                    blob = wkbmod.encode_point(rings[0][0, 0], rings[0][0, 1])
+                elif gtype == wkbmod.GEOM_LINESTRING:
+                    blob = wkbmod.encode_linestring(rings[0])
+                else:
+                    blob = wkbmod.encode_polygon(rings)
+                out["tile_key"].append(key)
+                out["doc_id"].append(doc_ids[i])
+                out["span_idx"].append(span_idx[i])
+                out["part"].append(p)
+                out["geom_type"].append(gtype)
+                out["geom_wkb"].append(blob)
+                out["layer"].append(layers[i])
+                out["props_json"].append(props_json[i] if props_json else "")
+        return pa.table(
+            {
+                "tile_key": pa.array(out["tile_key"], pa.uint64()),
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "span_idx": pa.array(out["span_idx"], pa.int32()),
+                "part": pa.array(out["part"], pa.int32()),
+                "geom_type": pa.array(out["geom_type"], pa.uint8()),
+                "geom_wkb": pa.array(out["geom_wkb"], pa.binary()),
+                "layer": pa.array(out["layer"], pa.string()),
+                "props_json": pa.array(out["props_json"], pa.string()),
+            }
+        )
+
+
+class TileFinalize:
+    """Phase-B callable: tile_key group of tile-space features → tile row."""
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        key = int(group["tile_key"][0].as_py())
+        z, x, y = (int(v) for v in xyz.tile_key_unpack(np.uint64(key)))
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("span_idx", "ascending"),
+                ("part", "ascending"),
+            ],
+        )
+        group = group.take(order)
+        layer_feats = _group_to_feats(group)
+        buf = finalize_tile(layer_feats)
+        if not buf:
+            return _EMPTY_TILE_TABLE
+        return pa.table(
+            {
+                "z": pa.array([z], pa.int8()),
+                "x": pa.array([x], pa.int32()),
+                "y": pa.array([y], pa.int32()),
+                "mvt": pa.array([buf], pa.binary()),
+                "n_features": pa.array([group.num_rows], pa.int32()),
+                "bytes": pa.array([len(buf)], pa.int64()),
+            }
+        )
+
+
+# --------------------------------------------------------------- MVT reader
+
+
+def decode_tile(buf: bytes) -> dict:
+    """Minimal MVT decoder for tests: → {layer: {"features": [...], ...}}."""
+    layers = {}
+    for num, wire, val in _iter_fields(buf):
+        if num == 3 and wire == 2:
+            lay = _decode_layer(val)
+            layers[lay["name"]] = lay
+    return layers
+
+
+def _iter_fields(buf: bytes):
+    i = 0
+    n = len(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        num, wire = key >> 3, key & 0x7
+        if wire == 0:
+            v, i = _read_varint(buf, i)
+            yield num, wire, v
+        elif wire == 2:
+            ln, i = _read_varint(buf, i)
+            yield num, wire, buf[i:i + ln]
+            i += ln
+        elif wire == 5:
+            yield num, wire, buf[i:i + 4]
+            i += 4
+        elif wire == 1:
+            yield num, wire, buf[i:i + 8]
+            i += 8
+        else:
+            raise ValueError(f"bad wire type {wire}")
+
+
+def _read_varint(buf: bytes, i: int):
+    shift = 0
+    out = 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def _decode_layer(buf: bytes) -> dict:
+    lay = {"name": None, "features": [], "keys": [], "values": [], "extent": None, "version": None}
+    for num, wire, val in _iter_fields(buf):
+        if num == 1:
+            lay["name"] = val.decode("utf-8")
+        elif num == 2:
+            lay["features"].append(_decode_feature(val))
+        elif num == 3:
+            lay["keys"].append(val.decode("utf-8"))
+        elif num == 4:
+            lay["values"].append(_decode_value(val))
+        elif num == 5:
+            lay["extent"] = val
+        elif num == 15:
+            lay["version"] = val
+    return lay
+
+
+def _decode_feature(buf: bytes) -> dict:
+    ft = {"tags": [], "type": None, "geometry": []}
+    for num, wire, val in _iter_fields(buf):
+        if num == 2:
+            ft["tags"] = _unpack_varints(val)
+        elif num == 3:
+            ft["type"] = val
+        elif num == 4:
+            ft["geometry"] = _unpack_varints(val)
+    return ft
+
+
+def _decode_value(buf: bytes) -> object:
+    for num, wire, val in _iter_fields(buf):
+        if num == 1:
+            return val.decode("utf-8")
+        if num == 3:
+            return np.frombuffer(val, dtype="<f8")[0]
+        if num == 6:
+            return _unzigzag(val)
+        if num == 7:
+            return bool(val)
+    return None
+
+
+def _unpack_varints(buf: bytes) -> list[int]:
+    out = []
+    i = 0
+    while i < len(buf):
+        v, i = _read_varint(buf, i)
+        out.append(v)
+    return out
