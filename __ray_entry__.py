@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship documents→tiles pipeline at sf0.001 scale;
+``queries()`` exposes every implemented operator (SURVEY.md §2) as a
+callable over an sf dir; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for the SQL-expressible subset (geospatial queries recompute tile math /
+bboxes / haversine from the synth ground-truth vertex table, which is
+written from pre-WKB coordinates and therefore independent of the engine's
+codecs).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +19,22 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-scale synthetic corpus."""
+    from grandine_ray.pipelines import tiler
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf("/root/testdata/sf0.001")
+    docs = tiler.read_documents(f"{corpus}/documents.parquet")
+    return tiler.tile_dataset(docs, zooms=list(range(0, 7)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from grandine_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from grandine_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

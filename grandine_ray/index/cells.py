@@ -1,0 +1,166 @@
+"""From-scratch spatial cell encoders (X7, NORTH-RULE EXT).
+
+No ``h3`` / ``s2sphere`` libraries exist in this sandbox, so these are
+engine-defined cell schemes built from public geometry only:
+
+* ``s2_cell_id`` — S2-*style*: unit-sphere face decomposition (6 cube
+  faces), the published S2 quadratic u/v→s/t projection, then a quadtree
+  index per face. Divergence from Google S2: cells are ordered by Morton
+  (Z-order) interleaving instead of the Hilbert curve — locality properties
+  are comparable for partitioning/join use, and the id remains hierarchical
+  (parent = child >> 2 after level adjustment).
+* ``h3ish_cell_id`` — H3-*style*: hexagonal axial-coordinate binning on the
+  web-mercator plane with aperture-4 resolution scaling. Divergence from
+  Uber H3: planar hex grid (no icosahedron), so distortion grows toward the
+  poles; ids pack (res, q, r).
+
+Both are pure-numpy vectorized kernels, usable directly inside
+``map_batches``. The parity-critical cell scheme for the tiling pipeline
+remains the XYZ tile id (index/xyz.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _lonlat_to_xyz(lon: np.ndarray, lat: np.ndarray):
+    phi = np.radians(lat)
+    theta = np.radians(lon)
+    cos_phi = np.cos(phi)
+    return cos_phi * np.cos(theta), cos_phi * np.sin(theta), np.sin(phi)
+
+
+def _face_uv(x, y, z):
+    """Cube face (0..5) + (u, v) in [-1, 1] per S2 conventions."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az), np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
+    )
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f in range(6):
+        m = face == f
+        if not m.any():
+            continue
+        if f == 0:
+            u[m], v[m] = y[m] / x[m], z[m] / x[m]
+        elif f == 1:
+            u[m], v[m] = -x[m] / y[m], z[m] / y[m]
+        elif f == 2:
+            u[m], v[m] = -x[m] / z[m], -y[m] / z[m]
+        elif f == 3:
+            u[m], v[m] = z[m] / x[m], y[m] / x[m]
+        elif f == 4:
+            u[m], v[m] = z[m] / y[m], -x[m] / y[m]
+        else:
+            u[m], v[m] = -y[m] / z[m], -x[m] / z[m]
+    return face, u, v
+
+
+def _uv_to_st(u: np.ndarray) -> np.ndarray:
+    """S2 quadratic projection (area-uniformizing), public formula."""
+    return np.where(
+        u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
+    )
+
+
+def _morton_interleave(i: np.ndarray, j: np.ndarray, bits: int) -> np.ndarray:
+    out = np.zeros(len(i), dtype=np.uint64)
+    i = i.astype(np.uint64)
+    j = j.astype(np.uint64)
+    for b in range(bits):
+        out |= ((i >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
+        out |= ((j >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+    return out
+
+
+def s2_cell_id(lon, lat, level: int = 12) -> np.ndarray:
+    """S2-style cell id: 3 face bits, 2*level Morton bits, 5 level bits."""
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    x, y, z = _lonlat_to_xyz(lon, lat)
+    face, u, v = _face_uv(x, y, z)
+    s = _uv_to_st(u)
+    t = _uv_to_st(v)
+    n = 1 << level
+    i = np.clip((s * n).astype(np.int64), 0, n - 1)
+    j = np.clip((t * n).astype(np.int64), 0, n - 1)
+    code = _morton_interleave(i, j, level)
+    return (
+        (face.astype(np.uint64) << np.uint64(2 * level + 5))
+        | (code << np.uint64(5))
+        | np.uint64(level)
+    )
+
+
+def s2_parent(cell: np.ndarray, level: int) -> np.ndarray:
+    """Parent cell at a coarser level (hierarchical containment)."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    cur = (cell & np.uint64(31)).astype(np.int64)
+    code = (cell >> np.uint64(5))
+    face_shift = 2 * cur
+    face = code >> face_shift.astype(np.uint64)
+    morton = code & ((np.uint64(1) << face_shift.astype(np.uint64)) - np.uint64(1))
+    drop = (2 * (cur - level)).astype(np.uint64)
+    new_morton = morton >> drop
+    return (
+        (face << np.uint64(2 * level + 5))
+        | (new_morton << np.uint64(5))
+        | np.uint64(level)
+    )
+
+
+# ------------------------------------------------------------------- H3-ish
+
+_MERC_MAX = 20037508.342789244  # pi * 6378137
+
+
+def h3ish_cell_id(lon, lat, res: int = 9) -> np.ndarray:
+    """Planar hex binning on web-mercator: id packs (res, q+2^27, r+2^27)."""
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    mx = np.radians(lon) * 6378137.0
+    my = np.log(np.tan(np.radians(np.clip(lat, -89.9, 89.9)) / 2.0 + np.pi / 4.0)) * 6378137.0
+    size = _MERC_MAX / (2.0 ** res)  # hex circumradius, aperture-4 scaling
+    # axial coords (pointy-top)
+    q = (np.sqrt(3.0) / 3.0 * mx - 1.0 / 3.0 * my) / size
+    r = (2.0 / 3.0 * my) / size
+    qi, ri = _hex_round(q, r)
+    return (
+        (np.uint64(res) << np.uint64(56))
+        | ((qi + (1 << 27)).astype(np.uint64) << np.uint64(28))
+        | (ri + (1 << 27)).astype(np.uint64)
+    )
+
+
+def _hex_round(q: np.ndarray, r: np.ndarray):
+    """Cube-coordinate rounding (public hex-grid algorithm)."""
+    s = -q - r
+    rq = np.round(q)
+    rr = np.round(r)
+    rs = np.round(s)
+    dq = np.abs(rq - q)
+    dr = np.abs(rr - r)
+    ds = np.abs(rs - s)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    rq = np.where(fix_q, -rr - rs, rq)
+    rr = np.where(fix_r, -rq - rs, rr)
+    return rq.astype(np.int64), rr.astype(np.int64)
+
+
+def h3ish_neighbors(cell: np.ndarray) -> np.ndarray:
+    """The 6 axial neighbors of each cell → [n, 6] uint64."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = (cell >> np.uint64(56)).astype(np.int64)
+    q = ((cell >> np.uint64(28)) & np.uint64((1 << 28) - 1)).astype(np.int64) - (1 << 27)
+    r = (cell & np.uint64((1 << 28) - 1)).astype(np.int64) - (1 << 27)
+    dirs = np.array([(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)], dtype=np.int64)
+    nq = q[:, None] + dirs[None, :, 0]
+    nr = r[:, None] + dirs[None, :, 1]
+    return (
+        (res.astype(np.uint64)[:, None] << np.uint64(56))
+        | ((nq + (1 << 27)).astype(np.uint64) << np.uint64(28))
+        | (nr + (1 << 27)).astype(np.uint64)
+    )

@@ -1,0 +1,519 @@
+"""Driver-facing query registry: Ray pipelines + matching DuckDB oracle SQL.
+
+Each ``QUERIES`` entry is a callable ``fn(sf_dir) -> Dataset | DataFrame |
+Table``; ``ORACLE_SQL`` holds the equivalent ANSI SQL DuckDB runs on the
+same inputs. Geospatial queries run over the deterministic synthetic
+interleaved-documents corpus (sources/synth.py — the BASELINE.json
+input_hint shape); the corpus parquet path for sf0.01 is fixed, so the
+static SQL strings can reference it with read_parquet(). Text/ANN queries
+run over the driver's pre-registered views (documents, embeddings).
+
+Column names and integer widths are aligned on both sides (driver hashes
+values after sorting columns by name). Float columns that pass through
+different math libraries (trig, cosine) are rounded identically on both
+sides.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..geom import wkb as wkbmod
+from ..index import xyz
+from ..sources import synth
+from ..stages import ann as ann_stage
+from ..stages import join as join_stage
+from ..stages import text as text_stage
+from ..stages.coverage import make_coverage_fn
+from ..stages.extract import extract_features
+from ..index.cells import s2_cell_id, h3ish_cell_id
+
+COVERAGE_ZOOMS = [0, 2, 4, 6]
+ORACLE_CORPUS = "/tmp/graft_synth/docs_10000"  # sf0.01 ⇒ 10k docs (synth.py)
+
+# fixture query points for kNN (the reference tile-test vectors; first rows
+# of the corpus by construction)
+KNN_QUERIES = [
+    ("q0", 13.73630, 51.05377),
+    ("q1", 18.39856, -33.90184),
+    ("q2", -54.59123, -25.59547),
+    ("q3", -21.94073, 64.14607),
+]
+KNN_K = 5
+
+BBOX_TARGETS = [
+    ("berlin", 13.0, 52.3, 13.8, 52.7),
+    ("nyc", -74.3, 40.5, -73.7, 40.9),
+    ("tokyo", 139.5, 35.5, 140.0, 35.8),
+    ("south_atlantic", -30.0, -40.0, 0.0, -10.0),
+]
+
+
+def _corpus(sf_dir: str) -> str:
+    return synth.corpus_for_sf(sf_dir)
+
+
+def _docs_ds(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{_corpus(sf_dir)}/documents.parquet")
+
+
+def _features_ds(sf_dir: str) -> rd.Dataset:
+    return _docs_ds(sf_dir).map_batches(extract_features, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_extract_features(sf_dir: str):
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+                "geom_type": pc.cast(batch["geom_type"], pa.int64()),
+                "layer": batch["layer"],
+                "bbox_minx": batch["bbox_minx"],
+                "bbox_miny": batch["bbox_miny"],
+                "bbox_maxx": batch["bbox_maxx"],
+                "bbox_maxy": batch["bbox_maxy"],
+            }
+        )
+
+    return _features_ds(sf_dir).map_batches(widen, batch_format="pyarrow")
+
+
+def q_tile_coverage(sf_dir: str):
+    """Per-feature covered tiles at COVERAGE_ZOOMS (the parity-critical
+    cell assignment, lib/tile/bbox.go semantics)."""
+    tiled = _features_ds(sf_dir).map_batches(
+        make_coverage_fn(COVERAGE_ZOOMS), batch_format="pyarrow"
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        z, x, y = xyz.tile_key_unpack(
+            batch["tile_key"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+                "z": pa.array(z, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    return tiled.map_batches(unpack, batch_format="pyarrow")
+
+
+def q_tile_counts(sf_dir: str):
+    """Feature count per covered tile — the pre-aggregated shuffle stats."""
+    tiled = _features_ds(sf_dir).map_batches(
+        make_coverage_fn(COVERAGE_ZOOMS), batch_format="pyarrow"
+    )
+
+    def count_keys(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch["tile_key"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"tile_key": pa.array(keys, pa.uint64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        tiled.map_batches(count_keys, batch_format="pyarrow")
+        .groupby("tile_key")
+        .aggregate(Sum("n", alias_name="n_features"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        z, x, y = xyz.tile_key_unpack(
+            batch["tile_key"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "z": pa.array(z, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "n_features": pc.cast(batch["n_features"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def q_knn_points(sf_dir: str):
+    """Exact kNN by Haversine from fixture query points to all point geoms."""
+    pts = _features_ds(sf_dir).filter(
+        expr="geom_type == 1"
+    )
+    ids = [q[0] for q in KNN_QUERIES]
+    qx = [q[1] for q in KNN_QUERIES]
+    qy = [q[2] for q in KNN_QUERIES]
+    out = join_stage.knn_topk(pts, ids, qx, qy, k=KNN_K)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["dist_m"] = g["dist_m"].round(3)
+        g["span_idx"] = g["span_idx"].astype("int64")
+        return g[["query_id", "doc_id", "span_idx", "rank", "dist_m"]]
+
+    return out.map_batches(final, batch_format="pandas")
+
+
+def q_bbox_join(sf_dir: str):
+    ids = [t[0] for t in BBOX_TARGETS]
+    boxes = np.asarray([t[1:] for t in BBOX_TARGETS], dtype=np.float64)
+    out = join_stage.bbox_join(_features_ds(sf_dir), ids, boxes)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+                "target_id": batch["target_id"],
+            }
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+def q_pip_join(sf_dir: str):
+    """Point-in-polygon join: corpus points vs corpus polygons (broadcast
+    small side + per-actor R-tree). Non-SQL-expressible → rows-only check;
+    pytest holds the brute-force oracle."""
+    full = _features_ds(sf_dir).filter(expr="geom_type == 3").take_all()
+    poly_ids = [f"{r['doc_id']}#{r['span_idx']}" for r in full]
+    poly_wkbs = [r["geom_wkb"] for r in full]
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    out = join_stage.pip_join(pts, poly_ids, poly_wkbs)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+                "polygon_id": batch["polygon_id"],
+            }
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+def q_cell_index(sf_dir: str):
+    """S2-style + H3-style cell ids for point features (NORTH-RULE EXT).
+
+    Engine-defined ids (no public lib available offline) → rows-only check;
+    determinism + locality asserted in pytest."""
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lon = batch["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = batch["bbox_miny"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+                "s2_cell": pa.array(s2_cell_id(lon, lat, level=12), pa.uint64()),
+                "h3_cell": pa.array(h3ish_cell_id(lon, lat, res=9), pa.uint64()),
+            }
+        )
+
+    return pts.map_batches(cells, batch_format="pyarrow")
+
+
+# ----------------------------------------------- text / ANN over testdata
+
+
+def q_exact_dedup(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hashed = docs.map_batches(text_stage.content_hash, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Min
+
+    agg = hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups")
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "keep_doc_id": pc.cast(batch["keep_doc_id"], pa.int64()),
+                "n_dups": pc.cast(batch["n_dups"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def q_token_counts(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        text_stage.TokenCounter, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_tokens_ws": batch["n_tokens_ws"],
+            }
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+def q_doc_length(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ln(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "doc_len": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(ln, batch_format="pyarrow")
+
+
+def q_lang_dist(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    from ray.data.aggregate import Count
+
+    agg = docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (
+        emb.filter(expr="vec_id < 4").take_all()
+    )
+    qids = [r["vec_id"] for r in qrows]
+    qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    out = ann_stage.brute_force_topk(emb, qids, qm, k=10)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["score"].round(4)
+        return g[["query_id", "vec_id", "rank", "score"]]
+
+    return out.map_batches(final, batch_format="pandas")
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidates verified by n-gram Jaccard ≥ 0.5.
+
+    Non-SQL-expressible (sketches) → rows-only driver check; pytest plants
+    near-duplicates and checks recall/precision against exact Jaccard."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = docs.map_batches(
+        text_stage.MinHasher, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    bands = sigs.map_batches(
+        lambda b: text_stage.lsh_bands(b, id_col="doc_id"), batch_format="pyarrow"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame({"doc_a": [p[0] for p in out],
+                             "doc_b": [p[1] for p in out]})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    cand_pd = cand.to_pandas().drop_duplicates()
+    if cand_pd.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.take_all()
+        if r["doc_id"] in set(cand_pd["doc_a"]) | set(cand_pd["doc_b"])
+    }
+    jac = [
+        text_stage.jaccard(texts[a], texts[b])
+        for a, b in zip(cand_pd["doc_a"], cand_pd["doc_b"])
+    ]
+    cand_pd = cand_pd.assign(jaccard=np.round(jac, 4))
+    return cand_pd[cand_pd["jaccard"] >= 0.5].reset_index(drop=True)
+
+
+def q_simhash(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        text_stage.SimHasher, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def q_fingerprint(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(text_stage.rolling_fingerprint, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+QUERIES = {
+    "extract_features": q_extract_features,
+    "tile_coverage": q_tile_coverage,
+    "tile_counts": q_tile_counts,
+    "knn_points": q_knn_points,
+    "bbox_join": q_bbox_join,
+    "pip_join": q_pip_join,
+    "cell_index": q_cell_index,
+    "exact_dedup": q_exact_dedup,
+    "token_counts": q_token_counts,
+    "doc_length": q_doc_length,
+    "lang_dist": q_lang_dist,
+    "ann_topk": q_ann_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "fingerprint": q_fingerprint,
+}
+
+
+# --------------------------------------------------------------- oracle SQL
+
+_GEOMS = f"read_parquet('{ORACLE_CORPUS}/geoms.parquet')"
+
+_BBOX_CTE = f"""
+WITH g AS (
+  SELECT doc_id,
+         CAST(span_idx AS BIGINT) AS span_idx,
+         CAST(geom_type AS BIGINT) AS geom_type,
+         layer,
+         list_aggregate(xs, 'min') AS bbox_minx,
+         list_aggregate(ys, 'min') AS bbox_miny,
+         list_aggregate(xs, 'max') AS bbox_maxx,
+         list_aggregate(ys, 'max') AS bbox_maxy
+  FROM {_GEOMS}
+)
+"""
+
+_TILE_XY = """
+  CAST(GREATEST(0, LEAST(POW(2, zz.z) - 1,
+       FLOOR(({lon} + 180) / 360 * POW(2, zz.z)))) AS BIGINT)
+"""
+
+_TILE_Y = """
+  CAST(GREATEST(0, LEAST(POW(2, zz.z) - 1,
+       FLOOR((1 - LN(TAN(RADIANS(GREATEST(-85.0511287, LEAST(85.0511287, {lat}))))
+                     + 1 / COS(RADIANS(GREATEST(-85.0511287, LEAST(85.0511287, {lat})))))
+                  / PI()) / 2 * POW(2, zz.z)))) AS BIGINT)
+"""
+
+_COVERAGE_CTE = (
+    _BBOX_CTE
+    + """
+, zz AS (SELECT UNNEST([0, 2, 4, 6]) AS z)
+, ranges AS (
+  SELECT g.doc_id, g.span_idx, CAST(zz.z AS BIGINT) AS z,
+         """
+    + _TILE_XY.format(lon="g.bbox_minx") + " AS x1,\n         "
+    + _TILE_XY.format(lon="g.bbox_maxx") + " AS x2,\n         "
+    + _TILE_Y.format(lat="g.bbox_maxy") + " AS y1,\n         "
+    + _TILE_Y.format(lat="g.bbox_miny") + """ AS y2
+  FROM g CROSS JOIN zz
+)
+, xs AS (
+  SELECT doc_id, span_idx, z, UNNEST(generate_series(x1, x2)) AS x, y1, y2
+  FROM ranges
+)
+, cov AS (
+  SELECT doc_id, span_idx, z, x, UNNEST(generate_series(y1, y2)) AS y
+  FROM xs
+)
+"""
+)
+
+_HAVERSINE = """
+  2 * 6371000 * ATAN2(
+    SQRT(POW(SIN(RADIANS({lat2} - {lat1}) / 2), 2)
+         + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))
+           * POW(SIN(RADIANS({lon2} - {lon1}) / 2), 2)),
+    SQRT(1 - (POW(SIN(RADIANS({lat2} - {lat1}) / 2), 2)
+         + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))
+           * POW(SIN(RADIANS({lon2} - {lon1}) / 2), 2))))
+"""
+
+_KNN_QUERY_VALUES = ", ".join(
+    f"('{qid}', {lon}, {lat})" for qid, lon, lat in KNN_QUERIES
+)
+
+_BBOX_TARGET_VALUES = ", ".join(
+    f"('{tid}', {a}, {b}, {c}, {d})" for tid, a, b, c, d in BBOX_TARGETS
+)
+
+ORACLE_SQL = {
+    "extract_features": _BBOX_CTE + "SELECT * FROM g",
+    "tile_coverage": _COVERAGE_CTE + "SELECT doc_id, span_idx, z, x, y FROM cov",
+    "tile_counts": _COVERAGE_CTE + """
+        SELECT z, x, y, CAST(COUNT(*) AS BIGINT) AS n_features
+        FROM cov GROUP BY z, x, y""",
+    "knn_points": _BBOX_CTE + f"""
+, q(query_id, qlon, qlat) AS (VALUES {_KNN_QUERY_VALUES})
+, pts AS (SELECT doc_id, span_idx, bbox_minx AS lon, bbox_miny AS lat
+          FROM g WHERE geom_type = 1)
+, scored AS (
+  SELECT q.query_id, pts.doc_id, pts.span_idx,
+         {_HAVERSINE.format(lat1="q.qlat", lon1="q.qlon", lat2="pts.lat", lon2="pts.lon")} AS dist,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY {_HAVERSINE.format(lat1="q.qlat", lon1="q.qlon", lat2="pts.lat", lon2="pts.lon")},
+                                     pts.doc_id, pts.span_idx) AS rank
+  FROM q CROSS JOIN pts
+)
+SELECT query_id, doc_id, span_idx, CAST(rank AS BIGINT) AS rank,
+       ROUND(dist, 3) AS dist_m
+FROM scored WHERE rank <= {KNN_K}""",
+    "bbox_join": _BBOX_CTE + f"""
+, t(target_id, tminx, tminy, tmaxx, tmaxy) AS (VALUES {_BBOX_TARGET_VALUES})
+SELECT g.doc_id, g.span_idx, t.target_id
+FROM g CROSS JOIN t
+WHERE NOT (g.bbox_minx > t.tmaxx OR g.bbox_maxx < t.tminx
+           OR g.bbox_miny > t.tmaxy OR g.bbox_maxy < t.tminy)""",
+    "exact_dedup": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text""",
+    "token_counts": r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN TRIM(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT)
+       AS n_tokens_ws
+FROM documents""",
+    "doc_length": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS doc_len
+FROM documents""",
+    "lang_dist": """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang""",
+    "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS score,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                     e.vec_id) AS rank
+  FROM q CROSS JOIN embeddings e
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank, ROUND(CAST(score AS DOUBLE), 4) AS score
+FROM scored WHERE rank <= 10""",
+}

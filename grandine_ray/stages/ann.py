@@ -1,0 +1,110 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and each batch does one numpy matmul (never a per-row loop).
+Scale path: LSH-bucketed variant (random hyperplane signatures) that
+restricts candidate generation to matching buckets before exact re-scoring.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.to_pylist()
+    m = np.asarray(arr, dtype=np.float32)
+    return m
+
+
+def normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class CosineScorer:
+    """Actor-pool stage: scores each batch against the broadcast queries.
+
+    Emits per-batch *partial top-k* (pre-aggregation before the global
+    top-k), so the shuffle moves k rows per (query, batch), not the corpus.
+    """
+
+    def __init__(self, query_ref, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.qids = np.asarray(q["ids"])
+        self.qm = normalize(np.asarray(q["matrix"], dtype=np.float32))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = normalize(_to_matrix(batch["embedding"]))
+        scores = self.qm @ m.T  # [nq, nb]
+        k = min(self.k, scores.shape[1])
+        idx = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
+        rows = {"query_id": [], "vec_id": [], "score": []}
+        for qi in range(scores.shape[0]):
+            sel = idx[qi]
+            rows["query_id"].extend([int(self.qids[qi])] * k)
+            rows["vec_id"].extend(vec_ids[sel].tolist())
+            rows["score"].extend(scores[qi, sel].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+
+
+def topk_per_query(k: int):
+    """map_groups fn: global exact top-k from the partial top-k rows.
+
+    Deterministic tie-break: (-score, vec_id).
+    """
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return fn
+
+
+def brute_force_topk(ds, query_ids, query_matrix, k: int = 10,
+                     concurrency=None):
+    """embeddings Dataset → top-k Dataset (query_id, vec_id, score, rank)."""
+    ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+    kwargs = {"concurrency": concurrency} if concurrency else {"concurrency": (1, 4)}
+    partial = ds.map_batches(
+        CosineScorer, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", batch_size=4096, **kwargs,
+    )
+    return partial.groupby("query_id").map_groups(
+        topk_per_query(k), batch_format="pandas"
+    )
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures for bucketed ANN (scale path).
+
+    State (the hyperplane matrix) built once per actor from a seed.
+    """
+
+    def __init__(self, dim: int, n_bits: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        weights = (1 << np.arange(bits.shape[1], dtype=np.uint64))
+        return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize(_to_matrix(batch["embedding"]))
+        return batch.append_column(
+            "ann_bucket", pa.array(self.bucket_of(m), pa.uint64())
+        )

@@ -1,0 +1,207 @@
+"""Spatial joins / lookups (SURVEY §2.5 J3-J5, NORTH-RULE EXT).
+
+* Point-in-polygon join: the polygon side (small) is broadcast once via
+  ``ray.put``; each actor builds an STR R-tree over polygon bboxes in
+  ``__init__`` (X5 — build once, reuse across Arrow batches) and streams
+  point batches through vectorized candidate filtering + exact PIP
+  (reference semantics, point.go:72-101).
+* kNN by Haversine (J4): exact — queries broadcast, per-batch vectorized
+  distance matrix → partial top-k per (query, batch), then a small
+  groupby(query_id) top-k. The cell-partitioned neighbor-ring variant is
+  the both-sides-huge scale path (documented; partitioning assumption:
+  query set fits in one broadcast object).
+* BBox join: interval-overlap join against broadcast bboxes (SQL-checkable).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..geom import wkb as wkbmod
+from ..geom.ops import haversine_m
+from ..geom.predicates import points_in_polygon
+from ..index.rtree import STRtree
+
+
+def polygons_payload(ids: list, wkb_blobs: list[bytes]) -> dict:
+    """Build the broadcastable polygon-side payload (decode once, driver)."""
+    gb = wkbmod.decode_wkb_batch(wkb_blobs)
+    rings = [gb.rings_of(i) for i in range(len(gb))]
+    return {"ids": list(ids), "rings": rings, "bboxes": gb.bboxes()}
+
+
+class PIPJoiner:
+    """map_batches actor: point batches → (point doc_id/span_idx, polygon id).
+
+    Expects point batches with columns doc_id, span_idx, bbox_minx (=x),
+    bbox_miny (=y) — points only.
+    """
+
+    def __init__(self, poly_ref):
+        payload = ray.get(poly_ref) if isinstance(poly_ref, ray.ObjectRef) else poly_ref
+        self.ids = payload["ids"]
+        self.rings = payload["rings"]
+        self.tree = STRtree(payload["bboxes"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch["bbox_minx"].to_numpy(zero_copy_only=False)
+        py = batch["bbox_miny"].to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].to_pylist()
+        span_idx = batch["span_idx"].to_numpy(zero_copy_only=False)
+
+        out_doc, out_span, out_poly = [], [], []
+        # candidate generation per polygon: vectorized over the point batch
+        if len(px):
+            minx, maxx = px.min(), px.max()
+            miny, maxy = py.min(), py.max()
+            cand_polys = self.tree.query(minx, miny, maxx, maxy)
+        else:
+            cand_polys = np.empty(0, dtype=np.int64)
+        for pi in cand_polys:
+            bb = self.tree.bboxes[pi]
+            m = (px >= bb[0]) & (px <= bb[2]) & (py >= bb[1]) & (py <= bb[3])
+            if not m.any():
+                continue
+            sel = np.nonzero(m)[0]
+            inside = points_in_polygon(px[sel], py[sel], self.rings[pi])
+            for si in sel[inside]:
+                out_doc.append(doc_ids[si])
+                out_span.append(int(span_idx[si]))
+                out_poly.append(self.ids[pi])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.string()),
+                "span_idx": pa.array(out_span, pa.int32()),
+                "polygon_id": pa.array(out_poly, pa.string()),
+            }
+        )
+
+
+def pip_join(points_ds, poly_ids, poly_wkbs, concurrency=(1, 4)):
+    payload = polygons_payload(poly_ids, poly_wkbs)
+    ref = ray.put(payload)
+    return points_ds.map_batches(
+        PIPJoiner, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def pip_join_bruteforce(points, polys) -> set:
+    """O(n·m) oracle: points [(doc_id, span_idx, x, y)], polys [(id, rings)]."""
+    out = set()
+    for did, sidx, x, y in points:
+        for pid, rings in polys:
+            from ..geom.predicates import point_in_rings
+
+            if point_in_rings(x, y, rings):
+                out.add((did, sidx, pid))
+    return out
+
+
+# --------------------------------------------------------------------- kNN
+
+
+class KnnScorer:
+    """Partial top-k Haversine kNN: corpus batches vs broadcast queries."""
+
+    def __init__(self, query_ref, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.qids = q["ids"]
+        self.qx = np.asarray(q["x"], dtype=np.float64)
+        self.qy = np.asarray(q["y"], dtype=np.float64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cx = batch["bbox_minx"].to_numpy(zero_copy_only=False)
+        cy = batch["bbox_miny"].to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].to_pylist()
+        span_idx = batch["span_idx"].to_numpy(zero_copy_only=False)
+        n = len(cx)
+        if n == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.string()),
+                "span_idx": pa.array([], pa.int32()),
+                "dist_m": pa.array([], pa.float64()),
+            })
+        k = min(self.k, n)
+        rows = {"query_id": [], "doc_id": [], "span_idx": [], "dist_m": []}
+        # vectorized distance matrix [nq, n] one query at a time to bound memory
+        for qi in range(len(self.qids)):
+            d = haversine_m(self.qx[qi], self.qy[qi], cx, cy)
+            sel = np.argpartition(d, kth=k - 1)[:k]
+            rows["query_id"].extend([self.qids[qi]] * k)
+            rows["doc_id"].extend(doc_ids[i] for i in sel)
+            rows["span_idx"].extend(int(span_idx[i]) for i in sel)
+            rows["dist_m"].extend(d[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.string()),
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "span_idx": pa.array(rows["span_idx"], pa.int32()),
+                "dist_m": pa.array(rows["dist_m"], pa.float64()),
+            }
+        )
+
+
+def knn_topk(points_ds, query_ids, qx, qy, k: int = 5, concurrency=(1, 4)):
+    """Exact global kNN: partial per-batch top-k → groupby(query_id) top-k."""
+    ref = ray.put({"ids": list(query_ids), "x": np.asarray(qx), "y": np.asarray(qy)})
+    partial = points_ds.map_batches(
+        KnnScorer, fn_constructor_args=(ref, k), batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist_m", "doc_id", "span_idx"]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+# --------------------------------------------------------------- bbox join
+
+
+class BBoxJoiner:
+    """Interval-overlap join of feature bboxes vs broadcast target bboxes."""
+
+    def __init__(self, targets_ref):
+        t = ray.get(targets_ref) if isinstance(targets_ref, ray.ObjectRef) else targets_ref
+        self.ids = t["ids"]
+        self.tree = STRtree(np.asarray(t["bboxes"], dtype=np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        minx = batch["bbox_minx"].to_numpy(zero_copy_only=False)
+        miny = batch["bbox_miny"].to_numpy(zero_copy_only=False)
+        maxx = batch["bbox_maxx"].to_numpy(zero_copy_only=False)
+        maxy = batch["bbox_maxy"].to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].to_pylist()
+        span_idx = batch["span_idx"].to_numpy(zero_copy_only=False)
+        out_doc, out_span, out_t = [], [], []
+        bb = self.tree.bboxes
+        for ti in range(len(self.ids)):
+            m = ~((minx > bb[ti, 2]) | (maxx < bb[ti, 0])
+                  | (miny > bb[ti, 3]) | (maxy < bb[ti, 1]))
+            for si in np.nonzero(m)[0]:
+                out_doc.append(doc_ids[si])
+                out_span.append(int(span_idx[si]))
+                out_t.append(self.ids[ti])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.string()),
+                "span_idx": pa.array(out_span, pa.int32()),
+                "target_id": pa.array(out_t, pa.string()),
+            }
+        )
+
+
+def bbox_join(features_ds, target_ids, target_bboxes, concurrency=(1, 4)):
+    ref = ray.put({"ids": list(target_ids), "bboxes": np.asarray(target_bboxes)})
+    return features_ds.map_batches(
+        BBoxJoiner, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=concurrency,
+    )
