@@ -1,0 +1,186 @@
+"""Headline benchmarks (driver contract: one JSON line on stdout).
+
+Pipelines (all over $GRAFT_SF_DIR, default /root/testdata/sf0.1; geospatial
+pipelines use the deterministic synthetic interleaved corpus scaled to that
+sf — generated/cached BEFORE timing):
+
+  tiler      documents → extract → coverage → groupby(z,x,y) → MVT encode →
+             partitioned parquet + manifest (zooms 0..8)
+  pip_join   point features vs broadcast polygon set (R-tree actors)
+  knn        exact Haversine top-5 from fixture queries to all points
+  ann        brute-force cosine top-10 over the embeddings table
+  text       token counting + quality scoring + minhash signatures
+
+`--scaling` re-runs the suite in fresh processes at num_cpus=8 and 32 and
+reports throughput scaling efficiency (sandbox substitute for N vs 4N
+nodes; see BASELINE.md §3).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ZOOMS = list(range(0, 9))
+
+
+def run_suite() -> dict:
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import numpy as np
+
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(sf_dir)  # cached; excluded from timings
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from grandine_ray.pipelines import tiler as tiler_mod
+    from grandine_ray.stages import ann as ann_stage
+    from grandine_ray.stages import join as join_stage
+    from grandine_ray.stages import text as text_stage
+    from grandine_ray.stages.extract import extract_features
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm page cache (untimed)
+    rd.read_parquet(f"{corpus}/documents.parquet").count()
+
+    # ---- tiler ----------------------------------------------------------
+    out_dir = f"/tmp/graft_bench/tiles_{ncpu}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = tiler_mod.run_tiler(
+        f"{corpus}/documents.parquet", out_dir=out_dir, zooms=BENCH_ZOOMS,
+        resume=False,
+    )
+    rows = manifest.take_all()
+    wall = time.perf_counter() - t0
+    n_tiles = int(sum(r["rows"] for r in rows))
+    queries["tiler"] = round(wall, 3)
+    extras["tiles"] = n_tiles
+    extras["tiles_per_sec"] = round(n_tiles / wall, 1)
+
+    # ---- pip_join -------------------------------------------------------
+    feats = rd.read_parquet(f"{corpus}/documents.parquet").map_batches(
+        extract_features, batch_format="pyarrow"
+    )
+    polys = feats.filter(expr="geom_type == 3").take_all()
+    poly_ids = [f"{r['doc_id']}#{r['span_idx']}" for r in polys]
+    poly_wkbs = [r["geom_wkb"] for r in polys]
+    pts = feats.filter(expr="geom_type == 1").materialize()
+    n_pts = pts.count()
+    t0 = time.perf_counter()
+    joined = join_stage.pip_join(pts, poly_ids, poly_wkbs,
+                                 concurrency=(1, max(2, ncpu)))
+    n_join = joined.count()
+    wall = time.perf_counter() - t0
+    queries["pip_join"] = round(wall, 3)
+    extras["join_rows"] = int(n_join)
+    extras["join_input_rows"] = int(n_pts)
+    extras["join_rows_per_sec"] = round(n_pts / wall, 1)
+
+    # ---- knn ------------------------------------------------------------
+    from grandine_ray.pipelines.queries import KNN_QUERIES
+
+    t0 = time.perf_counter()
+    knn = join_stage.knn_topk(
+        pts, [q[0] for q in KNN_QUERIES], [q[1] for q in KNN_QUERIES],
+        [q[2] for q in KNN_QUERIES], k=5, concurrency=(1, max(2, ncpu)),
+    )
+    knn.count()
+    queries["knn"] = round(time.perf_counter() - t0, 3)
+
+    # ---- ann ------------------------------------------------------------
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(expr="vec_id < 8").take_all()
+    qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    t0 = time.perf_counter()
+    ann = ann_stage.brute_force_topk(
+        emb, [r["vec_id"] for r in qrows], qm, k=10,
+        concurrency=(1, max(2, ncpu)),
+    )
+    ann.count()
+    queries["ann"] = round(time.perf_counter() - t0, 3)
+
+    # ---- text -----------------------------------------------------------
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    scored = docs.map_batches(
+        text_stage.TokenCounter, batch_format="pyarrow",
+        concurrency=(1, max(2, ncpu // 2)),
+    ).map_batches(
+        text_stage.QualityScorer, batch_format="pyarrow",
+        concurrency=(1, max(2, ncpu // 2)),
+    ).map_batches(
+        text_stage.MinHasher, batch_format="pyarrow",
+        concurrency=(1, max(2, ncpu // 2)),
+    )
+    scored.count()
+    queries["text"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "wall_time_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        **extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_child(lo)
+        r_hi = run_child(hi)
+        # throughput = tiles/sec on the headline tiler pipeline
+        thr_lo = r_lo["tiles_per_sec"]
+        thr_hi = r_hi["tiles_per_sec"]
+        eff = thr_hi / (thr_lo * (hi / lo))
+        # total-suite efficiency as a secondary signal
+        eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "num_cpus_lo": lo, "num_cpus_hi": hi,
+            "tiles_per_sec_lo": thr_lo, "tiles_per_sec_hi": thr_hi,
+            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "suite_efficiency": round(eff_total, 3),
+            "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
+        }))
+        return
+    print(json.dumps(run_suite()))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,12 @@ def _lines_from_segments(segs):
 
 
 def clip_line(pts: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:
-    """LineString ∩ bbox → 0..N sublines (line.go:101-136)."""
+    """LineString ∩ bbox → 0..N sublines (line.go:101-136).
+
+    Vectorized pre-pass classifies every segment as fully-in / clearly-out /
+    crossing; only crossing segments take the scalar border-intersection
+    path (reference Segment.ClipToBBox semantics).
+    """
     pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
     bminx, bminy = pts.min(axis=0)
     bmaxx, bmaxy = pts.max(axis=0)
@@ -106,13 +111,29 @@ def clip_line(pts: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:
         return []
     sw = (float(minx), float(miny))
     ne = (float(maxx), float(maxy))
+    rsx, rsy = (float(rounded_coords(minx)), float(rounded_coords(miny)))
+    rnx, rny = (float(rounded_coords(maxx)), float(rounded_coords(maxy)))
+
+    x1 = pts[:-1, 0]
+    y1 = pts[:-1, 1]
+    x2 = pts[1:, 0]
+    y2 = pts[1:, 1]
+    fully_in = (
+        (x1 >= rsx) & (y1 >= rsy) & (x2 >= rsx) & (y2 >= rsy)
+        & (x1 <= rnx) & (y1 <= rny) & (x2 <= rnx) & (y2 <= rny)
+    )
+    eps = 1e-7  # safety margin: only reject segments clearly outside
+    clearly_out = (
+        (np.maximum(x1, x2) < minx - eps) | (np.minimum(x1, x2) > maxx + eps)
+        | (np.maximum(y1, y2) < miny - eps) | (np.minimum(y1, y2) > maxy + eps)
+    )
     cutsegs = []
     for i in range(len(pts) - 1):
-        s = ((float(pts[i, 0]), float(pts[i, 1])), (float(pts[i + 1, 0]), float(pts[i + 1, 1])))
-        if _seg_fully_in(s, sw, ne):
-            cutsegs.append(s)
-            continue
-        cutsegs.extend(_seg_clip(s, sw, ne))
+        if fully_in[i]:
+            cutsegs.append(((float(x1[i]), float(y1[i])), (float(x2[i]), float(y2[i]))))
+        elif not clearly_out[i]:
+            s = ((float(x1[i]), float(y1[i])), (float(x2[i]), float(y2[i])))
+            cutsegs.extend(_seg_clip(s, sw, ne))
     if not cutsegs:
         return []
     return _lines_from_segments(cutsegs)
@@ -188,7 +209,9 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[list[n
     poly_bb = (ominx, ominy, omaxx, omaxy)
     clip_bb = (minx, miny, maxx, maxy)
 
-    if len(rings) == 1 and not _ring_intersects_bbox(outer, minx, miny, maxx, maxy):
+    from .predicates import ring_intersects_rect
+
+    if len(rings) == 1 and not ring_intersects_rect(outer, minx, miny, maxx, maxy):
         if bbox_fully_in(clip_bb, poly_bb):
             return [[np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])]]
         if bbox_fully_in(poly_bb, clip_bb):
@@ -207,15 +230,3 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[list[n
     return [out_rings]
 
 
-def _ring_intersects_bbox(ring: np.ndarray, minx, miny, maxx, maxy) -> bool:
-    """Any ring segment intersects any bbox border (polygon.go:28)."""
-    sw = (float(minx), float(miny))
-    ne = (float(maxx), float(maxy))
-    borders = _bbox_borders(sw, ne)
-    closed = np.vstack([ring, ring[:1]])
-    for i in range(len(closed) - 1):
-        s = ((closed[i, 0], closed[i, 1]), (closed[i + 1, 0], closed[i + 1, 1]))
-        for bseg in borders:
-            if segment_intersection(s, bseg) is not None:
-                return True
-    return False

@@ -161,6 +161,61 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
     return result
 
 
+def ring_intersects_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> bool:
+    """Any ring segment (incl. closing) intersects any rect border.
+
+    Vectorized equivalent of Line.Intersections(bbox.Segments()) != [] —
+    same determinant + 8-decimal rounding + HasPoint semantics as
+    segment_intersection, evaluated over all segments at once.
+    """
+    ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    closed = np.vstack([ring, ring[:1]])
+    x1 = closed[:-1, 0]
+    y1 = closed[:-1, 1]
+    x2 = closed[1:, 0]
+    y2 = closed[1:, 1]
+    a1 = y2 - y1
+    b1 = x1 - x2
+    c1 = a1 * x1 + b1 * y1
+    rx1 = rounded_coords(x1)
+    ry1 = rounded_coords(y1)
+    rx2 = rounded_coords(x2)
+    ry2 = rounded_coords(y2)
+    sminx = np.minimum(rx1, rx2)
+    smaxx = np.maximum(rx1, rx2)
+    sminy = np.minimum(ry1, ry2)
+    smaxy = np.maximum(ry1, ry2)
+    borders = (
+        (minx, miny, minx, maxy),
+        (minx, maxy, maxx, maxy),
+        (maxx, maxy, maxx, miny),
+        (maxx, miny, minx, miny),
+    )
+    for bx1, by1, bx2, by2 in borders:
+        a2 = by2 - by1
+        b2 = bx1 - bx2
+        c2 = a2 * bx1 + b2 * by1
+        det = a1 * b2 - a2 * b1
+        nz = det != 0
+        if not nz.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ix = rounded_coords((b2 * c1 - b1 * c2) / det)
+            iy = rounded_coords((a1 * c2 - a2 * c1) / det)
+        rbminx = min(round(bx1, 8), round(bx2, 8))
+        rbmaxx = max(round(bx1, 8), round(bx2, 8))
+        rbminy = min(round(by1, 8), round(by2, 8))
+        rbmaxy = max(round(by1, 8), round(by2, 8))
+        hit = (
+            nz
+            & (ix >= sminx) & (ix <= smaxx) & (iy >= sminy) & (iy <= smaxy)
+            & (ix >= rbminx) & (ix <= rbmaxx) & (iy >= rbminy) & (iy <= rbmaxy)
+        )
+        if hit.any():
+            return True
+    return False
+
+
 def bbox_overlaps(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy):
     """Standard interval-overlap mask (vectorized)."""
     return ~(

@@ -60,9 +60,8 @@ def _face_uv(x, y, z):
 
 def _uv_to_st(u: np.ndarray) -> np.ndarray:
     """S2 quadratic projection (area-uniformizing), public formula."""
-    return np.where(
-        u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
-    )
+    r = 0.5 * np.sqrt(1.0 + 3.0 * np.abs(u))
+    return np.where(u >= 0, r, 1.0 - r)
 
 
 def _morton_interleave(i: np.ndarray, j: np.ndarray, bits: int) -> np.ndarray:

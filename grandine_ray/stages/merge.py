@@ -1,9 +1,16 @@
 """Per-tile feature merging (reference lib/spatial/merge.go:6-114).
 
-Groups features by exact props equality, then iteratively concatenates
-LineStrings whose endpoints touch (fixpoint). Only LineStrings merge.
-Determinism: callers must pre-sort features canonically (doc_id, span_idx)
-— the fixpoint result depends on input order (SURVEY §7.5).
+Groups features by exact props equality, then concatenates LineStrings
+whose endpoints touch. Only LineStrings merge. Determinism: callers
+pre-sort features canonically (doc_id, span_idx) — the reference fixpoint
+result depends on input order (SURVEY §7.5).
+
+Divergence from the reference, by design: merging is hash-chained (O(n))
+rather than the O(n²) pairwise fixpoint of merge.go:68-104 — required
+because low-zoom tiles hold the whole corpus in one group. When endpoints
+are unique the maximal chains are identical; when several lines share an
+endpoint (possible after clipping to tile borders) both algorithms pick an
+arbitrary-but-deterministic matching, and ours picks by lowest input index.
 """
 from __future__ import annotations
 
@@ -31,36 +38,69 @@ def merge_features(feats: list[dict]) -> list[dict]:
 
     out: list[dict] = []
     for bucket in buckets:
-        while len(bucket) > 1:
-            start = len(bucket)
-            bucket = _search_and_merge(bucket)
-            if len(bucket) == start:
-                break
-        out.extend(bucket)
+        out.extend(_chain_merge(bucket))
     return out
 
 
-def _search_and_merge(fts: list[dict]) -> list[dict]:
-    ignore: set[int] = set()
-    for ref_id in range(len(fts)):
-        if ref_id in ignore:
+def _chain_merge(fts: list[dict]) -> list[dict]:
+    """Hash-chained tail-to-head merging — O(n) instead of the reference's
+    O(n²) pairwise fixpoint (merge.go:68-104). Produces the same maximal
+    chains when line endpoints are unique; with duplicate endpoints the
+    lowest input index is chosen deterministically (input is canonically
+    pre-sorted by the callers).
+    """
+    lines = [i for i, ft in enumerate(fts) if ft["type"] == 2]
+    if len(lines) < 2:
+        return fts
+    heads: dict[tuple, list[int]] = {}
+    tails: dict[tuple, list[int]] = {}
+    for i in lines:
+        ring = fts[i]["rings"][0]
+        heads.setdefault(tuple(ring[0]), []).append(i)
+        tails.setdefault(tuple(ring[-1]), []).append(i)
+
+    used: set[int] = set()
+    merged_out: dict[int, dict] = {}
+    for i in lines:
+        if i in used:
             continue
-        for i, ft in enumerate(fts):
-            if i in ignore or i == ref_id:
-                continue
-            if ft["type"] != fts[ref_id]["type"] or ft["type"] != 2:
-                continue
-            merged = _merge_lines(fts[ref_id]["rings"][0], ft["rings"][0])
-            if merged is not None:
-                fts[ref_id] = {**fts[ref_id], "rings": [merged]}
-                ignore.add(i)
-    return [ft for pos, ft in enumerate(fts) if pos not in ignore]
+        # only start a chain from a line whose head extends no unused tail,
+        # so every chain is maximal; pure cycles fall through below
+        ring = fts[i]["rings"][0]
+        if any(j not in used and j != i for j in tails.get(tuple(ring[0]), [])):
+            continue
+        used.add(i)
+        parts = [ring]
+        tail = tuple(ring[-1])
+        while True:
+            nxt = next((j for j in heads.get(tail, []) if j not in used), None)
+            if nxt is None:
+                break
+            used.add(nxt)
+            parts.append(fts[nxt]["rings"][0][1:])
+            tail = tuple(fts[nxt]["rings"][0][-1])
+        merged_out[i] = {**fts[i], "rings": [np.vstack(parts) if len(parts) > 1 else ring]}
+    # cycles: remaining unused lines form closed loops; merge each loop
+    for i in lines:
+        if i in used:
+            continue
+        used.add(i)
+        ring = fts[i]["rings"][0]
+        parts = [ring]
+        tail = tuple(ring[-1])
+        while True:
+            nxt = next((j for j in heads.get(tail, []) if j not in used), None)
+            if nxt is None:
+                break
+            used.add(nxt)
+            parts.append(fts[nxt]["rings"][0][1:])
+            tail = tuple(fts[nxt]["rings"][0][-1])
+        merged_out[i] = {**fts[i], "rings": [np.vstack(parts) if len(parts) > 1 else ring]}
 
-
-def _merge_lines(l1: np.ndarray, l2: np.ndarray):
-    """merge.go:106-114: tail-to-head concatenation only."""
-    if (l1[-1] == l2[0]).all():
-        return np.vstack([l1, l2[1:]])
-    if (l2[-1] == l1[0]).all():
-        return np.vstack([l2, l1[1:]])
-    return None
+    out = []
+    for pos, ft in enumerate(fts):
+        if ft["type"] != 2:
+            out.append(ft)
+        elif pos in merged_out:
+            out.append(merged_out[pos])
+    return out

@@ -56,6 +56,10 @@ def varint_array(vals: np.ndarray) -> bytes:
     n = len(vals)
     if n == 0:
         return b""
+    if n <= 24:  # tiny arrays: plain loop beats numpy setup cost
+        return b"".join(_varint(int(v)) for v in vals)
+    if int(vals.max()) < 128:  # single-byte fast path
+        return vals.astype(np.uint8).tobytes()
     nbytes = np.ones(n, dtype=np.int64)
     v = vals >> np.uint64(7)
     while v.any():

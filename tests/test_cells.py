@@ -1,0 +1,61 @@
+"""S2-style / H3-style cell encoder tests (engine-defined schemes, X7)."""
+import numpy as np
+
+from grandine_ray.index import cells
+
+
+def test_s2_deterministic_and_level_bits():
+    lon = np.array([13.4, -74.0, 139.7, 0.0, -179.9])
+    lat = np.array([52.5, 40.7, 35.7, 0.0, -85.0])
+    c1 = cells.s2_cell_id(lon, lat, level=12)
+    c2 = cells.s2_cell_id(lon, lat, level=12)
+    assert (c1 == c2).all()
+    assert ((c1 & np.uint64(31)) == 12).all()
+
+
+def test_s2_locality():
+    # nearby points share coarse parents; far points don't
+    c = cells.s2_cell_id(np.array([13.40, 13.41, -74.0]),
+                         np.array([52.50, 52.505, 40.7]), level=12)
+    p = cells.s2_parent(c, 6)
+    assert p[0] == p[1]
+    assert p[0] != p[2]
+    assert ((p & np.uint64(31)) == 6).all()
+
+
+def test_s2_parent_hierarchy():
+    lon = np.random.default_rng(0).uniform(-179, 179, 200)
+    lat = np.random.default_rng(1).uniform(-85, 85, 200)
+    fine = cells.s2_cell_id(lon, lat, level=14)
+    coarse_direct = cells.s2_cell_id(lon, lat, level=8)
+    coarse_via_parent = cells.s2_parent(fine, 8)
+    assert (coarse_direct == coarse_via_parent).all()
+
+
+def test_s2_distinct_faces():
+    # all six faces reachable
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    lat = np.array([0.0, 0.0, 89.9, 0.0, 0.0, -89.9])
+    c = cells.s2_cell_id(lon, lat, level=4)
+    faces = (c >> np.uint64(2 * 4 + 5)).tolist()
+    assert sorted(faces) == [0, 1, 2, 3, 4, 5]
+
+
+def test_h3ish_roundtrip_neighbors():
+    lon = np.array([13.4, -74.0])
+    lat = np.array([52.5, 40.7])
+    c = cells.h3ish_cell_id(lon, lat, res=9)
+    n = cells.h3ish_neighbors(c)
+    assert n.shape == (2, 6)
+    # neighbors are distinct and don't include the cell itself
+    for i in range(2):
+        assert len(set(n[i].tolist())) == 6
+        assert c[i] not in n[i]
+
+
+def test_h3ish_locality_and_resolution():
+    c_fine = cells.h3ish_cell_id(np.array([13.4, 13.4001]),
+                                 np.array([52.5, 52.5001]), res=7)
+    assert c_fine[0] == c_fine[1]
+    c_coarse = cells.h3ish_cell_id(np.array([13.4]), np.array([52.5]), res=3)
+    assert (c_coarse >> np.uint64(56))[0] == 3

@@ -1,0 +1,139 @@
+"""Spatial join correctness: brute-force oracles (FIXTURES.md §4.3)."""
+import numpy as np
+import pytest
+
+from grandine_ray.geom import wkb
+from grandine_ray.geom.predicates import point_in_rings
+from grandine_ray.index.rtree import STRtree
+from grandine_ray.sources import synth
+
+
+def test_strtree_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    n = 500
+    minx = rng.uniform(-100, 90, n)
+    miny = rng.uniform(-80, 70, n)
+    boxes = np.stack([minx, miny, minx + rng.uniform(0, 20, n),
+                      miny + rng.uniform(0, 20, n)], axis=1)
+    tree = STRtree(boxes)
+    for _ in range(30):
+        qx1, qy1 = rng.uniform(-100, 80), rng.uniform(-80, 60)
+        qx2, qy2 = qx1 + rng.uniform(0, 30), qy1 + rng.uniform(0, 30)
+        got = set(tree.query(qx1, qy1, qx2, qy2).tolist())
+        exp = set(np.nonzero(
+            ~((boxes[:, 0] > qx2) | (boxes[:, 2] < qx1)
+              | (boxes[:, 1] > qy2) | (boxes[:, 3] < qy1))
+        )[0].tolist())
+        assert got == exp
+
+
+def test_strtree_empty_and_single():
+    assert STRtree(np.empty((0, 4))).query(0, 0, 1, 1).tolist() == []
+    t = STRtree(np.array([[0.0, 0.0, 1.0, 1.0]]))
+    assert t.query(0.5, 0.5, 2, 2).tolist() == [0]
+    assert t.query(5, 5, 6, 6).tolist() == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pip_join_matches_bruteforce():
+    import ray.data as rd
+
+    from grandine_ray.stages.extract import extract_features
+    from grandine_ray.stages.join import pip_join, pip_join_bruteforce
+
+    corpus = synth.ensure_corpus(400)
+    feats = rd.read_parquet(f"{corpus}/documents.parquet").map_batches(
+        extract_features, batch_format="pyarrow"
+    )
+    rows = feats.take_all()
+    points = [
+        (r["doc_id"], r["span_idx"], r["bbox_minx"], r["bbox_miny"])
+        for r in rows if r["geom_type"] == 1
+    ]
+    polys = []
+    for r in rows:
+        if r["geom_type"] == 3:
+            gb = wkb.decode_wkb_batch([r["geom_wkb"]])
+            polys.append((f"{r['doc_id']}#{r['span_idx']}", gb.rings_of(0)))
+    assert points and polys
+
+    pts_ds = feats.filter(expr="geom_type == 1")
+    got_rows = pip_join(
+        pts_ds, [p[0] for p in polys],
+        [wkb.encode_polygon(p[1]) for p in polys], concurrency=(1, 2),
+    ).take_all()
+    got = {(r["doc_id"], r["span_idx"], r["polygon_id"]) for r in got_rows}
+    exp = pip_join_bruteforce(points, polys)
+    assert got == exp
+    assert exp  # non-degenerate: at least one containment in 400 docs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_matches_bruteforce():
+    import ray.data as rd
+
+    from grandine_ray.geom.ops import haversine_m
+    from grandine_ray.stages.extract import extract_features
+    from grandine_ray.stages.join import knn_topk
+
+    corpus = synth.ensure_corpus(400)
+    feats = rd.read_parquet(f"{corpus}/documents.parquet").map_batches(
+        extract_features, batch_format="pyarrow"
+    )
+    pts = feats.filter(expr="geom_type == 1")
+    rows = pts.take_all()
+    qids = ["a", "b"]
+    qx = [13.4, -74.0]
+    qy = [52.5, 40.7]
+    got = knn_topk(pts, qids, qx, qy, k=5, concurrency=(1, 2)).take_all()
+
+    for qi, qid in enumerate(qids):
+        dists = sorted(
+            (float(haversine_m(qx[qi], qy[qi], r["bbox_minx"], r["bbox_miny"])),
+             r["doc_id"], r["span_idx"])
+            for r in rows
+        )[:5]
+        exp_ids = [(d[1], d[2]) for d in dists]
+        got_q = sorted((r for r in got if r["query_id"] == qid),
+                       key=lambda r: r["rank"])
+        assert [(r["doc_id"], r["span_idx"]) for r in got_q] == exp_ids
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_matches_bruteforce():
+    import ray.data as rd
+
+    from grandine_ray.stages.ann import brute_force_topk, normalize
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.take_all()
+    qrows = rows[:3]
+    qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    got = brute_force_topk(
+        emb, [r["vec_id"] for r in qrows], qm, k=5, concurrency=(1, 2)
+    ).take_all()
+
+    m = normalize(np.asarray([r["embedding"] for r in rows], dtype=np.float32))
+    ids = np.asarray([r["vec_id"] for r in rows])
+    qn = normalize(qm.astype(np.float32))
+    for qi, qr in enumerate(qrows):
+        scores = qn[qi] @ m.T
+        order = sorted(zip(-scores, ids), key=lambda t: (t[0], t[1]))[:5]
+        exp = [int(t[1]) for t in order]
+        got_q = sorted((r for r in got if r["query_id"] == qr["vec_id"]),
+                       key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in got_q] == exp
+
+
+def test_hyperplane_lsh_buckets_deterministic():
+    from grandine_ray.stages.ann import HyperplaneLSH, normalize
+
+    rng = np.random.default_rng(1)
+    m = normalize(rng.standard_normal((100, 16)).astype(np.float32))
+    l1 = HyperplaneLSH(16, seed=42)
+    l2 = HyperplaneLSH(16, seed=42)
+    assert (l1.bucket_of(m) == l2.bucket_of(m)).all()
+    # near-identical vectors share buckets far more often than random pairs
+    m2 = normalize(m + rng.standard_normal(m.shape).astype(np.float32) * 0.01)
+    same_near = (l1.bucket_of(m) == l1.bucket_of(m2)).mean()
+    assert same_near > 0.5

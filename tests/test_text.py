@@ -1,0 +1,99 @@
+"""Text-analysis operator tests: dedup, minhash recall, simhash, tokens."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from grandine_ray.stages import text
+
+
+def _batch(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_content_hash_exact_dedup():
+    b = text.content_hash(_batch(["abc", "abc", "xyz", ""]))
+    h = b["content_hash"].to_pylist()
+    assert h[0] == h[1] != h[2]
+    assert len({h[0], h[2], h[3]}) == 3
+
+
+def test_token_counter():
+    tc = text.TokenCounter()
+    out = tc(_batch(["one two  three", "", "   ", "a,b c"]))
+    assert out["n_tokens_ws"].to_pylist() == [3, 0, 0, 2]
+    assert out["n_tokens_bpe"].to_pylist()[0] == 3
+    assert out["n_tokens_bpe"].to_pylist()[3] == 4  # a , b c
+
+
+def test_quality_scorer():
+    qs = text.QualityScorer()
+    out = qs(_batch(["the cat and the dog", "!!!!"]))
+    assert out["doc_len"].to_pylist() == [19, 4]
+    assert out["stop_ratio"].to_pylist()[0] == pytest.approx(3 / 5)
+    assert out["alpha_ratio"].to_pylist()[1] == 0.0
+
+
+def test_lang_id():
+    out = text.LangId()(_batch([
+        "the quick fox is in the barn and it is fine",
+        "der Hund und die Katze das ist nicht gut",
+    ]))
+    assert out["lang_pred"].to_pylist() == ["en", "de"]
+
+
+def test_minhash_jaccard_estimation():
+    mh = text.MinHasher(n_perm=128)
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    c = "completely different content about other things entirely " * 5
+    sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+    est_ab = (sa == sb).mean()
+    est_ac = (sa == sc).mean()
+    true_ab = text.jaccard(a, b)
+    assert abs(est_ab - true_ab) < 0.15
+    assert est_ac < 0.1 < est_ab
+
+
+def test_minhash_lsh_finds_planted_near_dups():
+    base = "this is a long document about geospatial data processing " * 8
+    texts = [base, base.replace("data", "info"),
+             "unrelated text entirely different " * 8]
+    mh = text.MinHasher()
+    sigs = mh(_batch(texts))
+    bands = text.lsh_bands(sigs, id_col="doc_id")
+    import collections
+
+    buckets = collections.defaultdict(set)
+    for r in bands.to_pylist():
+        buckets[(r["band_id"], r["band_hash"])].add(r["doc_id"])
+    pairs = {tuple(sorted(p)) for b in buckets.values() if len(b) > 1
+             for i, p1 in enumerate(sorted(b)) for p2 in sorted(b)[i + 1:]
+             for p in [(p1, p2)]}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_near_dup_low_hamming():
+    sh = text.SimHasher()
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    out = sh(_batch([base, base + " extra tail", "something wholly different " * 10]))
+    h = out["simhash"].to_pylist()
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(h[0], h[1]) < 10
+    assert ham(h[0], h[2]) > 15
+
+
+def test_rolling_fingerprint_deterministic():
+    b1 = text.rolling_fingerprint(_batch(["hello world " * 10, "short"]))
+    b2 = text.rolling_fingerprint(_batch(["hello world " * 10, "short"]))
+    assert b1["fingerprint"].to_pylist() == b2["fingerprint"].to_pylist()
+
+
+def test_lsh_bands_shape():
+    mh = text.MinHasher(n_perm=64)
+    sigs = mh(_batch(["a" * 50, "b" * 50]))
+    bands = text.lsh_bands(sigs, n_bands=16, id_col="doc_id")
+    assert bands.num_rows == 2 * 16
