@@ -27,8 +27,8 @@ import ray.data as rd
 from ..index import xyz
 from ..stages.coverage import make_coverage_fn
 from ..stages.extract import extract_features
-from ..stages.mvt import TileEncoder, TileFinalize, TilePrepare
-from ..state.checkpoint import PartitionWriter, completed_partitions, partition_of_keys
+from ..stages.mvt import SortedBlockTileEncoder, TileEncoder, TileFinalize, TilePrepare
+from ..state.checkpoint import completed_partitions, partition_of_keys, write_partition
 
 DEFAULT_ZOOMS = list(range(0, 9))
 
@@ -144,8 +144,12 @@ def tile_dataset(
             TileFinalize, batch_format="pyarrow", **kwargs
         )
     else:
-        tiles = tiled.groupby("tile_key").map_groups(
-            TileEncoder, batch_format="pyarrow", **kwargs
+        # explicit sort + lean per-block group iteration: the range
+        # partitioner keeps whole (z,x,y) groups inside one block, and the
+        # block-level encoder amortizes Arrow overhead over all its groups
+        tiles = tiled.sort("tile_key").map_batches(
+            SortedBlockTileEncoder, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True, **kwargs,
         )
     return tiles
 
@@ -179,10 +183,9 @@ def run_tiler(
 
     with_part = tiles.map_batches(add_partition, batch_format="pyarrow")
     manifest = with_part.groupby("partition").map_groups(
-        PartitionWriter,
-        fn_constructor_args=(out_dir, input_fragments or [docs_path]),
+        write_partition,
+        fn_args=(out_dir, ";".join(input_fragments or [docs_path])),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
     return manifest
 

@@ -371,6 +371,88 @@ class TileEncoder:
         )
 
 
+class SortedBlockTileEncoder:
+    """Lean encoder over a *tile_key-sorted* block (the fast path).
+
+    Used after ``ds.sort("tile_key")``: Ray's range partitioner never splits
+    one key across blocks, so each block holds whole groups. Column
+    extraction and canonical sorting happen ONCE per block (vectorized);
+    the per-group loop then works on plain numpy slices / python lists with
+    zero Arrow overhead — ~3-5× less per-group constant cost than
+    groupby().map_groups for the many tiny groups a tile pyramid produces.
+    """
+
+    def __init__(self, extent: int = EXTENT):
+        self.extent = extent
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_TILE_TABLE
+        order = pa.compute.sort_indices(
+            batch,
+            sort_keys=[
+                ("tile_key", "ascending"),
+                ("doc_id", "ascending"),
+                ("span_idx", "ascending"),
+            ],
+        )
+        batch = batch.take(order)
+        keys = batch["tile_key"].to_numpy(zero_copy_only=False)
+        blobs = batch["geom_wkb"].to_pylist()
+        layers = batch["layer"].to_pylist()
+        props_json = (
+            batch["props_json"].to_pylist()
+            if "props_json" in batch.column_names else None
+        )
+        gb_all = wkbmod.decode_wkb_batch(blobs)
+        types = gb_all.types
+        geom_off = gb_all.geom_offsets
+        ring_off = gb_all.ring_offsets
+        coords = gb_all.coords
+
+        uniq, starts = np.unique(keys, return_index=True)
+        bounds = np.append(starts, len(keys))
+        zs, xs, ys = xyz.tile_key_unpack(uniq)
+
+        out_z, out_x, out_y, out_mvt, out_n, out_b = [], [], [], [], [], []
+        import json as _json
+
+        for gi in range(len(uniq)):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            z, x, y = int(zs[gi]), int(xs[gi]), int(ys[gi])
+            layer_feats: dict[str, list[dict]] = {}
+            for i in range(lo, hi):
+                rings = [
+                    coords[ring_off[r]:ring_off[r + 1]]
+                    for r in range(geom_off[i], geom_off[i + 1])
+                ]
+                props = ()
+                if props_json is not None and props_json[i]:
+                    props = tuple(sorted(_json.loads(props_json[i]).items()))
+                layer_feats.setdefault(layers[i], []).append(
+                    {"props": props, "type": int(types[i]), "rings": rings}
+                )
+            buf = encode_tile(z, x, y, layer_feats)
+            if not buf:
+                continue
+            out_z.append(z)
+            out_x.append(x)
+            out_y.append(y)
+            out_mvt.append(buf)
+            out_n.append(hi - lo)
+            out_b.append(len(buf))
+        return pa.table(
+            {
+                "z": pa.array(out_z, pa.int8()),
+                "x": pa.array(out_x, pa.int32()),
+                "y": pa.array(out_y, pa.int32()),
+                "mvt": pa.array(out_mvt, pa.binary()),
+                "n_features": pa.array(out_n, pa.int32()),
+                "bytes": pa.array(out_b, pa.int64()),
+            }
+        )
+
+
 def _group_to_feats(group: pa.Table):
     """Decode a sorted tile group into per-layer feature dicts (lon/lat)."""
     blobs = group["geom_wkb"].to_pylist()

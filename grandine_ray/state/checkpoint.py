@@ -57,12 +57,62 @@ def completed_partitions(out_dir: str) -> set[int]:
     return done
 
 
-class PartitionWriter:
-    """map_groups callable over ``partition`` → writes tiles + manifest row.
+def write_partition(group: pa.Table, out_dir: str, fragments: str) -> pa.Table:
+    """map_groups task over ``partition`` → writes tiles + manifest row.
 
     Emits the manifest row as its output table so the pipeline's consuming
-    stage doubles as the job-level metrics stream.
+    stage doubles as the job-level metrics stream. Atomic: tmp + rename,
+    manifest marker written only after the data file is durable.
     """
+    t0 = time.monotonic()
+    pid = int(group["partition"][0].as_py())
+    tiles = group.drop_columns(["partition"])
+    os.makedirs(os.path.join(out_dir, "tiles"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    final = os.path.join(out_dir, "tiles", f"p{pid}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(tiles, tmp)
+    os.replace(tmp, final)
+
+    keys = xyz.tile_key(
+        tiles["z"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tiles["x"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tiles["y"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    total_bytes = int(pa.compute.sum(tiles["bytes"]).as_py() or 0)
+    wall = time.monotonic() - t0
+    row = {
+        "partition": pid,
+        "partition_id": f"p{pid}",
+        "input_fragment": fragments,
+        "cell_range_min": int(keys.min()) if len(keys) else 0,
+        "cell_range_max": int(keys.max()) if len(keys) else 0,
+        "rows": int(tiles.num_rows),
+        "bytes": total_bytes,
+        "wall_s": wall,
+        "status": "done",
+    }
+    mfinal = os.path.join(out_dir, "manifest", f"p{pid}.json")
+    mtmp = mfinal + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump(row, f)
+    os.replace(mtmp, mfinal)
+    return pa.table(
+        {
+            "partition_id": pa.array([row["partition_id"]], pa.string()),
+            "input_fragment": pa.array([row["input_fragment"]], pa.string()),
+            "cell_range_min": pa.array([row["cell_range_min"]], pa.uint64()),
+            "cell_range_max": pa.array([row["cell_range_max"]], pa.uint64()),
+            "rows": pa.array([row["rows"]], pa.int64()),
+            "bytes": pa.array([row["bytes"]], pa.int64()),
+            "wall_s": pa.array([row["wall_s"]], pa.float64()),
+            "status": pa.array(["done"], pa.string()),
+        }
+    )
+
+
+class PartitionWriter:
+    """Class form of :func:`write_partition` (actor-pool variant)."""
 
     def __init__(self, out_dir: str, input_fragments: list[str] | None = None):
         self.out_dir = out_dir
