@@ -49,6 +49,9 @@ def tile_bbox(x, y, zoom) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarra
     return nw_lon, se_lat, se_lon, nw_lat
 
 
+tile_bbox_z = tile_bbox  # alias: tile_bbox accepts per-element zoom arrays
+
+
 def resolution(zoomlevel: int, extent: int) -> float:
     """Minimal representable value inside a tile (tile.go:52-54)."""
     return 360.0 / (2.0 ** zoomlevel * extent)

@@ -31,27 +31,44 @@ def make_coverage_fn(zooms: list[int]):
         miny = batch["bbox_miny"].to_numpy(zero_copy_only=False)
         maxx = batch["bbox_maxx"].to_numpy(zero_copy_only=False)
         maxy = batch["bbox_maxy"].to_numpy(zero_copy_only=False)
+        has_zoom = "zoom_min" in batch.column_names
+        if has_zoom:  # per-feature zoom visibility (renderable, tiler.go:230-248)
+            zmin = batch["zoom_min"].to_numpy(zero_copy_only=False)
+            zmax = batch["zoom_max"].to_numpy(zero_copy_only=False)
 
         rows_parts = []
         key_parts = []
         for z in zooms:
-            row_idx, tx, ty = xyz.coverage_flatmap(minx, miny, maxx, maxy, z)
+            if has_zoom:
+                vis = np.nonzero((zmin <= z) & (z <= zmax))[0]
+                if len(vis) == 0:
+                    continue
+                row_idx, tx, ty = xyz.coverage_flatmap(
+                    minx[vis], miny[vis], maxx[vis], maxy[vis], z
+                )
+                row_idx = vis[row_idx]
+            else:
+                row_idx, tx, ty = xyz.coverage_flatmap(minx, miny, maxx, maxy, z)
             rows_parts.append(row_idx)
             key_parts.append(xyz.tile_key(np.full(len(tx), z), tx, ty))
-        row_idx = np.concatenate(rows_parts)
-        keys = np.concatenate(key_parts)
+        if rows_parts:
+            row_idx = np.concatenate(rows_parts)
+            keys = np.concatenate(key_parts)
+        else:
+            row_idx = np.empty(0, dtype=np.int64)
+            keys = np.empty(0, dtype=np.uint64)
 
         take = pa.array(row_idx)
-        out = pa.table(
-            {
-                "tile_key": pa.array(keys, pa.uint64()),
-                "doc_id": batch["doc_id"].take(take),
-                "span_idx": batch["span_idx"].take(take),
-                "geom_type": batch["geom_type"].take(take),
-                "geom_wkb": batch["geom_wkb"].take(take),
-                "layer": batch["layer"].take(take),
-            }
-        )
-        return out
+        cols = {
+            "tile_key": pa.array(keys, pa.uint64()),
+            "doc_id": batch["doc_id"].take(take),
+            "span_idx": batch["span_idx"].take(take),
+            "geom_type": batch["geom_type"].take(take),
+            "geom_wkb": batch["geom_wkb"].take(take),
+            "layer": batch["layer"].take(take),
+        }
+        if "props_json" in batch.column_names:
+            cols["props_json"] = batch["props_json"].take(take)
+        return pa.table(cols)
 
     return coverage

@@ -60,12 +60,23 @@ def varint_array(vals: np.ndarray) -> bytes:
         return b"".join(_varint(int(v)) for v in vals)
     if int(vals.max()) < 128:  # single-byte fast path
         return vals.astype(np.uint8).tobytes()
+    return _varint_array_sized(vals)[0]
+
+
+def _varint_array_sized(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varint encode returning (bytes, per-value byte sizes)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return b"", np.empty(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     v = vals >> np.uint64(7)
     while v.any():
         nbytes += (v > 0).astype(np.int64)
         v >>= np.uint64(7)
     maxb = int(nbytes.max())
+    if maxb == 1:
+        return vals.astype(np.uint8).tobytes(), nbytes
     buf = np.zeros((n, maxb), dtype=np.uint8)
     v = vals.copy()
     for i in range(maxb):
@@ -74,7 +85,7 @@ def varint_array(vals: np.ndarray) -> bytes:
     cont = np.arange(maxb)[None, :] < (nbytes - 1)[:, None]
     buf[cont] |= 0x80
     keep = np.arange(maxb)[None, :] < nbytes[:, None]
-    return buf[keep].tobytes()
+    return buf[keep].tobytes(), nbytes
 
 
 def _field(num: int, wire: int) -> bytes:
@@ -83,6 +94,11 @@ def _field(num: int, wire: int) -> bytes:
 
 def _len_field(num: int, payload: bytes) -> bytes:
     return _field(num, 2) + _varint(len(payload)) + payload
+
+
+def _len_prefixed(payload: bytes) -> bytes:
+    n = len(payload)
+    return (bytes((n,)) if n < 128 else _varint(n)) + payload
 
 
 def _varint_field(num: int, v: int) -> bytes:
@@ -290,15 +306,24 @@ def finalize_tile(layer_feats_tilespace: dict, extent: int = EXTENT) -> bytes:
     return b"".join(_len_field(3, lb) for lb in layer_bufs)
 
 
+def _zz_int(v: int) -> int:
+    return (v << 1) if v >= 0 else ((-v << 1) - 1)
+
+
 def _assemble_layer(clipped: list[dict], tp, lname: str) -> bytes:
     extent = tp[4]
     merged = merge_features(clipped)
 
     keys: dict[str, int] = {}
     vals: dict = {}
-    feat_bufs = []
+    # pass 1: tags + per-feature command arrays (geometry varints are
+    # batched into ONE vectorized encode below — Python-level varint calls
+    # were the dominant cost for mega-tiles)
+    feats: list[tuple[list[int], int, object]] = []  # (tags, type, cmds|pt)
+    cmd_arrays: list[np.ndarray] = []
+    cmd_lens: list[int] = []
     for ft in merged:
-        tags = []
+        tags: list[int] = []
         props = dict(ft["props"]) if ft["props"] else {}
         for k in props:  # props built in sorted order upstream
             if k.startswith("@"):  # skipAtKeys (codec.go:30,165-167)
@@ -308,28 +333,65 @@ def _assemble_layer(clipped: list[dict], tp, lname: str) -> bytes:
             vkey = (type(v).__name__, v)
             vpos = vals.setdefault(vkey, len(vals))
             tags.extend((kpos, vpos))
-        cmds = encode_geometry_commands(ft["type"], ft["rings"])
-        if len(cmds) == 0:
-            continue
-        body = b""
-        if tags:
-            body += _len_field(2, varint_array(np.asarray(tags, dtype=np.uint64)))
-        body += _varint_field(3, int(ft["type"]))  # POINT=1 LINESTRING=2 POLYGON=3
-        body += _len_field(4, varint_array(cmds))
-        feat_bufs.append(body)
+        if ft.get("rings") is None and "pt" in ft:
+            feats.append((tags, 1, ft["pt"]))
+        else:
+            cmds = encode_geometry_commands(ft["type"], ft["rings"])
+            if len(cmds) == 0:
+                continue
+            feats.append((tags, int(ft["type"]), None))
+            cmd_arrays.append(cmds)
+            cmd_lens.append(len(cmds))
 
-    if not feat_bufs:
+    if not feats:
         return b""
-    out = _len_field(1, lname.encode("utf-8"))
-    for fb in feat_bufs:
-        out += _len_field(2, fb)
+
+    # batched geometry varint encode + per-feature byte-range split
+    if cmd_arrays:
+        allcmds = np.concatenate(cmd_arrays) if len(cmd_arrays) > 1 else cmd_arrays[0]
+        enc, sizes = _varint_array_sized(allcmds)
+        val_bounds = np.zeros(len(cmd_lens) + 1, dtype=np.int64)
+        np.cumsum(np.asarray(cmd_lens), out=val_bounds[1:])
+        byte_cum = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=byte_cum[1:])
+        byte_bounds = byte_cum[val_bounds]
+    ci = 0
+    parts: list[bytes] = [_len_field(1, lname.encode("utf-8"))]
+    # precomputed wire-format tag bytes for the per-feature hot loop
+    _NINE = _varint(9)
+    _TYPE = (b"", b"\x18\x01", b"\x18\x02", b"\x18\x03")  # field 3 varint
+    for tags, gtype, pt in feats:
+        if pt is not None:
+            geom_buf = _NINE + _varint(_zz_int(pt[0])) + _varint(_zz_int(pt[1]))
+        else:
+            geom_buf = enc[byte_bounds[ci]:byte_bounds[ci + 1]]
+            ci += 1
+        gl = len(geom_buf)
+        body_tail = (
+            _TYPE[gtype] + b"\x22"
+            + (bytes((gl,)) if gl < 128 else _varint(gl))
+            + geom_buf
+        )
+        if tags:
+            body = (
+                b"\x12"
+                + _len_prefixed(varint_array(np.asarray(tags, dtype=np.uint64)))
+                + body_tail
+            )
+        else:
+            body = body_tail
+        bl = len(body)
+        parts.append(
+            b"\x12" + (bytes((bl,)) if bl < 128 else _varint(bl)) + body
+        )
+
     for k in keys:
-        out += _len_field(3, k.encode("utf-8"))
+        parts.append(_len_field(3, k.encode("utf-8")))
     for (_, v) in vals:
-        out += _len_field(4, encode_value(v))
-    out += _varint_field(5, extent)
-    out += _varint_field(15, 2)  # layer version
-    return out
+        parts.append(_len_field(4, encode_value(v)))
+    parts.append(_varint_field(5, extent))
+    parts.append(_varint_field(15, 2))  # layer version
+    return b"".join(parts)
 
 
 # ----------------------------------------------------------- group encoder
@@ -408,7 +470,41 @@ class SortedBlockTileEncoder:
         types = gb_all.types
         geom_off = gb_all.geom_offsets
         ring_off = gb_all.ring_offsets
-        coords = gb_all.coords
+
+        # --- block-level vectorized tile-space projection -----------------
+        # every vertex of every geometry is projected ONCE here; the
+        # per-group loop below only slices views into `tcoords`.
+        zs_r, xs_r, ys_r = xyz.tile_key_unpack(keys)
+        t_minx, t_miny, t_maxx, t_maxy = xyz.tile_bbox_z(xs_r, ys_r, zs_r)
+        sw_x, sw_y = proj_4326_to_3857(t_minx, t_miny)
+        ne_x, ne_y = proj_4326_to_3857(t_maxx, t_maxy)
+        dx = np.abs(sw_x - ne_x)
+        dy = np.abs(sw_y - ne_y)
+        g_starts, g_stops = gb_all.geom_point_ranges()
+        npts = g_stops - g_starts
+        rowidx = np.repeat(np.arange(len(keys), dtype=np.int64), npts)
+        mx, my = proj_4326_to_3857(gb_all.coords[:, 0], gb_all.coords[:, 1])
+        ext = float(self.extent)
+        tx = (mx - sw_x[rowidx]) / dx[rowidx] * ext
+        ty = ext - np.trunc((my - sw_y[rowidx]) / dy[rowidx] * ext)
+        tcoords = np.stack([tx, ty], axis=1)
+        # point-feature fast path: trunc + in-tile mask, vectorized
+        is_pt = types == wkbmod.GEOM_POINT
+        pt_x = np.trunc(tx[g_starts]).astype(np.int64)
+        pt_y = np.trunc(ty[g_starts]).astype(np.int64)
+        pt_in = (
+            (tx[g_starts] >= 0) & (tx[g_starts] <= ext)
+            & (ty[g_starts] >= 0) & (ty[g_starts] <= ext)
+        )
+        # per-geometry tile-space bbox (vectorized): classify fully-inside /
+        # clearly-outside so the per-feature Python clip runs only for
+        # border-crossing geometries
+        gminx = np.minimum.reduceat(tx, g_starts)
+        gmaxx = np.maximum.reduceat(tx, g_starts)
+        gminy = np.minimum.reduceat(ty, g_starts)
+        gmaxy = np.maximum.reduceat(ty, g_starts)
+        g_fully_in = (gminx >= 0) & (gmaxx <= ext) & (gminy >= 0) & (gmaxy <= ext)
+        g_outside = (gmaxx < 0) | (gminx > ext) | (gmaxy < 0) | (gminy > ext)
 
         uniq, starts = np.unique(keys, return_index=True)
         bounds = np.append(starts, len(keys))
@@ -419,25 +515,47 @@ class SortedBlockTileEncoder:
 
         for gi in range(len(uniq)):
             lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            z, x, y = int(zs[gi]), int(xs[gi]), int(ys[gi])
             layer_feats: dict[str, list[dict]] = {}
             for i in range(lo, hi):
-                rings = [
-                    coords[ring_off[r]:ring_off[r + 1]]
-                    for r in range(geom_off[i], geom_off[i + 1])
-                ]
                 props = ()
                 if props_json is not None and props_json[i]:
                     props = tuple(sorted(_json.loads(props_json[i]).items()))
-                layer_feats.setdefault(layers[i], []).append(
-                    {"props": props, "type": int(types[i]), "rings": rings}
+                if is_pt[i]:
+                    if not pt_in[i]:
+                        continue
+                    layer_feats.setdefault(layers[i], []).append(
+                        {"props": props, "type": 1,
+                         "pt": (int(pt_x[i]), int(pt_y[i])), "rings": None}
+                    )
+                    continue
+                if g_outside[i]:
+                    continue
+                rings = [
+                    tcoords[ring_off[r]:ring_off[r + 1]]
+                    for r in range(geom_off[i], geom_off[i + 1])
+                ]
+                if g_fully_in[i]:
+                    layer_feats.setdefault(layers[i], []).append(
+                        {"props": props, "type": int(types[i]), "rings": rings}
+                    )
+                    continue
+                for gtype, crings in _clip_feature(int(types[i]), rings, self.extent):
+                    layer_feats.setdefault(layers[i], []).append(
+                        {"props": props, "type": gtype, "rings": crings}
+                    )
+            layer_bufs = []
+            for lname in sorted(layer_feats):
+                lb = _assemble_layer(
+                    layer_feats[lname], (0.0, 0.0, 1.0, 1.0, self.extent), lname
                 )
-            buf = encode_tile(z, x, y, layer_feats)
-            if not buf:
+                if lb:
+                    layer_bufs.append(lb)
+            if not layer_bufs:
                 continue
-            out_z.append(z)
-            out_x.append(x)
-            out_y.append(y)
+            buf = b"".join(_len_field(3, lb) for lb in layer_bufs)
+            out_z.append(int(zs[gi]))
+            out_x.append(int(xs[gi]))
+            out_y.append(int(ys[gi]))
             out_mvt.append(buf)
             out_n.append(hi - lo)
             out_b.append(len(buf))
