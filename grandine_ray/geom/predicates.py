@@ -79,26 +79,55 @@ def point_in_rings(px: float, py: float, rings) -> bool:
     return True
 
 
-def points_in_polygon(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+class CompiledPolygon:
+    """Per-polygon segment constants precomputed once (actor-state pattern):
+    cartesian line forms + rounded bounds of every segment of every ring
+    (incl. closing segments), so the PIP test is one [S, P] broadcast."""
+
+    __slots__ = ("a2", "b2", "c2", "sminx", "smaxx", "sminy", "smaxy",
+                 "minx", "miny", "maxx", "maxy")
+
+    def __init__(self, rings):
+        segs = np.concatenate([ring_segments(r) for r in rings])  # [S,2,2]
+        x1 = segs[:, 0, 0]
+        y1 = segs[:, 0, 1]
+        x2 = segs[:, 1, 0]
+        y2 = segs[:, 1, 1]
+        self.a2 = y2 - y1
+        self.b2 = x1 - x2
+        self.c2 = self.a2 * x1 + self.b2 * y1
+        rx1 = rounded_coords(x1)
+        ry1 = rounded_coords(y1)
+        rx2 = rounded_coords(x2)
+        ry2 = rounded_coords(y2)
+        self.sminx = np.minimum(rx1, rx2)[:, None]
+        self.smaxx = np.maximum(rx1, rx2)[:, None]
+        self.sminy = np.minimum(ry1, ry2)[:, None]
+        self.smaxy = np.maximum(ry1, ry2)[:, None]
+        outer = np.asarray(rings[0], dtype=np.float64).reshape(-1, 2)
+        self.minx, self.miny = outer.min(axis=0)
+        self.maxx, self.maxy = outer.max(axis=0)
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings,
+                      compiled: CompiledPolygon | None = None) -> np.ndarray:
     """Vectorized over query points; same semantics as point_in_rings.
 
-    Designed for the PIP join hot path: P query points against one polygon
-    whose segments are iterated in numpy (cost O(P) per segment).
+    One [S, P] broadcast over all segments × candidate points; pass a
+    :class:`CompiledPolygon` to amortize segment constants across batches.
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     n = len(px)
     result = np.zeros(n, dtype=bool)
-    outer = np.asarray(rings[0], dtype=np.float64).reshape(-1, 2)
-    minx, miny = outer.min(axis=0)
-    maxx, maxy = outer.max(axis=0)
-    inbb = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+    cp = compiled if compiled is not None else CompiledPolygon(rings)
+    inbb = (px >= cp.minx) & (px <= cp.maxx) & (py >= cp.miny) & (py <= cp.maxy)
     if not inbb.any():
         return result
     idx = np.nonzero(inbb)[0]
     qx = px[idx]
     qy = py[idx]
-    ox, oy = minx - 1.0, miny - 1.0
+    ox, oy = cp.minx - 1.0, cp.miny - 1.0
 
     # ray segment per query point: (qx,qy) -> (ox,oy)
     a1 = oy - qy
@@ -113,37 +142,25 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
     rminy = np.minimum(rqy, roy)
     rmaxy = np.maximum(rqy, roy)
 
-    pt_idx_parts = []
-    ix_parts = []
-    iy_parts = []
-    for ring in rings:
-        for seg in ring_segments(ring):
-            sx1, sy1 = seg[0]
-            sx2, sy2 = seg[1]
-            a2 = sy2 - sy1
-            b2 = sx1 - sx2
-            c2 = a2 * sx1 + b2 * sy1
-            det = a1 * b2 - a2 * b1
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ix = rounded_coords((b2 * c1 - b1 * c2) / det)
-                iy = rounded_coords((a1 * c2 - a2 * c1) / det)
-            rsx1, rsy1, rsx2, rsy2 = (float(rounded_coords(v)) for v in (sx1, sy1, sx2, sy2))
-            valid = (
-                (det != 0)
-                & (ix >= rminx) & (ix <= rmaxx) & (iy >= rminy) & (iy <= rmaxy)
-                & (ix >= min(rsx1, rsx2)) & (ix <= max(rsx1, rsx2))
-                & (iy >= min(rsy1, rsy2)) & (iy <= max(rsy1, rsy2))
-            )
-            if valid.any():
-                w = np.nonzero(valid)[0]
-                pt_idx_parts.append(w)
-                ix_parts.append(ix[w])
-                iy_parts.append(iy[w])
-    if not pt_idx_parts:
+    a2 = cp.a2[:, None]
+    b2 = cp.b2[:, None]
+    c2 = cp.c2[:, None]
+    det = a1[None, :] * b2 - a2 * b1[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ix = rounded_coords((b2 * c1[None, :] - b1[None, :] * c2) / det)
+        iy = rounded_coords((a1[None, :] * c2 - a2 * c1[None, :]) / det)
+    valid = (
+        (det != 0)
+        & (ix >= rminx[None, :]) & (ix <= rmaxx[None, :])
+        & (iy >= rminy[None, :]) & (iy <= rmaxy[None, :])
+        & (ix >= cp.sminx) & (ix <= cp.smaxx)
+        & (iy >= cp.sminy) & (iy <= cp.smaxy)
+    )
+    if not valid.any():
         return result
-    pidx = np.concatenate(pt_idx_parts)
-    ixs = np.concatenate(ix_parts)
-    iys = np.concatenate(iy_parts)
+    sidx, pidx = np.nonzero(valid)
+    ixs = ix[sidx, pidx]
+    iys = iy[sidx, pidx]
     # distinct intersection points per query point
     rec = np.empty(len(pidx), dtype=[("p", np.int64), ("x", np.float64), ("y", np.float64)])
     rec["p"] = pidx

@@ -76,13 +76,18 @@ def topk_per_query(k: int):
 
 def brute_force_topk(ds, query_ids, query_matrix, k: int = 10,
                      concurrency=None):
-    """embeddings Dataset → top-k Dataset (query_id, vec_id, score, rank)."""
+    """embeddings Dataset → top-k Dataset (query_id, vec_id, score, rank).
+
+    Stateless tasks; the query matrix is broadcast once via ray.put and
+    read zero-copy from the object store in every task (never re-shipped
+    per batch from the driver).
+    """
     ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
-    kwargs = {"concurrency": concurrency} if concurrency else {"concurrency": (1, 4)}
-    partial = ds.map_batches(
-        CosineScorer, fn_constructor_args=(ref, k),
-        batch_format="pyarrow", batch_size=4096, **kwargs,
-    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        return CosineScorer(ref, k)(batch)
+
+    partial = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
     return partial.groupby("query_id").map_groups(
         topk_per_query(k), batch_format="pandas"
     )

@@ -22,6 +22,7 @@ import ray
 from ..geom import wkb as wkbmod
 from ..geom.ops import haversine_m
 from ..geom.predicates import points_in_polygon
+from ..index import xyz
 from ..index.rtree import STRtree
 
 
@@ -32,48 +33,82 @@ def polygons_payload(ids: list, wkb_blobs: list[bytes]) -> dict:
     return {"ids": list(ids), "rings": rings, "bboxes": gb.bboxes()}
 
 
+PIP_CELL_ZOOM = 6  # candidate grid: 64×64 world cells (tunable per density)
+
+
 class PIPJoiner:
     """map_batches actor: point batches → (point doc_id/span_idx, polygon id).
+
+    Candidate generation is cell-bucketed: each actor builds (once, in
+    __init__) a z-level XYZ-cell → polygon-index bucket map from the
+    broadcast polygon payload, so a batch of P points against M polygons
+    costs Σ_cell |points(cell)|·|polys(cell)| instead of P·M. The exact
+    test keeps the reference PIP semantics (points_in_polygon).
 
     Expects point batches with columns doc_id, span_idx, bbox_minx (=x),
     bbox_miny (=y) — points only.
     """
 
-    def __init__(self, poly_ref):
+    def __init__(self, poly_ref, cell_zoom: int = PIP_CELL_ZOOM):
+        from ..geom.predicates import CompiledPolygon
+
         payload = ray.get(poly_ref) if isinstance(poly_ref, ray.ObjectRef) else poly_ref
         self.ids = payload["ids"]
         self.rings = payload["rings"]
-        self.tree = STRtree(payload["bboxes"])
+        self.compiled = [CompiledPolygon(r) for r in payload["rings"]]
+        self.bboxes = payload["bboxes"]
+        self.zoom = cell_zoom
+        bb = self.bboxes
+        self.cells: dict[int, list[int]] = {}
+        if len(bb):
+            row, cx, cy = xyz.coverage_flatmap(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3],
+                                               cell_zoom)
+            keys = (cx << np.int64(32)) | cy
+            for r, k in zip(row.tolist(), keys.tolist()):
+                self.cells.setdefault(k, []).append(r)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch["bbox_minx"].to_numpy(zero_copy_only=False)
         py = batch["bbox_miny"].to_numpy(zero_copy_only=False)
-        doc_ids = batch["doc_id"].to_pylist()
-        span_idx = batch["span_idx"].to_numpy(zero_copy_only=False)
 
-        out_doc, out_span, out_poly = [], [], []
-        # candidate generation per polygon: vectorized over the point batch
+        out_doc: list[np.ndarray] = []  # hit index arrays
+        out_poly: list[str] = []
         if len(px):
-            minx, maxx = px.min(), px.max()
-            miny, maxy = py.min(), py.max()
-            cand_polys = self.tree.query(minx, miny, maxx, maxy)
-        else:
-            cand_polys = np.empty(0, dtype=np.int64)
-        for pi in cand_polys:
-            bb = self.tree.bboxes[pi]
-            m = (px >= bb[0]) & (px <= bb[2]) & (py >= bb[1]) & (py <= bb[3])
-            if not m.any():
-                continue
-            sel = np.nonzero(m)[0]
-            inside = points_in_polygon(px[sel], py[sel], self.rings[pi])
-            for si in sel[inside]:
-                out_doc.append(doc_ids[si])
-                out_span.append(int(span_idx[si]))
-                out_poly.append(self.ids[pi])
+            cx, cy = xyz.tile_xy(px, py, self.zoom)
+            pkeys = (cx << np.int64(32)) | cy
+            order = np.argsort(pkeys, kind="stable")
+            sk = pkeys[order]
+            uniq, starts = np.unique(sk, return_index=True)
+            bounds = np.append(starts, len(sk))
+            for ci in range(len(uniq)):
+                polys = self.cells.get(int(uniq[ci]))
+                if not polys:
+                    continue
+                sel = order[bounds[ci]:bounds[ci + 1]]
+                spx = px[sel]
+                spy = py[sel]
+                for pi in polys:
+                    bb = self.bboxes[pi]
+                    m = (spx >= bb[0]) & (spx <= bb[2]) & (spy >= bb[1]) & (spy <= bb[3])
+                    if not m.any():
+                        continue
+                    cand = sel[m]
+                    inside = points_in_polygon(
+                        px[cand], py[cand], self.rings[pi],
+                        compiled=self.compiled[pi],
+                    )
+                    hits = cand[inside]
+                    if len(hits):
+                        out_doc.append(hits)
+                        out_poly.extend([self.ids[pi]] * len(hits))
+        hit_idx = (
+            np.concatenate(out_doc) if out_doc else np.empty(0, dtype=np.int64)
+        )
+        take = pa.array(hit_idx)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.string()),
-                "span_idx": pa.array(out_span, pa.int32()),
+                "doc_id": batch["doc_id"].take(take),
+                "span_idx": batch["span_idx"].take(take),
                 "polygon_id": pa.array(out_poly, pa.string()),
             }
         )
@@ -82,6 +117,9 @@ class PIPJoiner:
 def pip_join(points_ds, poly_ids, poly_wkbs, concurrency=(1, 4)):
     payload = polygons_payload(poly_ids, poly_wkbs)
     ref = ray.put(payload)
+    if isinstance(concurrency, tuple):
+        # warm the pool: actor startup latency dominates short jobs otherwise
+        concurrency = (max(concurrency[0], min(4, concurrency[1])), concurrency[1])
     return points_ds.map_batches(
         PIPJoiner, fn_constructor_args=(ref,), batch_format="pyarrow",
         concurrency=concurrency,
@@ -146,13 +184,19 @@ class KnnScorer:
         )
 
 
-def knn_topk(points_ds, query_ids, qx, qy, k: int = 5, concurrency=(1, 4)):
-    """Exact global kNN: partial per-batch top-k → groupby(query_id) top-k."""
+def knn_topk(points_ds, query_ids, qx, qy, k: int = 5, concurrency=None):
+    """Exact global kNN: partial per-batch top-k → groupby(query_id) top-k.
+
+    The scorer runs as stateless tasks (no pool startup latency): the query
+    payload is broadcast once via ray.put and fetched zero-copy from the
+    local object store inside each task.
+    """
     ref = ray.put({"ids": list(query_ids), "x": np.asarray(qx), "y": np.asarray(qy)})
-    partial = points_ds.map_batches(
-        KnnScorer, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        return KnnScorer(ref, k)(batch)
+
+    partial = points_ds.map_batches(score, batch_format="pyarrow")
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["dist_m", "doc_id", "span_idx"]).head(k)
