@@ -368,6 +368,79 @@ def q_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def q_simplify(sf_dir: str):
+    """RDP simplification of linestrings (M13) — rows-only (not SQL-able)."""
+    from ..geom.ops import simplify_rdp
+
+    lines = _features_ds(sf_dir).filter(expr="geom_type == 2")
+
+    def simp(batch: pa.Table) -> pa.Table:
+        gb = wkbmod.decode_wkb_batch(batch["geom_wkb"].to_pylist())
+        n_in, n_out = [], []
+        for i in range(len(gb)):
+            pts = gb.rings_of(i)[0]
+            out = simplify_rdp(pts, 0.01)
+            n_in.append(len(pts))
+            n_out.append(len(out))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+                "n_points_in": pa.array(n_in, pa.int64()),
+                "n_points_simplified": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return lines.map_batches(simp, batch_format="pyarrow")
+
+
+def q_raster_stats(sf_dir: str):
+    """Rasterize polygon features to a 32×32 grid; report fill fraction —
+    rows-only (raster kernels aren't SQL-expressible)."""
+    from ..stages.raster import rasterize_polygon
+
+    polys = _features_ds(sf_dir).filter(expr="geom_type == 3")
+
+    def rast(batch: pa.Table) -> pa.Table:
+        gb = wkbmod.decode_wkb_batch(batch["geom_wkb"].to_pylist())
+        fills = []
+        for i in range(len(gb)):
+            rings = [r - r.min(axis=0) for r in gb.rings_of(i)]
+            extent = max(1e-9, max(float(r.max()) for r in rings))
+            g = rasterize_polygon(rings, 32, extent)
+            fills.append(round(float(g.mean()), 6))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+                "fill_fraction": pa.array(fills, pa.float64()),
+            }
+        )
+
+    return polys.map_batches(rast, batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal actor-pool pipeline over media spans (decode stubbed
+    deterministically — see stages/media.py) — rows-only."""
+    from ..stages.media import media_pipeline
+
+    out = media_pipeline(_docs_ds(sf_dir), concurrency=(1, 4), batch_size=512)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        feats = batch["img_features"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+                "media_ref": batch["media_ref"],
+                "mean_r": pa.array([round(f[0], 4) for f in feats], pa.float64()),
+            }
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_features": q_extract_features,
     "tile_coverage": q_tile_coverage,
@@ -384,6 +457,9 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
+    "simplify": q_simplify,
+    "raster_stats": q_raster_stats,
+    "media_features": q_media_features,
 }
 
 

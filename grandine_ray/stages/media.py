@@ -1,0 +1,199 @@
+"""Multimodal (image/audio/video) span processing stages.
+
+Media rides in the documents table as ``media`` spans whose ``media_ref``
+addresses an opaque binary payload. The Ray-side plumbing here — schema,
+actor signatures, batch sizing, output layout — is real and tested; the
+actual codec work (JPEG decode, resampling, frame extraction) is STUBBED
+because no image/audio libraries exist in this container:
+
+* with ``deterministic_fake=True`` (default) each stage produces a
+  deterministic fake derived from the payload bytes (stable across runs,
+  so tests can assert exact values);
+* with ``deterministic_fake=False`` the decode raises NotImplementedError
+  at the point where a real codec (Pillow/ffmpeg/soundfile) would be
+  called — swap the marked methods when the libs are available.
+
+Scale notes: media payloads are large, so these stages run as actor pools
+with SMALL ``batch_size`` (payload × batch × concurrency must fit worker
+heap) and ``batch_format="pyarrow"`` (binary columns must never pass
+through pandas object dtype).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _stable_bytes(ref: str, n: int = 64) -> bytes:
+    """Deterministic payload for a media_ref (test stand-in for a store)."""
+    out = b""
+    i = 0
+    while len(out) < n:
+        out += hashlib.blake2b(f"{ref}:{i}".encode(), digest_size=32).digest()
+        i += 1
+    return out[:n]
+
+
+def fetch_media(batch: pa.Table) -> pa.Table:
+    """Resolve media_ref → payload bytes (fake store; deterministic)."""
+    refs = batch["media_ref"].to_pylist()
+    payloads = [_stable_bytes(r, 256) for r in refs]
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+class ImageDecoder:
+    """Actor stage: payload → decoded image tensor + metadata.
+
+    Real implementation point: ``_decode`` (Pillow / turbojpeg).
+    """
+
+    def __init__(self, deterministic_fake: bool = True, height: int = 16,
+                 width: int = 16):
+        self.fake = deterministic_fake
+        self.h = height
+        self.w = width
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires Pillow/libjpeg — not in this container"
+            )
+        # deterministic fake: bytes → seeded uint8 tensor
+        seed = int.from_bytes(payload[:8], "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (self.h, self.w, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        imgs = [self._decode(p) for p in payloads]
+        flat = [im.reshape(-1).tolist() for im in imgs]
+        return (
+            batch.append_column(
+                "image", pa.array(flat, pa.list_(pa.uint8(), self.h * self.w * 3))
+            )
+            .append_column("img_h", pa.array([self.h] * len(imgs), pa.int32()))
+            .append_column("img_w", pa.array([self.w] * len(imgs), pa.int32()))
+        )
+
+
+class ImageResizer:
+    """Actor stage: nearest-neighbor resize (real numpy, no stub needed)."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8):
+        self.oh = out_h
+        self.ow = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch["img_h"][0].as_py()
+        w = batch["img_w"][0].as_py()
+        imgs = np.asarray(batch["image"].to_pylist(), dtype=np.uint8)
+        imgs = imgs.reshape(-1, h, w, 3)
+        yi = (np.arange(self.oh) * h // self.oh)
+        xi = (np.arange(self.ow) * w // self.ow)
+        resized = imgs[:, yi][:, :, xi]
+        return batch.set_column(
+            batch.schema.get_field_index("image"), "image",
+            pa.array([im.reshape(-1).tolist() for im in resized],
+                     pa.list_(pa.uint8(), self.oh * self.ow * 3)),
+        ).set_column(
+            batch.schema.get_field_index("img_h"), "img_h",
+            pa.array([self.oh] * len(imgs), pa.int32()),
+        ).set_column(
+            batch.schema.get_field_index("img_w"), "img_w",
+            pa.array([self.ow] * len(imgs), pa.int32()),
+        )
+
+
+class ImageFeatures:
+    """Actor stage: image tensor → feature vector (channel-mean histogram)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch["img_h"][0].as_py()
+        w = batch["img_w"][0].as_py()
+        imgs = np.asarray(batch["image"].to_pylist(), dtype=np.uint8)
+        imgs = imgs.reshape(-1, h, w, 3).astype(np.float64)
+        means = imgs.mean(axis=(1, 2))        # [n, 3]
+        stds = imgs.std(axis=(1, 2))          # [n, 3]
+        feats = np.concatenate([means, stds], axis=1)
+        return batch.append_column(
+            "img_features", pa.array([f.tolist() for f in feats],
+                                     pa.list_(pa.float64(), 6))
+        )
+
+
+class FrameSampler:
+    """Actor stage: video payload → K evenly spaced fake frames.
+
+    Real implementation point: ``_frames`` (ffmpeg).
+    """
+
+    def __init__(self, k: int = 4, deterministic_fake: bool = True):
+        self.k = k
+        self.fake = deterministic_fake
+
+    def _frames(self, payload: bytes) -> list[bytes]:
+        if not self.fake:
+            raise NotImplementedError(
+                "video frame extraction requires ffmpeg — not in this container"
+            )
+        return [
+            hashlib.blake2b(payload + bytes([i]), digest_size=16).digest()
+            for i in range(self.k)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        frames = [self._frames(p) for p in payloads]
+        return batch.append_column(
+            "frames", pa.array(frames, pa.list_(pa.binary(), self.k))
+        )
+
+
+def media_pipeline(docs_ds, concurrency=(1, 4), batch_size: int = 256):
+    """documents → media spans → fetch → decode → resize → features.
+
+    Returns a Dataset with (doc_id, span_idx, media_ref, image, img_h,
+    img_w, img_features). Demonstrates the full multimodal actor-pool
+    plumbing over the interleaved schema.
+    """
+    import pyarrow.compute as pc
+
+    def media_spans(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        # span index within each doc (same derivation as extract.py)
+        n = len(parent)
+        if n:
+            firsts = np.zeros(n, dtype=np.int64)
+            new_doc = np.empty(n, dtype=bool)
+            new_doc[0] = True
+            new_doc[1:] = parent[1:] != parent[:-1]
+            firsts[new_doc] = np.nonzero(new_doc)[0]
+            np.maximum.accumulate(firsts, out=firsts)
+            span_idx = np.arange(n, dtype=np.int64) - firsts
+        else:
+            span_idx = np.empty(0, dtype=np.int64)
+        mask = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
+        sel = np.nonzero(mask)[0]
+        doc_ids = batch["doc_id"].take(pa.array(parent[sel]))
+        media_refs = flat.field("media_ref").take(pa.array(sel))
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "span_idx": pa.array(span_idx[sel].astype(np.int32), pa.int32()),
+                "media_ref": media_refs,
+            }
+        )
+
+    ds = docs_ds.map_batches(media_spans, batch_format="pyarrow")
+    ds = ds.map_batches(fetch_media, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(ImageDecoder, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=concurrency)
+    ds = ds.map_batches(ImageResizer, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=concurrency)
+    ds = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=concurrency)
+    return ds.drop_columns(["payload"])
