@@ -58,14 +58,14 @@ def run_suite() -> dict:
     extras: dict[str, float] = {}
 
     # warm page cache (untimed)
-    rd.read_parquet(f"{corpus}/documents.parquet").count()
+    rd.read_parquet(synth.docs_path(corpus)).count()
 
     # ---- tiler ----------------------------------------------------------
     out_dir = f"/tmp/graft_bench/tiles_{ncpu}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     manifest = tiler_mod.run_tiler(
-        f"{corpus}/documents.parquet", out_dir=out_dir, zooms=BENCH_ZOOMS,
+        synth.docs_path(corpus), out_dir=out_dir, zooms=BENCH_ZOOMS,
         resume=False,
     )
     rows = manifest.take_all()
@@ -76,7 +76,7 @@ def run_suite() -> dict:
     extras["tiles_per_sec"] = round(n_tiles / wall, 1)
 
     # ---- pip_join -------------------------------------------------------
-    feats = rd.read_parquet(f"{corpus}/documents.parquet").map_batches(
+    feats = rd.read_parquet(synth.docs_path(corpus)).map_batches(
         extract_features, batch_format="pyarrow"
     )
     polys = feats.filter(expr="geom_type == 3").take_all()
@@ -121,15 +121,13 @@ def run_suite() -> dict:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     t0 = time.perf_counter()
+    pool = (max(2, ncpu // 4), max(2, ncpu // 2))  # pre-warmed actor pools
     scored = docs.map_batches(
-        text_stage.TokenCounter, batch_format="pyarrow",
-        concurrency=(1, max(2, ncpu // 2)),
+        text_stage.TokenCounter, batch_format="pyarrow", concurrency=pool,
     ).map_batches(
-        text_stage.QualityScorer, batch_format="pyarrow",
-        concurrency=(1, max(2, ncpu // 2)),
+        text_stage.QualityScorer, batch_format="pyarrow", concurrency=pool,
     ).map_batches(
-        text_stage.MinHasher, batch_format="pyarrow",
-        concurrency=(1, max(2, ncpu // 2)),
+        text_stage.MinHasher, batch_format="pyarrow", concurrency=pool,
     )
     scored.count()
     queries["text"] = round(time.perf_counter() - t0, 3)

@@ -1,0 +1,140 @@
+"""CLI entry points mirroring the reference's four tools (cmd/*).
+
+    python -m grandine_ray.cli tiler -in docs.parquet -out /tmp/tiles -zoom 0-8
+    python -m grandine_ray.cli converter -in a.geojson -in b.csv -out o.spaten
+    python -m grandine_ray.cli inspect -in file.spaten
+    python -m grandine_ray.cli synth -n 10000 -out /tmp/corpus
+
+Flags follow cmd/tiler/tiler.go:85-96 and cmd/converter/converter.go where
+they make sense for the Ray engine. Owns its Ray session (scripts only; the
+library never calls ray.init).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def parse_zooms(spec: str) -> list[int]:
+    """Zoom list parser (tiler.go:34-47): "2", "0-8", or "0,3,5"."""
+    if "-" in spec:
+        lo, hi = spec.split("-", 1)
+        return list(range(int(lo), int(hi) + 1))
+    if "," in spec:
+        return [int(z) for z in spec.split(",")]
+    return [int(spec)]
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def cmd_tiler(argv):
+    p = argparse.ArgumentParser(prog="tiler")
+    p.add_argument("-in", dest="inp", required=True,
+                   help="documents parquet/lance path or features spaten")
+    p.add_argument("-out", dest="out", required=True)
+    p.add_argument("-zoom", default="0-8")
+    p.add_argument("-workers", type=int, default=None)
+    p.add_argument("-salt", action="store_true", help="salt hot cells")
+    p.add_argument("-no-resume", action="store_true")
+    p.add_argument("-tiles-dir", action="store_true",
+                   help="also write z/x/y.mvt files (reference layout)")
+    a = p.parse_args(argv)
+    _ray_init(a.workers)
+    import ray
+
+    from .pipelines import tiler as T
+
+    manifest = T.run_tiler(
+        a.inp, out_dir=a.out, zooms=parse_zooms(a.zoom), salt=a.salt,
+        resume=not a.no_resume,
+    )
+    rows = manifest.take_all()
+    total = sum(r["rows"] for r in rows)
+    print(f"wrote {total} tiles across {len(rows)} partitions to {a.out}")
+    if a.tiles_dir:
+        import ray.data as rd
+        import pyarrow.parquet as pq
+        import glob
+
+        for f in glob.glob(f"{a.out}/tiles/*.parquet"):
+            T.write_tiles_dir(rd.read_parquet(f), os.path.join(a.out, "xyz"))
+    ray.shutdown()
+
+
+def cmd_converter(argv):
+    p = argparse.ArgumentParser(prog="converter")
+    p.add_argument("-in", dest="inp", action="append", required=True)
+    p.add_argument("-out", dest="out", required=True)
+    p.add_argument("-mapping", default=None, help="YAML mapping rule file")
+    p.add_argument("-format", default=None,
+                   help="spaten|geojson|parquet (default: by extension)")
+    a = p.parse_args(argv)
+    _ray_init(None)
+    import ray
+
+    from .pipelines.converter import convert
+
+    fmt = a.format
+    if fmt is None:
+        fmt = ("geojson" if a.out.endswith(".geojson")
+               else "parquet" if a.out.endswith(".parquet") else "spaten")
+    mapping = open(a.mapping).read() if a.mapping else None
+    n = convert(a.inp, a.out, mapping_yaml=mapping, out_format=fmt)
+    print(f"wrote {n} features to {a.out}")
+    ray.shutdown()
+
+
+def cmd_inspect(argv):
+    p = argparse.ArgumentParser(prog="inspect")
+    p.add_argument("-in", dest="inp", required=True)
+    p.add_argument("-n", type=int, default=20)
+    a = p.parse_args(argv)
+    from .sources.geojson import guess_codec
+
+    parser = guess_codec(a.inp)
+    raw = open(a.inp, "rb").read()
+    table = parser(raw if a.inp.endswith(".spaten") else raw.decode("utf-8"))
+    print(table.schema)
+    print(table.slice(0, a.n).to_pandas())
+
+
+def cmd_synth(argv):
+    p = argparse.ArgumentParser(prog="synth")
+    p.add_argument("-n", type=int, default=10_000)
+    p.add_argument("-seed", type=int, default=42)
+    a = p.parse_args(argv)
+    from .sources import synth
+
+    out = synth.ensure_corpus(a.n, a.seed)
+    print(out)
+
+
+COMMANDS = {
+    "tiler": cmd_tiler,
+    "converter": cmd_converter,
+    "inspect": cmd_inspect,
+    "synth": cmd_synth,
+}
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] not in COMMANDS:
+        print(f"usage: python -m grandine_ray.cli {{{'|'.join(COMMANDS)}}} ...")
+        sys.exit(2)
+    COMMANDS[sys.argv[1]](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

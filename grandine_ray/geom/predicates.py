@@ -233,6 +233,25 @@ def ring_intersects_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> bool:
     return False
 
 
+def valid_topology(rings) -> bool:
+    """Ring self-intersection scan (polygon.go:74-107): a polygon is invalid
+    if any two non-identical segments of a ring (incl. closing segments)
+    intersect at a point that is not a shared endpoint."""
+    for ring in rings:
+        segs = ring_segments(ring)
+        n = len(segs)
+        for i in range(n):
+            s1 = ((segs[i, 0, 0], segs[i, 0, 1]), (segs[i, 1, 0], segs[i, 1, 1]))
+            for j in range(n):
+                if i == j:
+                    continue
+                s2 = ((segs[j, 0, 0], segs[j, 0, 1]), (segs[j, 1, 0], segs[j, 1, 1]))
+                ipt = segment_intersection(s1, s2)
+                if ipt is not None and ipt != s1[0] and ipt != s1[1]:
+                    return False
+    return True
+
+
 def bbox_overlaps(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy):
     """Standard interval-overlap mask (vectorized)."""
     return ~(

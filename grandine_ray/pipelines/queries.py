@@ -57,7 +57,7 @@ def _corpus(sf_dir: str) -> str:
 
 
 def _docs_ds(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{_corpus(sf_dir)}/documents.parquet")
+    return rd.read_parquet(synth.docs_path(_corpus(sf_dir)))
 
 
 def _features_ds(sf_dir: str) -> rd.Dataset:
@@ -368,6 +368,27 @@ def q_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def q_global_bbox(sf_dir: str):
+    """Global bbox + feature count (A2/A3: running BBox.ExtendWith /
+    Count over all features — here a tree aggregate)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = _features_ds(sf_dir).aggregate(
+        Min("bbox_minx", alias_name="minx"),
+        Min("bbox_miny", alias_name="miny"),
+        Max("bbox_maxx", alias_name="maxx"),
+        Max("bbox_maxy", alias_name="maxy"),
+        Count(alias_name="n_features"),
+    )
+    import pandas as pd
+
+    return pd.DataFrame([{
+        "minx": agg["minx"], "miny": agg["miny"],
+        "maxx": agg["maxx"], "maxy": agg["maxy"],
+        "n_features": int(agg["n_features"]),
+    }])
+
+
 def q_simplify(sf_dir: str):
     """RDP simplification of linestrings (M13) — rows-only (not SQL-able)."""
     from ..geom.ops import simplify_rdp
@@ -457,6 +478,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
+    "global_bbox": q_global_bbox,
     "simplify": q_simplify,
     "raster_stats": q_raster_stats,
     "media_features": q_media_features,
@@ -562,6 +584,11 @@ SELECT g.doc_id, g.span_idx, t.target_id
 FROM g CROSS JOIN t
 WHERE NOT (g.bbox_minx > t.tmaxx OR g.bbox_maxx < t.tminx
            OR g.bbox_miny > t.tmaxy OR g.bbox_maxy < t.tminy)""",
+    "global_bbox": _BBOX_CTE + """
+SELECT MIN(bbox_minx) AS minx, MIN(bbox_miny) AS miny,
+       MAX(bbox_maxx) AS maxx, MAX(bbox_maxy) AS maxy,
+       CAST(COUNT(*) AS BIGINT) AS n_features
+FROM g""",
     "exact_dedup": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_dups

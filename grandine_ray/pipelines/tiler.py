@@ -27,7 +27,16 @@ import ray.data as rd
 from ..index import xyz
 from ..stages.coverage import make_coverage_fn
 from ..stages.extract import extract_features
-from ..stages.mvt import SortedBlockTileEncoder, TileEncoder, TileFinalize, TilePrepare
+from ..stages.mvt import (
+    SortedBlockTileEncoder,
+    TileEncoder,
+    TileFinalize,
+    TilePrepare,
+    TilespacePrepare,
+    sorted_block_encode,
+    sorted_block_finalize,
+    tilespace_prepare,
+)
 from ..state.checkpoint import completed_partitions, partition_of_keys, write_partition
 
 DEFAULT_ZOOMS = list(range(0, 9))
@@ -108,8 +117,19 @@ def tile_dataset(
     hot_keys: np.ndarray | None = None,
     skip_partitions: set[int] | None = None,
     encoder_concurrency=None,
+    strategy: str = "direct",
 ) -> rd.Dataset:
-    """documents Dataset → tiles Dataset (z, x, y, mvt, n_features, bytes)."""
+    """documents Dataset → tiles Dataset (z, x, y, mvt, n_features, bytes).
+
+    strategy (all three produce byte-identical tiles — tested):
+      * "direct" (default): single sort + full block-level encode. Fastest
+        at bench scale once stages run as elastic tasks.
+      * "prepared": shuffle-free per-feature project+clip stage, then one
+        sort of clipped tile-space rows, then merge+assemble — spreads the
+        per-feature heavy work uniformly; the right shape when low-zoom
+        mega-tiles dominate (extreme skew / much larger corpora).
+      * "salted": explicit hot-cell salting with a two-phase groupby.
+    """
     zooms = zooms if zooms is not None else DEFAULT_ZOOMS
     tiled = features_dataset(docs).map_batches(
         make_coverage_fn(zooms), batch_format="pyarrow"
@@ -132,7 +152,7 @@ def tile_dataset(
         encoder_concurrency = (1, max(2, ncpu))
     kwargs = {"concurrency": encoder_concurrency}
 
-    if salt:
+    if salt or strategy == "salted":
         if hot_keys is None:
             hot_keys = detect_hot_cells(docs, zooms)
         hot_ref = ray.put(hot_keys) if hot_keys is not None and len(hot_keys) else None
@@ -143,13 +163,22 @@ def tile_dataset(
         tiles = prepared.groupby("tile_key").map_groups(
             TileFinalize, batch_format="pyarrow", **kwargs
         )
+    elif strategy == "prepared":
+        # shuffle-free heavy stage (uniform parallelism), then one sort of
+        # the clipped tile-space rows, then merge + protobuf per block —
+        # stateless tasks (elastic), not an autoscaling actor pool
+        prepared = tiled.map_batches(tilespace_prepare, batch_format="pyarrow")
+        tiles = prepared.sort("tile_key").map_batches(
+            sorted_block_finalize, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
     else:
         # explicit sort + lean per-block group iteration: the range
         # partitioner keeps whole (z,x,y) groups inside one block, and the
         # block-level encoder amortizes Arrow overhead over all its groups
         tiles = tiled.sort("tile_key").map_batches(
-            SortedBlockTileEncoder, batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True, **kwargs,
+            sorted_block_encode, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
         )
     return tiles
 

@@ -227,18 +227,41 @@ def n_docs_for_sf(sf_dir: str) -> int:
     return table.get(name, 10_000)
 
 
+N_SHARDS = 16
+
+
 def ensure_corpus(n_docs: int, seed: int = SEED) -> str:
-    """Generate (once) and return the corpus dir for ``n_docs``."""
+    """Generate (once) and return the corpus dir for ``n_docs``.
+
+    Writes both a single ``documents.parquet`` (stable path for the DuckDB
+    oracle SQL) and a sharded ``documents/`` directory (N_SHARDS files) so
+    Ray's read parallelizes across fragments instead of one serial read
+    task — the single-file read was a fixed serial cost at every CPU count.
+    """
     out = Path(SYNTH_ROOT) / f"docs_{n_docs}"
-    done = out / "_SUCCESS"
+    done = out / "_SUCCESS2"
     if done.exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
     documents, geoms = generate(n_docs, seed)
     pq.write_table(documents, out / "documents.parquet")
     pq.write_table(geoms, out / "geoms.parquet")
+    shard_dir = out / "documents"
+    shard_dir.mkdir(exist_ok=True)
+    n = documents.num_rows
+    per = (n + N_SHARDS - 1) // N_SHARDS
+    for s in range(N_SHARDS):
+        part = documents.slice(s * per, per)
+        if part.num_rows:
+            pq.write_table(part, shard_dir / f"part-{s:04d}.parquet")
     done.touch()
     return str(out)
+
+
+def docs_path(corpus_dir: str) -> str:
+    """Preferred (sharded) documents path for Ray reads."""
+    sharded = Path(corpus_dir) / "documents"
+    return str(sharded) if sharded.is_dir() else f"{corpus_dir}/documents.parquet"
 
 
 def corpus_for_sf(sf_dir: str) -> str:

@@ -442,22 +442,27 @@ class SortedBlockTileEncoder:
     the per-group loop then works on plain numpy slices / python lists with
     zero Arrow overhead — ~3-5× less per-group constant cost than
     groupby().map_groups for the many tiny groups a tile pyramid produces.
+
+    ``tilespace=True``: input geometries are already projected + clipped to
+    tile coordinates (output of :class:`TilespacePrepare`) — projection and
+    clipping are skipped, only canonical-sort + merge + assembly run.
     """
 
-    def __init__(self, extent: int = EXTENT):
+    def __init__(self, extent: int = EXTENT, tilespace: bool = False):
         self.extent = extent
+        self.tilespace = tilespace
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _EMPTY_TILE_TABLE
-        order = pa.compute.sort_indices(
-            batch,
-            sort_keys=[
-                ("tile_key", "ascending"),
-                ("doc_id", "ascending"),
-                ("span_idx", "ascending"),
-            ],
-        )
+        sort_keys = [
+            ("tile_key", "ascending"),
+            ("doc_id", "ascending"),
+            ("span_idx", "ascending"),
+        ]
+        if "part" in batch.column_names:
+            sort_keys.append(("part", "ascending"))
+        order = pa.compute.sort_indices(batch, sort_keys=sort_keys)
         batch = batch.take(order)
         keys = batch["tile_key"].to_numpy(zero_copy_only=False)
         blobs = batch["geom_wkb"].to_pylist()
@@ -474,19 +479,23 @@ class SortedBlockTileEncoder:
         # --- block-level vectorized tile-space projection -----------------
         # every vertex of every geometry is projected ONCE here; the
         # per-group loop below only slices views into `tcoords`.
-        zs_r, xs_r, ys_r = xyz.tile_key_unpack(keys)
-        t_minx, t_miny, t_maxx, t_maxy = xyz.tile_bbox_z(xs_r, ys_r, zs_r)
-        sw_x, sw_y = proj_4326_to_3857(t_minx, t_miny)
-        ne_x, ne_y = proj_4326_to_3857(t_maxx, t_maxy)
-        dx = np.abs(sw_x - ne_x)
-        dy = np.abs(sw_y - ne_y)
         g_starts, g_stops = gb_all.geom_point_ranges()
-        npts = g_stops - g_starts
-        rowidx = np.repeat(np.arange(len(keys), dtype=np.int64), npts)
-        mx, my = proj_4326_to_3857(gb_all.coords[:, 0], gb_all.coords[:, 1])
         ext = float(self.extent)
-        tx = (mx - sw_x[rowidx]) / dx[rowidx] * ext
-        ty = ext - np.trunc((my - sw_y[rowidx]) / dy[rowidx] * ext)
+        if self.tilespace:
+            tx = gb_all.coords[:, 0]
+            ty = gb_all.coords[:, 1]
+        else:
+            zs_r, xs_r, ys_r = xyz.tile_key_unpack(keys)
+            t_minx, t_miny, t_maxx, t_maxy = xyz.tile_bbox_z(xs_r, ys_r, zs_r)
+            sw_x, sw_y = proj_4326_to_3857(t_minx, t_miny)
+            ne_x, ne_y = proj_4326_to_3857(t_maxx, t_maxy)
+            dx = np.abs(sw_x - ne_x)
+            dy = np.abs(sw_y - ne_y)
+            npts = g_stops - g_starts
+            rowidx = np.repeat(np.arange(len(keys), dtype=np.int64), npts)
+            mx, my = proj_4326_to_3857(gb_all.coords[:, 0], gb_all.coords[:, 1])
+            tx = (mx - sw_x[rowidx]) / dx[rowidx] * ext
+            ty = ext - np.trunc((my - sw_y[rowidx]) / dy[rowidx] * ext)
         tcoords = np.stack([tx, ty], axis=1)
         # point-feature fast path: trunc + in-tile mask, vectorized
         is_pt = types == wkbmod.GEOM_POINT
@@ -695,6 +704,139 @@ class TileFinalize:
                 "bytes": pa.array([len(buf)], pa.int64()),
             }
         )
+
+
+class TilespacePrepare:
+    """Shuffle-free prepare stage: coverage rows → clipped tile-space rows.
+
+    Projection + clipping are per-feature (each row carries its own tile
+    key), so this runs as a plain ``map_batches`` over the *unsorted*
+    coverage output — perfectly uniform parallelism, no skew. The sort
+    shuffle that follows then carries only clipped tile-space geometry
+    (smaller than raw WKB, rows outside their tile already dropped), and
+    the finalize stage (SortedBlockTileEncoder(tilespace=True)) only has
+    merge + protobuf assembly left — shrinking the low-zoom mega-tile
+    straggler to its irreducible part.
+    """
+
+    def __init__(self, extent: int = EXTENT):
+        self.extent = extent
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("part", pa.array([], pa.int32()))
+        keys = batch["tile_key"].to_numpy(zero_copy_only=False)
+        blobs = batch["geom_wkb"].to_pylist()
+        gb_all = wkbmod.decode_wkb_batch(blobs)
+        types = gb_all.types
+        geom_off = gb_all.geom_offsets
+        ring_off = gb_all.ring_offsets
+
+        zs_r, xs_r, ys_r = xyz.tile_key_unpack(keys)
+        t_minx, t_miny, t_maxx, t_maxy = xyz.tile_bbox_z(xs_r, ys_r, zs_r)
+        sw_x, sw_y = proj_4326_to_3857(t_minx, t_miny)
+        ne_x, ne_y = proj_4326_to_3857(t_maxx, t_maxy)
+        dx = np.abs(sw_x - ne_x)
+        dy = np.abs(sw_y - ne_y)
+        g_starts, g_stops = gb_all.geom_point_ranges()
+        npts = g_stops - g_starts
+        rowidx = np.repeat(np.arange(n, dtype=np.int64), npts)
+        mx, my = proj_4326_to_3857(gb_all.coords[:, 0], gb_all.coords[:, 1])
+        ext = float(self.extent)
+        tx = (mx - sw_x[rowidx]) / dx[rowidx] * ext
+        ty = ext - np.trunc((my - sw_y[rowidx]) / dy[rowidx] * ext)
+        tcoords = np.stack([tx, ty], axis=1)
+
+        is_pt = types == wkbmod.GEOM_POINT
+        gminx = np.minimum.reduceat(tx, g_starts)
+        gmaxx = np.maximum.reduceat(tx, g_starts)
+        gminy = np.minimum.reduceat(ty, g_starts)
+        gmaxy = np.maximum.reduceat(ty, g_starts)
+        g_fully_in = (gminx >= 0) & (gmaxx <= ext) & (gminy >= 0) & (gmaxy <= ext)
+        g_outside = (gmaxx < 0) | (gminx > ext) | (gmaxy < 0) | (gminy > ext)
+
+        out_idx: list[int] = []
+        out_part: list[int] = []
+        out_type: list[int] = []
+        out_wkb: list[bytes] = []
+        # fully vectorized 21-byte WKB encode for all in-tile points
+        pt_sel = np.nonzero(is_pt & g_fully_in)[0]
+        if len(pt_sel):
+            m = len(pt_sel)
+            raw = np.empty((m, 21), dtype=np.uint8)
+            raw[:, 0] = 1
+            raw[:, 1] = wkbmod.GEOM_POINT
+            raw[:, 2:5] = 0
+            raw[:, 5:] = (
+                np.ascontiguousarray(tcoords[g_starts[pt_sel]])
+                .view(np.uint8).reshape(m, 16)
+            )
+            buf = raw.tobytes()
+            out_wkb.extend(buf[i * 21:(i + 1) * 21] for i in range(m))
+            out_idx.extend(pt_sel.tolist())
+            out_part.extend([0] * m)
+            out_type.extend([wkbmod.GEOM_POINT] * m)
+        # fully-in lines/polygons re-encoded per feature
+        for i in np.nonzero(~is_pt & g_fully_in)[0].tolist():
+            out_idx.append(i)
+            out_part.append(0)
+            t = int(types[i])
+            out_type.append(t)
+            if t == wkbmod.GEOM_LINESTRING:
+                out_wkb.append(wkbmod.encode_linestring(
+                    tcoords[ring_off[geom_off[i]]:ring_off[geom_off[i] + 1]]))
+            else:
+                out_wkb.append(wkbmod.encode_polygon([
+                    tcoords[ring_off[r]:ring_off[r + 1]]
+                    for r in range(geom_off[i], geom_off[i + 1])
+                ]))
+        # border-crossing geometries: reference clip semantics per feature
+        cross = np.nonzero(~g_fully_in & ~g_outside & ~is_pt)[0]
+        for i in cross.tolist():
+            rings = [
+                tcoords[ring_off[r]:ring_off[r + 1]]
+                for r in range(geom_off[i], geom_off[i + 1])
+            ]
+            parts = _clip_feature(int(types[i]), rings, self.extent)
+            for p, (gtype, crings) in enumerate(parts):
+                out_idx.append(i)
+                out_part.append(p)
+                out_type.append(gtype)
+                if gtype == wkbmod.GEOM_LINESTRING:
+                    out_wkb.append(wkbmod.encode_linestring(crings[0]))
+                else:
+                    out_wkb.append(wkbmod.encode_polygon(crings))
+
+        take = pa.array(np.asarray(out_idx, dtype=np.int64))
+        cols = {
+            "tile_key": batch["tile_key"].take(take),
+            "doc_id": batch["doc_id"].take(take),
+            "span_idx": batch["span_idx"].take(take),
+            "part": pa.array(out_part, pa.int32()),
+            "geom_type": pa.array(np.asarray(out_type, dtype=np.uint8), pa.uint8()),
+            "geom_wkb": pa.array(out_wkb, pa.binary()),
+            "layer": batch["layer"].take(take),
+        }
+        if "props_json" in batch.column_names:
+            cols["props_json"] = batch["props_json"].take(take)
+        return pa.table(cols)
+
+
+def tilespace_prepare(batch: pa.Table) -> pa.Table:
+    """Task-form of :class:`TilespacePrepare` (stateless — elastic tasks
+    beat an autoscaling actor pool for this stage)."""
+    return TilespacePrepare()(batch)
+
+
+def sorted_block_encode(batch: pa.Table) -> pa.Table:
+    """Task-form of :class:`SortedBlockTileEncoder` (lon/lat input)."""
+    return SortedBlockTileEncoder()(batch)
+
+
+def sorted_block_finalize(batch: pa.Table) -> pa.Table:
+    """Task-form of SortedBlockTileEncoder(tilespace=True)."""
+    return SortedBlockTileEncoder(tilespace=True)(batch)
 
 
 # --------------------------------------------------------------- MVT reader
