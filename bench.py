@@ -121,13 +121,12 @@ def run_suite() -> dict:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     t0 = time.perf_counter()
-    pool = (max(2, ncpu // 4), max(2, ncpu // 2))  # pre-warmed actor pools
     scored = docs.map_batches(
-        text_stage.TokenCounter, batch_format="pyarrow", concurrency=pool,
+        text_stage.token_counter_batch, batch_format="pyarrow",
     ).map_batches(
-        text_stage.QualityScorer, batch_format="pyarrow", concurrency=pool,
+        text_stage.quality_scorer_batch, batch_format="pyarrow",
     ).map_batches(
-        text_stage.MinHasher, batch_format="pyarrow", concurrency=pool,
+        text_stage.minhasher_batch, batch_format="pyarrow",
     )
     scored.count()
     queries["text"] = round(time.perf_counter() - t0, 3)

@@ -109,6 +109,56 @@ class CompiledPolygon:
         self.maxx, self.maxy = outer.max(axis=0)
 
 
+def compile_polygons(rings_list) -> dict:
+    """Compile MANY polygons into flat numpy arrays (broadcast-friendly:
+    one ray.put object, zero-copy views per polygon on the worker side)."""
+    n = len(rings_list)
+    seg_counts = np.empty(n, dtype=np.int64)
+    parts = []
+    pbounds = np.empty((n, 4), dtype=np.float64)
+    for i, rings in enumerate(rings_list):
+        segs = np.concatenate([ring_segments(r) for r in rings])
+        parts.append(segs)
+        seg_counts[i] = len(segs)
+        outer = np.asarray(rings[0], dtype=np.float64).reshape(-1, 2)
+        pbounds[i, :2] = outer.min(axis=0)
+        pbounds[i, 2:] = outer.max(axis=0)
+    segs = np.concatenate(parts) if parts else np.empty((0, 2, 2))
+    x1 = segs[:, 0, 0]
+    y1 = segs[:, 0, 1]
+    x2 = segs[:, 1, 0]
+    y2 = segs[:, 1, 1]
+    a2 = y2 - y1
+    b2 = x1 - x2
+    rx1 = rounded_coords(x1)
+    ry1 = rounded_coords(y1)
+    rx2 = rounded_coords(x2)
+    ry2 = rounded_coords(y2)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(seg_counts, out=off[1:])
+    return {
+        "a2": a2, "b2": b2, "c2": a2 * x1 + b2 * y1,
+        "sminx": np.minimum(rx1, rx2), "smaxx": np.maximum(rx1, rx2),
+        "sminy": np.minimum(ry1, ry2), "smaxy": np.maximum(ry1, ry2),
+        "off": off, "pbounds": pbounds,
+    }
+
+
+def polygon_view(comp: dict, i: int) -> "CompiledPolygon":
+    """Zero-copy per-polygon view into a compile_polygons() bundle."""
+    cp = CompiledPolygon.__new__(CompiledPolygon)
+    lo, hi = comp["off"][i], comp["off"][i + 1]
+    cp.a2 = comp["a2"][lo:hi]
+    cp.b2 = comp["b2"][lo:hi]
+    cp.c2 = comp["c2"][lo:hi]
+    cp.sminx = comp["sminx"][lo:hi, None]
+    cp.smaxx = comp["smaxx"][lo:hi, None]
+    cp.sminy = comp["sminy"][lo:hi, None]
+    cp.smaxy = comp["smaxy"][lo:hi, None]
+    cp.minx, cp.miny, cp.maxx, cp.maxy = comp["pbounds"][i]
+    return cp
+
+
 def points_in_polygon(px: np.ndarray, py: np.ndarray, rings,
                       compiled: CompiledPolygon | None = None) -> np.ndarray:
     """Vectorized over query points; same semantics as point_in_rings.

@@ -251,9 +251,7 @@ def q_exact_dedup(sf_dir: str):
 
 def q_token_counts(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = docs.map_batches(
-        text_stage.TokenCounter, batch_format="pyarrow", concurrency=(1, 2)
-    )
+    out = docs.map_batches(text_stage.token_counter_batch, batch_format="pyarrow")
 
     def widen(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -320,9 +318,7 @@ def q_minhash_pairs(sf_dir: str):
     Non-SQL-expressible (sketches) → rows-only driver check; pytest plants
     near-duplicates and checks recall/precision against exact Jaccard."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = docs.map_batches(
-        text_stage.MinHasher, batch_format="pyarrow", concurrency=(1, 2)
-    )
+    sigs = docs.map_batches(text_stage.minhasher_batch, batch_format="pyarrow")
     bands = sigs.map_batches(
         lambda b: text_stage.lsh_bands(b, id_col="doc_id"), batch_format="pyarrow"
     )
@@ -356,9 +352,7 @@ def q_minhash_pairs(sf_dir: str):
 
 def q_simhash(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = docs.map_batches(
-        text_stage.SimHasher, batch_format="pyarrow", concurrency=(1, 2)
-    )
+    out = docs.map_batches(text_stage.simhasher_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "simhash"])
 
 

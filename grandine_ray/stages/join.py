@@ -27,10 +27,20 @@ from ..index.rtree import STRtree
 
 
 def polygons_payload(ids: list, wkb_blobs: list[bytes]) -> dict:
-    """Build the broadcastable polygon-side payload (decode once, driver)."""
+    """Build the broadcastable polygon-side payload ONCE on the driver:
+    decoded rings, bboxes, and the compiled PIP segment constants (flat
+    arrays — one object through ray.put, zero-copy views per polygon on
+    workers; per-actor recompilation was the dominant join cost)."""
+    from ..geom.predicates import compile_polygons
+
     gb = wkbmod.decode_wkb_batch(wkb_blobs)
     rings = [gb.rings_of(i) for i in range(len(gb))]
-    return {"ids": list(ids), "rings": rings, "bboxes": gb.bboxes()}
+    return {
+        "ids": list(ids),
+        "rings": rings,
+        "bboxes": gb.bboxes(),
+        "compiled": compile_polygons(rings),
+    }
 
 
 PIP_CELL_ZOOM = 6  # candidate grid: 64×64 world cells (tunable per density)
@@ -50,22 +60,24 @@ class PIPJoiner:
     """
 
     def __init__(self, poly_ref, cell_zoom: int = PIP_CELL_ZOOM):
-        from ..geom.predicates import CompiledPolygon
+        from ..geom.predicates import compile_polygons, polygon_view
 
         payload = ray.get(poly_ref) if isinstance(poly_ref, ray.ObjectRef) else poly_ref
         self.ids = payload["ids"]
-        self.rings = payload["rings"]
-        self.compiled = [CompiledPolygon(r) for r in payload["rings"]]
+        comp = payload.get("compiled")
+        if comp is None:
+            comp = compile_polygons(payload["rings"])
+        self.compiled = [polygon_view(comp, i) for i in range(len(self.ids))]
         self.bboxes = payload["bboxes"]
         self.zoom = cell_zoom
-        bb = self.bboxes
-        self.cells: dict[int, list[int]] = {}
-        if len(bb):
-            row, cx, cy = xyz.coverage_flatmap(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3],
-                                               cell_zoom)
-            keys = (cx << np.int64(32)) | cy
-            for r, k in zip(row.tolist(), keys.tolist()):
-                self.cells.setdefault(k, []).append(r)
+        cells = payload.get("cells")
+        if cells is None:
+            cells = build_cell_index(self.bboxes, cell_zoom)
+        # sorted-key arrays (zero-copy from plasma) → dict for O(1) lookup
+        self.cells: dict[int, list[int]] = {
+            int(k): cells["poly_idx"][cells["off"][i]:cells["off"][i + 1]].tolist()
+            for i, k in enumerate(cells["keys"])
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch["bbox_minx"].to_numpy(zero_copy_only=False)
@@ -94,8 +106,7 @@ class PIPJoiner:
                         continue
                     cand = sel[m]
                     inside = points_in_polygon(
-                        px[cand], py[cand], self.rings[pi],
-                        compiled=self.compiled[pi],
+                        px[cand], py[cand], None, compiled=self.compiled[pi]
                     )
                     hits = cand[inside]
                     if len(hits):
@@ -114,9 +125,34 @@ class PIPJoiner:
         )
 
 
-def pip_join(points_ds, poly_ids, poly_wkbs, concurrency=(1, 4)):
+def build_cell_index(bboxes: np.ndarray, cell_zoom: int) -> dict:
+    """cell key → polygon indices as flat sorted arrays (broadcastable)."""
+    if not len(bboxes):
+        return {"keys": np.empty(0, np.int64), "off": np.zeros(1, np.int64),
+                "poly_idx": np.empty(0, np.int64)}
+    row, cx, cy = xyz.coverage_flatmap(
+        bboxes[:, 0], bboxes[:, 1], bboxes[:, 2], bboxes[:, 3], cell_zoom
+    )
+    keys = (cx << np.int64(32)) | cy
+    order = np.argsort(keys, kind="stable")
+    keys_s = keys[order]
+    uniq, starts = np.unique(keys_s, return_index=True)
+    off = np.append(starts, len(keys_s)).astype(np.int64)
+    return {"keys": uniq, "off": off, "poly_idx": row[order]}
+
+
+def pip_join(points_ds, poly_ids, poly_wkbs, concurrency=(1, 4),
+             cell_zoom: int = PIP_CELL_ZOOM):
     payload = polygons_payload(poly_ids, poly_wkbs)
-    ref = ray.put(payload)
+    # strip the per-polygon ring objects (21k small arrays would pickle per
+    # actor); ship only flat arrays + fixed-width-unicode ids — zero-copy
+    slim = {
+        "ids": np.asarray(payload["ids"]),
+        "bboxes": payload["bboxes"],
+        "compiled": payload["compiled"],
+        "cells": build_cell_index(payload["bboxes"], cell_zoom),
+    }
+    ref = ray.put(slim)
     if isinstance(concurrency, tuple):
         # warm the pool: actor startup latency dominates short jobs otherwise
         concurrency = (max(concurrency[0], min(4, concurrency[1])), concurrency[1])

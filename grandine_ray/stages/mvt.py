@@ -465,13 +465,16 @@ class SortedBlockTileEncoder:
         order = pa.compute.sort_indices(batch, sort_keys=sort_keys)
         batch = batch.take(order)
         keys = batch["tile_key"].to_numpy(zero_copy_only=False)
-        blobs = batch["geom_wkb"].to_pylist()
         layers = batch["layer"].to_pylist()
         props_json = (
             batch["props_json"].to_pylist()
             if "props_json" in batch.column_names else None
         )
-        gb_all = wkbmod.decode_wkb_batch(blobs)
+        if "coords" in batch.column_names:
+            # Arrow-native ragged geometry (prepared path): zero decode cost
+            gb_all = ragged_to_geombatch(batch)
+        else:
+            gb_all = wkbmod.decode_wkb_batch(batch["geom_wkb"].to_pylist())
         types = gb_all.types
         geom_off = gb_all.geom_offsets
         ring_off = gb_all.ring_offsets
@@ -706,6 +709,31 @@ class TileFinalize:
         )
 
 
+def ragged_to_geombatch(batch: pa.Table) -> wkbmod.GeomBatch:
+    """Arrow ragged geometry columns → GeomBatch, fully vectorized.
+
+    Expects ``coords`` (list<float64>, interleaved x,y per row) and
+    ``ring_sizes`` (list<int32>, vertices per ring per row).
+    """
+    import pyarrow.compute as pc
+
+    ccol = batch["coords"].combine_chunks()
+    vals = pc.list_flatten(ccol).to_numpy(zero_copy_only=False)
+    rcol = batch["ring_sizes"].combine_chunks()
+    ring_sizes = pc.list_flatten(rcol).to_numpy(zero_copy_only=False).astype(np.int64)
+    nrings = pc.list_value_length(rcol).to_numpy(zero_copy_only=False).astype(np.int64)
+    geom_offsets = np.zeros(len(nrings) + 1, dtype=np.int64)
+    np.cumsum(nrings, out=geom_offsets[1:])
+    ring_offsets = np.zeros(len(ring_sizes) + 1, dtype=np.int64)
+    np.cumsum(ring_sizes, out=ring_offsets[1:])
+    return wkbmod.GeomBatch(
+        types=batch["geom_type"].to_numpy(zero_copy_only=False),
+        coords=vals.reshape(-1, 2),
+        ring_offsets=ring_offsets,
+        geom_offsets=geom_offsets,
+    )
+
+
 class TilespacePrepare:
     """Shuffle-free prepare stage: coverage rows → clipped tile-space rows.
 
@@ -713,10 +741,13 @@ class TilespacePrepare:
     key), so this runs as a plain ``map_batches`` over the *unsorted*
     coverage output — perfectly uniform parallelism, no skew. The sort
     shuffle that follows then carries only clipped tile-space geometry
-    (smaller than raw WKB, rows outside their tile already dropped), and
-    the finalize stage (SortedBlockTileEncoder(tilespace=True)) only has
-    merge + protobuf assembly left — shrinking the low-zoom mega-tile
-    straggler to its irreducible part.
+    as Arrow-native ragged columns (``coords`` list<float64> +
+    ``ring_sizes`` list<int32> — no WKB re-encode/re-decode between the
+    phases; fully-inside geometries are gathered with one vectorized
+    fancy-index), and the finalize stage
+    (SortedBlockTileEncoder(tilespace=True)) only has merge + protobuf
+    assembly left — shrinking the low-zoom mega-tile straggler to its
+    irreducible part.
     """
 
     def __init__(self, extent: int = EXTENT):
@@ -725,7 +756,19 @@ class TilespacePrepare:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return batch.append_column("part", pa.array([], pa.int32()))
+            cols = {
+                "tile_key": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], pa.string()),
+                "span_idx": pa.array([], pa.int32()),
+                "part": pa.array([], pa.int32()),
+                "geom_type": pa.array([], pa.uint8()),
+                "coords": pa.array([], pa.list_(pa.float64())),
+                "ring_sizes": pa.array([], pa.list_(pa.int32())),
+                "layer": pa.array([], pa.string()),
+            }
+            if "props_json" in batch.column_names:
+                cols["props_json"] = pa.array([], pa.string())
+            return pa.table(cols)
         keys = batch["tile_key"].to_numpy(zero_copy_only=False)
         blobs = batch["geom_wkb"].to_pylist()
         gb_all = wkbmod.decode_wkb_batch(blobs)
@@ -756,43 +799,29 @@ class TilespacePrepare:
         g_fully_in = (gminx >= 0) & (gmaxx <= ext) & (gminy >= 0) & (gmaxy <= ext)
         g_outside = (gmaxx < 0) | (gminx > ext) | (gmaxy < 0) | (gminy > ext)
 
-        out_idx: list[int] = []
-        out_part: list[int] = []
-        out_type: list[int] = []
-        out_wkb: list[bytes] = []
-        # fully vectorized 21-byte WKB encode for all in-tile points
-        pt_sel = np.nonzero(is_pt & g_fully_in)[0]
-        if len(pt_sel):
-            m = len(pt_sel)
-            raw = np.empty((m, 21), dtype=np.uint8)
-            raw[:, 0] = 1
-            raw[:, 1] = wkbmod.GEOM_POINT
-            raw[:, 2:5] = 0
-            raw[:, 5:] = (
-                np.ascontiguousarray(tcoords[g_starts[pt_sel]])
-                .view(np.uint8).reshape(m, 16)
-            )
-            buf = raw.tobytes()
-            out_wkb.extend(buf[i * 21:(i + 1) * 21] for i in range(m))
-            out_idx.extend(pt_sel.tolist())
-            out_part.extend([0] * m)
-            out_type.extend([wkbmod.GEOM_POINT] * m)
-        # fully-in lines/polygons re-encoded per feature
-        for i in np.nonzero(~is_pt & g_fully_in)[0].tolist():
-            out_idx.append(i)
-            out_part.append(0)
-            t = int(types[i])
-            out_type.append(t)
-            if t == wkbmod.GEOM_LINESTRING:
-                out_wkb.append(wkbmod.encode_linestring(
-                    tcoords[ring_off[geom_off[i]]:ring_off[geom_off[i] + 1]]))
-            else:
-                out_wkb.append(wkbmod.encode_polygon([
-                    tcoords[ring_off[r]:ring_off[r + 1]]
-                    for r in range(geom_off[i], geom_off[i + 1])
-                ]))
-        # border-crossing geometries: reference clip semantics per feature
+        # --- fully-in geometries: one vectorized gather -------------------
+        full_sel = np.nonzero(g_fully_in)[0]
+        pt_idx = wkbmod.expand_ranges(g_starts[full_sel], g_stops[full_sel])
+        full_coords = tcoords[pt_idx].reshape(-1)          # interleaved x,y
+        # per-row coord value counts (2 * n_points)
+        full_npts = (g_stops - g_starts)[full_sel]
+        # ring sizes per row, vectorized gather over the ring table
+        ring_idx = wkbmod.expand_ranges(geom_off[full_sel], geom_off[full_sel + 1])
+        ring_sz_all = (ring_off[1:] - ring_off[:-1])[ring_idx]
+        full_nrings = (geom_off[full_sel + 1] - geom_off[full_sel])
+
+        out_idx: list[int] = full_sel.tolist()
+        out_part: list[int] = [0] * len(full_sel)
+        out_type: list[int] = types[full_sel].tolist()
+        coords_parts: list[np.ndarray] = [full_coords]
+        coord_counts: list[np.ndarray] = [full_npts * 2]
+        ring_parts: list[np.ndarray] = [ring_sz_all]
+        ring_counts: list[np.ndarray] = [full_nrings]
+
+        # --- border-crossing geometries: reference clip per feature -------
         cross = np.nonzero(~g_fully_in & ~g_outside & ~is_pt)[0]
+        x_counts: list[int] = []
+        x_rcounts: list[int] = []
         for i in cross.tolist():
             rings = [
                 tcoords[ring_off[r]:ring_off[r + 1]]
@@ -803,11 +832,32 @@ class TilespacePrepare:
                 out_idx.append(i)
                 out_part.append(p)
                 out_type.append(gtype)
-                if gtype == wkbmod.GEOM_LINESTRING:
-                    out_wkb.append(wkbmod.encode_linestring(crings[0]))
-                else:
-                    out_wkb.append(wkbmod.encode_polygon(crings))
+                flat = np.concatenate([np.asarray(r).reshape(-1) for r in crings])
+                coords_parts.append(flat)
+                x_counts.append(len(flat))
+                ring_parts.append(
+                    np.asarray([len(r) for r in crings], dtype=np.int64)
+                )
+                x_rcounts.append(len(crings))
 
+        coord_counts.append(np.asarray(x_counts, dtype=np.int64))
+        ring_counts.append(np.asarray(x_rcounts, dtype=np.int64))
+        all_coords = np.concatenate(coords_parts) if coords_parts else np.empty(0)
+        all_counts = np.concatenate(coord_counts)
+        all_ring_sizes = np.concatenate(ring_parts) if ring_parts else np.empty(0, np.int64)
+        all_ring_counts = np.concatenate(ring_counts)
+        c_offsets = np.zeros(len(all_counts) + 1, dtype=np.int64)
+        np.cumsum(all_counts, out=c_offsets[1:])
+        r_offsets = np.zeros(len(all_ring_counts) + 1, dtype=np.int64)
+        np.cumsum(all_ring_counts, out=r_offsets[1:])
+
+        coords_arr = pa.ListArray.from_arrays(
+            pa.array(c_offsets, pa.int32()), pa.array(all_coords, pa.float64())
+        )
+        rings_arr = pa.ListArray.from_arrays(
+            pa.array(r_offsets, pa.int32()),
+            pa.array(all_ring_sizes.astype(np.int32), pa.int32()),
+        )
         take = pa.array(np.asarray(out_idx, dtype=np.int64))
         cols = {
             "tile_key": batch["tile_key"].take(take),
@@ -815,12 +865,158 @@ class TilespacePrepare:
             "span_idx": batch["span_idx"].take(take),
             "part": pa.array(out_part, pa.int32()),
             "geom_type": pa.array(np.asarray(out_type, dtype=np.uint8), pa.uint8()),
-            "geom_wkb": pa.array(out_wkb, pa.binary()),
+            "coords": coords_arr,
+            "ring_sizes": rings_arr,
             "layer": batch["layer"].take(take),
         }
         if "props_json" in batch.column_names:
             cols["props_json"] = batch["props_json"].take(take)
         return pa.table(cols)
+
+
+class SortedBlockLayerEncoder:
+    """Finalize phase A: (tile_key, layer)-sorted tile-space rows → one
+    encoded LAYER protobuf per (tile, layer) group.
+
+    Splitting finalize by layer parallelizes the low-zoom mega-tile
+    straggler ~n_layers-ways: merge + command encoding + tag interning are
+    all per-layer state, so layer messages are independent; phase B
+    (assemble_tiles) just concatenates them ordered by layer name —
+    byte-identical to single-pass assembly (tested).
+    """
+
+    def __init__(self, extent: int = EXTENT):
+        self.extent = extent
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tile_key": pa.array([], pa.uint64()),
+                "layer": pa.array([], pa.string()),
+                "layer_buf": pa.array([], pa.binary()),
+                "n_features": pa.array([], pa.int32()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        sort_keys = [
+            ("tile_key", "ascending"),
+            ("layer", "ascending"),
+            ("doc_id", "ascending"),
+            ("span_idx", "ascending"),
+        ]
+        if "part" in batch.column_names:
+            sort_keys.append(("part", "ascending"))
+        order = pa.compute.sort_indices(batch, sort_keys=sort_keys)
+        batch = batch.take(order)
+        keys = batch["tile_key"].to_numpy(zero_copy_only=False)
+        layer_col = batch["layer"].combine_chunks()
+        lcodes = pa.compute.dictionary_encode(layer_col)
+        lidx = lcodes.indices.to_numpy(zero_copy_only=False)
+        lnames = lcodes.dictionary.to_pylist()
+        props_json = (
+            batch["props_json"].to_pylist()
+            if "props_json" in batch.column_names else None
+        )
+        gb_all = ragged_to_geombatch(batch)
+        types = gb_all.types
+        geom_off = gb_all.geom_offsets
+        ring_off = gb_all.ring_offsets
+        g_starts, _ = gb_all.geom_point_ranges()
+        tcoords = gb_all.coords
+        ext = float(self.extent)
+        is_pt = types == wkbmod.GEOM_POINT
+        pt_x = np.trunc(tcoords[g_starts, 0]).astype(np.int64)
+        pt_y = np.trunc(tcoords[g_starts, 1]).astype(np.int64)
+
+        # group boundaries on (tile_key, layer code)
+        n = len(keys)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (keys[1:] != keys[:-1]) | (lidx[1:] != lidx[:-1])
+        starts = np.nonzero(new_grp)[0]
+        bounds = np.append(starts, n)
+
+        out_key, out_layer, out_buf, out_n = [], [], [], []
+        import json as _json
+
+        tp = (0.0, 0.0, 1.0, 1.0, self.extent)
+        for gi in range(len(starts)):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            feats = []
+            for i in range(lo, hi):
+                props = ()
+                if props_json is not None and props_json[i]:
+                    props = tuple(sorted(_json.loads(props_json[i]).items()))
+                if is_pt[i]:
+                    feats.append({"props": props, "type": 1,
+                                  "pt": (int(pt_x[i]), int(pt_y[i])), "rings": None})
+                else:
+                    rings = [
+                        tcoords[ring_off[r]:ring_off[r + 1]]
+                        for r in range(geom_off[i], geom_off[i + 1])
+                    ]
+                    feats.append({"props": props, "type": int(types[i]),
+                                  "rings": rings})
+            lname = lnames[lidx[lo]]
+            buf = _assemble_layer(feats, tp, lname)
+            if not buf:
+                continue
+            out_key.append(int(keys[lo]))
+            out_layer.append(lname)
+            out_buf.append(buf)
+            out_n.append(hi - lo)
+        if not out_key:
+            return empty
+        return pa.table(
+            {
+                "tile_key": pa.array(out_key, pa.uint64()),
+                "layer": pa.array(out_layer, pa.string()),
+                "layer_buf": pa.array(out_buf, pa.binary()),
+                "n_features": pa.array(out_n, pa.int32()),
+            }
+        )
+
+
+def assemble_tiles(batch: pa.Table) -> pa.Table:
+    """Finalize phase B: concatenate layer messages per tile (sorted by
+    layer name — the canonical order of encode_tile) → tile rows."""
+    if batch.num_rows == 0:
+        return _EMPTY_TILE_TABLE
+    order = pa.compute.sort_indices(
+        batch, sort_keys=[("tile_key", "ascending"), ("layer", "ascending")]
+    )
+    batch = batch.take(order)
+    keys = batch["tile_key"].to_numpy(zero_copy_only=False)
+    bufs = batch["layer_buf"].to_pylist()
+    nfeat = batch["n_features"].to_numpy(zero_copy_only=False)
+    uniq, starts = np.unique(keys, return_index=True)
+    bounds = np.append(starts, len(keys))
+    zs, xs, ys = xyz.tile_key_unpack(uniq)
+    out_z, out_x, out_y, out_mvt, out_n, out_b = [], [], [], [], [], []
+    for gi in range(len(uniq)):
+        lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+        buf = b"".join(_len_field(3, bufs[i]) for i in range(lo, hi))
+        out_z.append(int(zs[gi]))
+        out_x.append(int(xs[gi]))
+        out_y.append(int(ys[gi]))
+        out_mvt.append(buf)
+        out_n.append(int(nfeat[lo:hi].sum()))
+        out_b.append(len(buf))
+    return pa.table(
+        {
+            "z": pa.array(out_z, pa.int8()),
+            "x": pa.array(out_x, pa.int32()),
+            "y": pa.array(out_y, pa.int32()),
+            "mvt": pa.array(out_mvt, pa.binary()),
+            "n_features": pa.array(out_n, pa.int32()),
+            "bytes": pa.array(out_b, pa.int64()),
+        }
+    )
+
+
+def sorted_block_layer_encode(batch: pa.Table) -> pa.Table:
+    return SortedBlockLayerEncoder()(batch)
 
 
 def tilespace_prepare(batch: pa.Table) -> pa.Table:

@@ -222,6 +222,39 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(out, pa.uint64()))
 
 
+# Task-form wrappers: state (compiled regexes, permutation tables) is
+# cached per *worker process* in a module global — actor-like amortization
+# with elastic task scheduling (no pool spin-up for short jobs).
+_WORKER_CACHE: dict = {}
+
+
+def _inst(cls):
+    inst = _WORKER_CACHE.get(cls)
+    if inst is None:
+        inst = _WORKER_CACHE[cls] = cls()
+    return inst
+
+
+def token_counter_batch(batch: pa.Table) -> pa.Table:
+    return _inst(TokenCounter)(batch)
+
+
+def quality_scorer_batch(batch: pa.Table) -> pa.Table:
+    return _inst(QualityScorer)(batch)
+
+
+def minhasher_batch(batch: pa.Table) -> pa.Table:
+    return _inst(MinHasher)(batch)
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    return _inst(LangId)(batch)
+
+
+def simhasher_batch(batch: pa.Table) -> pa.Table:
+    return _inst(SimHasher)(batch)
+
+
 def rolling_fingerprint(batch: pa.Table, window: int = 16) -> pa.Table:
     """Rabin-style rolling-hash document fingerprint (min-sampled)."""
     texts = batch["text"].to_pylist()
