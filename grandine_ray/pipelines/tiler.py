@@ -171,7 +171,7 @@ def tile_dataset(
         from ..stages.mvt import assemble_tiles, sorted_block_layer_encode
 
         prepared = tiled.map_batches(tilespace_prepare, batch_format="pyarrow")
-        layer_bufs = prepared.sort(["tile_key", "layer"]).map_batches(
+        layer_bufs = prepared.sort(["tile_key", "lhash"]).map_batches(
             sorted_block_layer_encode, batch_format="pyarrow", batch_size=None,
             zero_copy_batch=True,
         )

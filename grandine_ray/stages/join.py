@@ -141,11 +141,26 @@ def build_cell_index(bboxes: np.ndarray, cell_zoom: int) -> dict:
     return {"keys": uniq, "off": off, "poly_idx": row[order]}
 
 
-def pip_join(points_ds, poly_ids, poly_wkbs, concurrency=(1, 4),
+_JOINER_CACHE: dict = {}
+
+
+def _cached_joiner(ref) -> "PIPJoiner":
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    j = _JOINER_CACHE.get(key)
+    if j is None:
+        _JOINER_CACHE.clear()  # one live join side per worker is enough
+        j = _JOINER_CACHE[key] = PIPJoiner(ref)
+    return j
+
+
+def pip_join(points_ds, poly_ids, poly_wkbs, concurrency=None,
              cell_zoom: int = PIP_CELL_ZOOM):
+    """Runs as stateless tasks with a per-worker-process singleton joiner:
+    long-lived Ray workers cache the broadcast index after the first batch
+    (actor-pool semantics without pool spin-up or per-actor init storms)."""
     payload = polygons_payload(poly_ids, poly_wkbs)
     # strip the per-polygon ring objects (21k small arrays would pickle per
-    # actor); ship only flat arrays + fixed-width-unicode ids — zero-copy
+    # worker); ship only flat arrays + fixed-width-unicode ids — zero-copy
     slim = {
         "ids": np.asarray(payload["ids"]),
         "bboxes": payload["bboxes"],
@@ -153,13 +168,11 @@ def pip_join(points_ds, poly_ids, poly_wkbs, concurrency=(1, 4),
         "cells": build_cell_index(payload["bboxes"], cell_zoom),
     }
     ref = ray.put(slim)
-    if isinstance(concurrency, tuple):
-        # warm the pool: actor startup latency dominates short jobs otherwise
-        concurrency = (max(concurrency[0], min(4, concurrency[1])), concurrency[1])
-    return points_ds.map_batches(
-        PIPJoiner, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        return _cached_joiner(ref)(batch)
+
+    return points_ds.map_batches(join_batch, batch_format="pyarrow")
 
 
 def pip_join_bruteforce(points, polys) -> set:

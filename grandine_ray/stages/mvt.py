@@ -709,6 +709,19 @@ class TileFinalize:
         )
 
 
+def _layer_hash_column(layer_col) -> pa.Array:
+    """crc32 of the layer name per row (via dictionary encode — few
+    distinct values), stable across processes."""
+    import zlib
+
+    arr = layer_col.combine_chunks() if isinstance(layer_col, pa.ChunkedArray) else layer_col
+    enc = pa.compute.dictionary_encode(arr)
+    dic = enc.dictionary.to_pylist()
+    crcs = np.asarray([zlib.crc32(s.encode()) for s in dic], dtype=np.uint32)
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return pa.array(crcs[idx], pa.uint32())
+
+
 def ragged_to_geombatch(batch: pa.Table) -> wkbmod.GeomBatch:
     """Arrow ragged geometry columns → GeomBatch, fully vectorized.
 
@@ -762,9 +775,9 @@ class TilespacePrepare:
                 "span_idx": pa.array([], pa.int32()),
                 "part": pa.array([], pa.int32()),
                 "geom_type": pa.array([], pa.uint8()),
-                "coords": pa.array([], pa.list_(pa.float64())),
-                "ring_sizes": pa.array([], pa.list_(pa.int32())),
+                "geom_wkb": pa.array([], pa.binary()),
                 "layer": pa.array([], pa.string()),
+                "lhash": pa.array([], pa.uint32()),
             }
             if "props_json" in batch.column_names:
                 cols["props_json"] = pa.array([], pa.string())
@@ -799,29 +812,45 @@ class TilespacePrepare:
         g_fully_in = (gminx >= 0) & (gmaxx <= ext) & (gminy >= 0) & (gmaxy <= ext)
         g_outside = (gmaxx < 0) | (gminx > ext) | (gmaxy < 0) | (gminy > ext)
 
-        # --- fully-in geometries: one vectorized gather -------------------
-        full_sel = np.nonzero(g_fully_in)[0]
-        pt_idx = wkbmod.expand_ranges(g_starts[full_sel], g_stops[full_sel])
-        full_coords = tcoords[pt_idx].reshape(-1)          # interleaved x,y
-        # per-row coord value counts (2 * n_points)
-        full_npts = (g_stops - g_starts)[full_sel]
-        # ring sizes per row, vectorized gather over the ring table
-        ring_idx = wkbmod.expand_ranges(geom_off[full_sel], geom_off[full_sel + 1])
-        ring_sz_all = (ring_off[1:] - ring_off[:-1])[ring_idx]
-        full_nrings = (geom_off[full_sel + 1] - geom_off[full_sel])
-
-        out_idx: list[int] = full_sel.tolist()
-        out_part: list[int] = [0] * len(full_sel)
-        out_type: list[int] = types[full_sel].tolist()
-        coords_parts: list[np.ndarray] = [full_coords]
-        coord_counts: list[np.ndarray] = [full_npts * 2]
-        ring_parts: list[np.ndarray] = [ring_sz_all]
-        ring_counts: list[np.ndarray] = [full_nrings]
-
-        # --- border-crossing geometries: reference clip per feature -------
+        # Payload is tile-space WKB in ONE binary column: a binary column
+        # sorts/shuffles ~12× cheaper than ragged list<float64> columns in
+        # Ray's range shuffle (sliced list arrays re-serialize their full
+        # value buffers). Points are bulk-encoded vectorized.
+        out_idx: list[int] = []
+        out_part: list[int] = []
+        out_type: list[int] = []
+        out_wkb: list[bytes] = []
+        pt_sel = np.nonzero(is_pt & g_fully_in)[0]
+        if len(pt_sel):
+            m = len(pt_sel)
+            raw = np.empty((m, 21), dtype=np.uint8)
+            raw[:, 0] = 1
+            raw[:, 1] = wkbmod.GEOM_POINT
+            raw[:, 2:5] = 0
+            raw[:, 5:] = (
+                np.ascontiguousarray(tcoords[g_starts[pt_sel]])
+                .view(np.uint8).reshape(m, 16)
+            )
+            buf = raw.tobytes()
+            out_wkb.extend(buf[i * 21:(i + 1) * 21] for i in range(m))
+            out_idx.extend(pt_sel.tolist())
+            out_part.extend([0] * m)
+            out_type.extend([wkbmod.GEOM_POINT] * m)
+        for i in np.nonzero(~is_pt & g_fully_in)[0].tolist():
+            out_idx.append(i)
+            out_part.append(0)
+            t = int(types[i])
+            out_type.append(t)
+            if t == wkbmod.GEOM_LINESTRING:
+                out_wkb.append(wkbmod.encode_linestring(
+                    tcoords[ring_off[geom_off[i]]:ring_off[geom_off[i] + 1]]))
+            else:
+                out_wkb.append(wkbmod.encode_polygon([
+                    tcoords[ring_off[r]:ring_off[r + 1]]
+                    for r in range(geom_off[i], geom_off[i + 1])
+                ]))
+        # border-crossing geometries: reference clip semantics per feature
         cross = np.nonzero(~g_fully_in & ~g_outside & ~is_pt)[0]
-        x_counts: list[int] = []
-        x_rcounts: list[int] = []
         for i in cross.tolist():
             rings = [
                 tcoords[ring_off[r]:ring_off[r + 1]]
@@ -832,42 +861,26 @@ class TilespacePrepare:
                 out_idx.append(i)
                 out_part.append(p)
                 out_type.append(gtype)
-                flat = np.concatenate([np.asarray(r).reshape(-1) for r in crings])
-                coords_parts.append(flat)
-                x_counts.append(len(flat))
-                ring_parts.append(
-                    np.asarray([len(r) for r in crings], dtype=np.int64)
-                )
-                x_rcounts.append(len(crings))
+                if gtype == wkbmod.GEOM_LINESTRING:
+                    out_wkb.append(wkbmod.encode_linestring(crings[0]))
+                else:
+                    out_wkb.append(wkbmod.encode_polygon(crings))
 
-        coord_counts.append(np.asarray(x_counts, dtype=np.int64))
-        ring_counts.append(np.asarray(x_rcounts, dtype=np.int64))
-        all_coords = np.concatenate(coords_parts) if coords_parts else np.empty(0)
-        all_counts = np.concatenate(coord_counts)
-        all_ring_sizes = np.concatenate(ring_parts) if ring_parts else np.empty(0, np.int64)
-        all_ring_counts = np.concatenate(ring_counts)
-        c_offsets = np.zeros(len(all_counts) + 1, dtype=np.int64)
-        np.cumsum(all_counts, out=c_offsets[1:])
-        r_offsets = np.zeros(len(all_ring_counts) + 1, dtype=np.int64)
-        np.cumsum(all_ring_counts, out=r_offsets[1:])
-
-        coords_arr = pa.ListArray.from_arrays(
-            pa.array(c_offsets, pa.int32()), pa.array(all_coords, pa.float64())
-        )
-        rings_arr = pa.ListArray.from_arrays(
-            pa.array(r_offsets, pa.int32()),
-            pa.array(all_ring_sizes.astype(np.int32), pa.int32()),
-        )
         take = pa.array(np.asarray(out_idx, dtype=np.int64))
+        layer_taken = batch["layer"].take(take)
         cols = {
             "tile_key": batch["tile_key"].take(take),
             "doc_id": batch["doc_id"].take(take),
             "span_idx": batch["span_idx"].take(take),
             "part": pa.array(out_part, pa.int32()),
             "geom_type": pa.array(np.asarray(out_type, dtype=np.uint8), pa.uint8()),
-            "coords": coords_arr,
-            "ring_sizes": rings_arr,
-            "layer": batch["layer"].take(take),
+            "geom_wkb": pa.array(out_wkb, pa.binary()),
+            "layer": layer_taken,
+            # deterministic numeric layer key: sorting by (tile_key, lhash)
+            # is far cheaper in the range shuffle than a string sort key;
+            # crc collisions are harmless (the in-block canonical sort
+            # re-separates by the actual layer string)
+            "lhash": _layer_hash_column(layer_taken),
         }
         if "props_json" in batch.column_names:
             cols["props_json"] = batch["props_json"].take(take)
@@ -918,7 +931,10 @@ class SortedBlockLayerEncoder:
             batch["props_json"].to_pylist()
             if "props_json" in batch.column_names else None
         )
-        gb_all = ragged_to_geombatch(batch)
+        if "coords" in batch.column_names:
+            gb_all = ragged_to_geombatch(batch)
+        else:
+            gb_all = wkbmod.decode_wkb_batch(batch["geom_wkb"].to_pylist())
         types = gb_all.types
         geom_off = gb_all.geom_offsets
         ring_off = gb_all.ring_offsets
