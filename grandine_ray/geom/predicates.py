@@ -109,6 +109,21 @@ class CompiledPolygon:
         self.maxx, self.maxy = outer.max(axis=0)
 
 
+def _compile_from_segments(x1, y1, x2, y2, off, pbounds) -> dict:
+    a2 = y2 - y1
+    b2 = x1 - x2
+    rx1 = rounded_coords(x1)
+    ry1 = rounded_coords(y1)
+    rx2 = rounded_coords(x2)
+    ry2 = rounded_coords(y2)
+    return {
+        "a2": a2, "b2": b2, "c2": a2 * x1 + b2 * y1,
+        "sminx": np.minimum(rx1, rx2), "smaxx": np.maximum(rx1, rx2),
+        "sminy": np.minimum(ry1, ry2), "smaxy": np.maximum(ry1, ry2),
+        "off": off, "pbounds": pbounds,
+    }
+
+
 def compile_polygons(rings_list) -> dict:
     """Compile MANY polygons into flat numpy arrays (broadcast-friendly:
     one ray.put object, zero-copy views per polygon on the worker side)."""
@@ -124,24 +139,54 @@ def compile_polygons(rings_list) -> dict:
         pbounds[i, :2] = outer.min(axis=0)
         pbounds[i, 2:] = outer.max(axis=0)
     segs = np.concatenate(parts) if parts else np.empty((0, 2, 2))
-    x1 = segs[:, 0, 0]
-    y1 = segs[:, 0, 1]
-    x2 = segs[:, 1, 0]
-    y2 = segs[:, 1, 1]
-    a2 = y2 - y1
-    b2 = x1 - x2
-    rx1 = rounded_coords(x1)
-    ry1 = rounded_coords(y1)
-    rx2 = rounded_coords(x2)
-    ry2 = rounded_coords(y2)
     off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(seg_counts, out=off[1:])
-    return {
-        "a2": a2, "b2": b2, "c2": a2 * x1 + b2 * y1,
-        "sminx": np.minimum(rx1, rx2), "smaxx": np.maximum(rx1, rx2),
-        "sminy": np.minimum(ry1, ry2), "smaxy": np.maximum(ry1, ry2),
-        "off": off, "pbounds": pbounds,
-    }
+    return _compile_from_segments(
+        segs[:, 0, 0], segs[:, 0, 1], segs[:, 1, 0], segs[:, 1, 1], off, pbounds
+    )
+
+
+def compile_polygons_ragged(coords, ring_offsets, geom_offsets) -> dict:
+    """Fully vectorized compile from a GeomBatch-style ragged layout (no
+    per-polygon Python loop — required for large broadcast polygon sets).
+
+    Each ring of n (unclosed) vertices yields exactly n segments (incl. the
+    closing one), so segment start = every vertex and segment end = the
+    next vertex with ring-last wrapping to ring-first.
+    """
+    coords = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+    geom_offsets = np.asarray(geom_offsets, dtype=np.int64)
+    total = len(coords)
+    nxt = np.arange(1, total + 1, dtype=np.int64)
+    ring_last = ring_offsets[1:] - 1
+    nxt[ring_last] = ring_offsets[:-1]
+    x1 = coords[:, 0]
+    y1 = coords[:, 1]
+    x2 = coords[nxt, 0]
+    y2 = coords[nxt, 1]
+    off = ring_offsets[geom_offsets]
+    # outer-ring bbox per polygon (reference: poly[0].BBox(), point.go:73)
+    o_starts = ring_offsets[geom_offsets[:-1]]
+    o_stops = ring_offsets[geom_offsets[:-1] + 1]
+    from .wkb import expand_ranges
+
+    o_idx = expand_ranges(o_starts, o_stops)
+    o_sizes = o_stops - o_starts
+    o_off = np.zeros(len(o_sizes), dtype=np.int64)
+    np.cumsum(o_sizes[:-1], out=o_off[1:])
+    ox = coords[o_idx, 0]
+    oy = coords[o_idx, 1]
+    pbounds = np.stack(
+        [
+            np.minimum.reduceat(ox, o_off),
+            np.minimum.reduceat(oy, o_off),
+            np.maximum.reduceat(ox, o_off),
+            np.maximum.reduceat(oy, o_off),
+        ],
+        axis=1,
+    )
+    return _compile_from_segments(x1, y1, x2, y2, off, pbounds)
 
 
 def polygon_view(comp: dict, i: int) -> "CompiledPolygon":

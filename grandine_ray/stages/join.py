@@ -28,18 +28,18 @@ from ..index.rtree import STRtree
 
 def polygons_payload(ids: list, wkb_blobs: list[bytes]) -> dict:
     """Build the broadcastable polygon-side payload ONCE on the driver:
-    decoded rings, bboxes, and the compiled PIP segment constants (flat
-    arrays — one object through ray.put, zero-copy views per polygon on
-    workers; per-actor recompilation was the dominant join cost)."""
-    from ..geom.predicates import compile_polygons
+    bboxes + compiled PIP segment constants (flat arrays via the fully
+    vectorized ragged compile — one object through ray.put, zero-copy
+    views per polygon on workers)."""
+    from ..geom.predicates import compile_polygons_ragged
 
     gb = wkbmod.decode_wkb_batch(wkb_blobs)
-    rings = [gb.rings_of(i) for i in range(len(gb))]
     return {
         "ids": list(ids),
-        "rings": rings,
         "bboxes": gb.bboxes(),
-        "compiled": compile_polygons(rings),
+        "compiled": compile_polygons_ragged(
+            gb.coords, gb.ring_offsets, gb.geom_offsets
+        ),
     }
 
 
@@ -60,24 +60,38 @@ class PIPJoiner:
     """
 
     def __init__(self, poly_ref, cell_zoom: int = PIP_CELL_ZOOM):
-        from ..geom.predicates import compile_polygons, polygon_view
+        from ..geom.predicates import compile_polygons
 
         payload = ray.get(poly_ref) if isinstance(poly_ref, ray.ObjectRef) else poly_ref
         self.ids = payload["ids"]
-        comp = payload.get("compiled")
-        if comp is None:
-            comp = compile_polygons(payload["rings"])
-        self.compiled = [polygon_view(comp, i) for i in range(len(self.ids))]
+        self.comp = payload.get("compiled")
+        if self.comp is None:
+            self.comp = compile_polygons(payload["rings"])
+        self._views: dict[int, object] = {}  # lazy per-polygon views
         self.bboxes = payload["bboxes"]
         self.zoom = cell_zoom
         cells = payload.get("cells")
         if cells is None:
             cells = build_cell_index(self.bboxes, cell_zoom)
-        # sorted-key arrays (zero-copy from plasma) → dict for O(1) lookup
-        self.cells: dict[int, list[int]] = {
-            int(k): cells["poly_idx"][cells["off"][i]:cells["off"][i + 1]].tolist()
-            for i, k in enumerate(cells["keys"])
-        }
+        # sorted-key arrays straight from plasma (zero-copy; O(log n)
+        # searchsorted lookup — no per-worker dict build over all cells)
+        self.cell_keys = cells["keys"]
+        self.cell_off = cells["off"]
+        self.cell_poly = cells["poly_idx"]
+
+    def _view(self, pi: int):
+        v = self._views.get(pi)
+        if v is None:
+            from ..geom.predicates import polygon_view
+
+            v = self._views[pi] = polygon_view(self.comp, pi)
+        return v
+
+    def _cell_polys(self, key: int):
+        j = np.searchsorted(self.cell_keys, key)
+        if j >= len(self.cell_keys) or self.cell_keys[j] != key:
+            return None
+        return self.cell_poly[self.cell_off[j]:self.cell_off[j + 1]]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch["bbox_minx"].to_numpy(zero_copy_only=False)
@@ -93,20 +107,20 @@ class PIPJoiner:
             uniq, starts = np.unique(sk, return_index=True)
             bounds = np.append(starts, len(sk))
             for ci in range(len(uniq)):
-                polys = self.cells.get(int(uniq[ci]))
-                if not polys:
+                polys = self._cell_polys(int(uniq[ci]))
+                if polys is None or not len(polys):
                     continue
                 sel = order[bounds[ci]:bounds[ci + 1]]
                 spx = px[sel]
                 spy = py[sel]
-                for pi in polys:
+                for pi in polys.tolist():
                     bb = self.bboxes[pi]
                     m = (spx >= bb[0]) & (spx <= bb[2]) & (spy >= bb[1]) & (spy <= bb[3])
                     if not m.any():
                         continue
                     cand = sel[m]
                     inside = points_in_polygon(
-                        px[cand], py[cand], None, compiled=self.compiled[pi]
+                        px[cand], py[cand], None, compiled=self._view(pi)
                     )
                     hits = cand[inside]
                     if len(hits):
