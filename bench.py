@@ -145,6 +145,32 @@ def run_suite() -> dict:
     return result
 
 
+def cpu_ceiling(lo: int, hi: int) -> dict:
+    """Measure this machine's aggregate-compute scaling ceiling: N parallel
+    numpy-sort processes at both widths. On shared/virtualized hosts the
+    per-core throughput drops under full load (memory bandwidth, frequency,
+    host contention), capping the best achievable pipeline efficiency
+    below 1.0 — report it so efficiency can be judged against hardware."""
+    import statistics
+
+    code = ("import numpy as np, time; a=np.random.rand(3_000_000); "
+            "t0=time.time()\n"
+            "for _ in range(40): b=np.sort(a)\n"
+            "print('%.3f' % (time.time()-t0))")
+    out = {}
+    for n in (lo, hi):
+        procs = [subprocess.Popen([sys.executable, "-c", code],
+                                  stdout=subprocess.PIPE, text=True)
+                 for _ in range(n)]
+        vals = [float(p.communicate()[0].strip()) for p in procs]
+        out[n] = n / statistics.mean(vals)
+    return {
+        "agg_throughput_lo": round(out[lo], 2),
+        "agg_throughput_hi": round(out[hi], 2),
+        "hw_ceiling": round(out[hi] / (out[lo] * (hi / lo)), 3),
+    }
+
+
 def run_child(ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     out = subprocess.run(
@@ -165,6 +191,7 @@ def main():
         eff = thr_hi / (thr_lo * (hi / lo))
         # total-suite efficiency as a secondary signal
         eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        hw = cpu_ceiling(lo, hi)
         print(json.dumps({
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
@@ -173,6 +200,8 @@ def main():
             "tiles_per_sec_lo": thr_lo, "tiles_per_sec_hi": thr_hi,
             "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
             "suite_efficiency": round(eff_total, 3),
+            **hw,
+            "efficiency_vs_hw_ceiling": round(eff / hw["hw_ceiling"], 3),
             "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
         }))
         return
