@@ -362,6 +362,84 @@ def q_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate over the events stream table
+    (pre-aggregated inside map_batches before the small groupby)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hour = ts.astype("datetime64[h]")
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pa.array(hour.astype("datetime64[us]")),
+                "value": batch["value"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        ev.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        # integer milli-units: float sums differ in the last ulp between
+        # engines (non-associative addition), so compare exact integers
+        sv = batch["sum_value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": batch["window_start"],
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                "sum_value_milli": pa.array(
+                    np.round(sv * 1000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (exact at this scale: corpus
+    broadcast + per-batch matmul; the LSH-bucketed variant in stages/ann.py
+    is the approximate scale path)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.take_all()
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    m = ann_stage.normalize(np.asarray([r["embedding"] for r in rows],
+                                       dtype=np.float64))
+    import ray as _ray
+
+    ref = _ray.put({"ids": ids, "m": m})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        corpus = _ray.get(ref)
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        bm = ann_stage.normalize(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        scores = np.round(bm @ corpus["m"].T, 3)
+        bi, cj = np.nonzero(scores >= 0.4)
+        a = bids[bi]
+        b = corpus["ids"][cj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(scores[bi, cj][keep], pa.float64()),
+            }
+        )
+
+    return emb.map_batches(pairs, batch_format="pyarrow", batch_size=512)
+
+
 def q_global_bbox(sf_dir: str):
     """Global bbox + feature count (A2/A3: running BBox.ExtendWith /
     Count over all features — here a tree aggregate)."""
@@ -472,6 +550,8 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
+    "events_window": q_events_window,
+    "embedding_dedup": q_embedding_dedup,
     "global_bbox": q_global_bbox,
     "simplify": q_simplify,
     "raster_stats": q_raster_stats,
@@ -578,6 +658,20 @@ SELECT g.doc_id, g.span_idx, t.target_id
 FROM g CROSS JOIN t
 WHERE NOT (g.bbox_minx > t.tmaxx OR g.bbox_maxx < t.tminx
            OR g.bbox_miny > t.tmaxy OR g.bbox_maxy < t.tminy)""",
+    "events_window": """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(value) * 1000) AS BIGINT) AS sum_value_milli
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "embedding_dedup": """
+WITH n AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3)
+         AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3)
+      >= 0.4""",
     "global_bbox": _BBOX_CTE + """
 SELECT MIN(bbox_minx) AS minx, MIN(bbox_miny) AS miny,
        MAX(bbox_maxx) AS maxx, MAX(bbox_maxy) AS maxy,

@@ -1,0 +1,60 @@
+"""Remaining operator-surface tests: topology, zoom filter, center, fs seam."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from grandine_ray.geom import wkb
+from grandine_ray.geom.ops import line_center
+from grandine_ray.geom.predicates import valid_topology
+from grandine_ray.index import xyz
+from grandine_ray.stages.coverage import make_coverage_fn
+
+
+def test_valid_topology():
+    # polygon_test.go:116-122
+    assert valid_topology([np.array([[3, 4], [2, 9], [1, 4]], float)]) is True
+    assert valid_topology([np.array([[3, 4], [2, 9], [1, 4], [1, 5]], float)]) is False
+
+
+def test_line_center():
+    # square centroid
+    cx, cy = line_center(np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float))
+    assert (round(cx, 9), round(cy, 9)) == (2.0, 2.0)
+
+
+def test_coverage_zoom_visibility():
+    # renderable semantics (tiler.go:230-248): zoom_min/max filter per zoom
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "span_idx": pa.array([0, 0, 0], pa.int32()),
+            "geom_type": pa.array([1, 1, 1], pa.uint8()),
+            "geom_wkb": pa.array([wkb.encode_point(10, 10)] * 3, pa.binary()),
+            "bbox_minx": pa.array([10.0] * 3),
+            "bbox_miny": pa.array([10.0] * 3),
+            "bbox_maxx": pa.array([10.0] * 3),
+            "bbox_maxy": pa.array([10.0] * 3),
+            "layer": pa.array(["default"] * 3),
+            "zoom_min": pa.array([0, 5, 0], pa.int8()),
+            "zoom_max": pa.array([99, 99, 3], pa.int8()),
+        }
+    )
+    out = make_coverage_fn([0, 4, 6])(batch)
+    z, _, _ = xyz.tile_key_unpack(out["tile_key"].to_numpy(zero_copy_only=False))
+    seen = sorted(zip(out["doc_id"].to_pylist(), z.tolist()))
+    # a: all zooms; b: only z>=5 → 6; c: only z<=3 → 0
+    assert seen == [("a", 0), ("a", 4), ("a", 6), ("b", 6), ("c", 0)]
+
+
+def test_tile_writer_fs_seam(tmp_path):
+    from grandine_ray.state.tilefs import TileWriter
+
+    w = TileWriter(str(tmp_path))
+    w.write_tile(3, 4, 5, b"abc", ext="mvt")
+    assert (tmp_path / "3" / "4" / "5.mvt").read_bytes() == b"abc"
+    # gzip variant (reference -compress flag, tiler.go:269-294)
+    w2 = TileWriter(str(tmp_path), compress=True)
+    w2.write_tile(3, 4, 6, b"abcabcabc", ext="mvt")
+    import gzip
+
+    assert gzip.decompress((tmp_path / "3" / "4" / "6.mvt.gz").read_bytes()) == b"abcabcabc"
