@@ -27,7 +27,9 @@ class TileWriter:
         self.fs.create_dir(d, recursive=True)
         name = f"{y}.{ext}.gz" if self.compress else f"{y}.{ext}"
         payload = _gzip.compress(data) if self.compress else data
-        with self.fs.open_output_stream(posixpath.join(d, name)) as f:
+        # compression=None: pyarrow would otherwise auto-gzip ".gz" paths
+        # on top of our explicit gzip payload
+        with self.fs.open_output_stream(posixpath.join(d, name), compression=None) as f:
             f.write(payload)
 
     def write_batch(self, batch) -> int:
