@@ -75,6 +75,43 @@ def run_suite() -> dict:
     extras["tiles"] = n_tiles
     extras["tiles_per_sec"] = round(n_tiles / wall, 1)
 
+    # ---- tiler_deep: zooms 9..14 on size-bounded features ---------------
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from grandine_ray.pipelines.tiler import tile_dataset
+
+    deep_corpus = synth.ensure_corpus(10_000)
+
+    def small_feats(batch: pa.Table) -> pa.Table:
+        w = _pc.subtract(batch["bbox_maxx"], batch["bbox_minx"])
+        h = _pc.subtract(batch["bbox_maxy"], batch["bbox_miny"])
+        return batch.filter(_pc.and_(_pc.less(w, 0.5), _pc.less(h, 0.5)))
+
+    t0 = time.perf_counter()
+    deep_docs = rd.read_parquet(synth.docs_path(deep_corpus))
+    deep_feats = deep_docs.map_batches(extract_features, batch_format="pyarrow")
+    deep_feats = deep_feats.map_batches(small_feats, batch_format="pyarrow")
+    # reuse tile_dataset's shuffle+encode by entering after extract
+    from grandine_ray.stages.coverage import make_coverage_fn
+    from grandine_ray.stages.mvt import (
+        assemble_tiles, sorted_block_layer_encode, tilespace_prepare,
+    )
+
+    deep_tiled = deep_feats.map_batches(
+        make_coverage_fn(list(range(9, 15))), batch_format="pyarrow"
+    ).map_batches(tilespace_prepare, batch_format="pyarrow")
+    deep_tiles = deep_tiled.sort(["tile_key", "lhash"]).map_batches(
+        sorted_block_layer_encode, batch_format="pyarrow", batch_size=None,
+    ).materialize().sort("tile_key").map_batches(
+        assemble_tiles, batch_format="pyarrow", batch_size=None,
+    )
+    n_deep = deep_tiles.count()
+    wall = time.perf_counter() - t0
+    queries["tiler_deep"] = round(wall, 3)
+    extras["deep_tiles"] = int(n_deep)
+    extras["deep_tiles_per_sec"] = round(n_deep / wall, 1)
+
     # ---- pip_join -------------------------------------------------------
     feats = rd.read_parquet(synth.docs_path(corpus)).map_batches(
         extract_features, batch_format="pyarrow"

@@ -32,6 +32,9 @@ from ..stages.extract import extract_features
 from ..index.cells import s2_cell_id, h3ish_cell_id
 
 COVERAGE_ZOOMS = [0, 2, 4, 6]
+DEEP_ZOOM = 14          # deepest metric zoom, checked on size-bounded features
+DEEP_MAX_SPAN = 0.5     # deg — a continent-sized fixture polygon would cover
+                        # ~11M z14 tiles; both engines cap identically
 ORACLE_CORPUS = "/tmp/graft_synth/docs_10000"  # sf0.01 ⇒ 10k docs (synth.py)
 
 # fixture query points for kNN (the reference tile-test vectors; first rows
@@ -90,6 +93,37 @@ def q_tile_coverage(sf_dir: str):
     cell assignment, lib/tile/bbox.go semantics)."""
     tiled = _features_ds(sf_dir).map_batches(
         make_coverage_fn(COVERAGE_ZOOMS), batch_format="pyarrow"
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        z, x, y = xyz.tile_key_unpack(
+            batch["tile_key"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+                "z": pa.array(z, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    return tiled.map_batches(unpack, batch_format="pyarrow")
+
+
+def q_tile_coverage_deep(sf_dir: str):
+    """z14 tile assignment for size-bounded features (metric zoom parity)."""
+    feats = _features_ds(sf_dir)
+
+    def small(batch: pa.Table) -> pa.Table:
+        w = pc.subtract(batch["bbox_maxx"], batch["bbox_minx"])
+        h = pc.subtract(batch["bbox_maxy"], batch["bbox_miny"])
+        mask = pc.and_(pc.less(w, DEEP_MAX_SPAN), pc.less(h, DEEP_MAX_SPAN))
+        return batch.filter(mask)
+
+    tiled = feats.map_batches(small, batch_format="pyarrow").map_batches(
+        make_coverage_fn([DEEP_ZOOM]), batch_format="pyarrow"
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -537,6 +571,7 @@ def q_media_features(sf_dir: str):
 QUERIES = {
     "extract_features": q_extract_features,
     "tile_coverage": q_tile_coverage,
+    "tile_coverage_deep": q_tile_coverage_deep,
     "tile_counts": q_tile_counts,
     "knn_points": q_knn_points,
     "bbox_join": q_bbox_join,
@@ -634,6 +669,30 @@ _BBOX_TARGET_VALUES = ", ".join(
 ORACLE_SQL = {
     "extract_features": _BBOX_CTE + "SELECT * FROM g",
     "tile_coverage": _COVERAGE_CTE + "SELECT doc_id, span_idx, z, x, y FROM cov",
+    "tile_coverage_deep": (
+        _BBOX_CTE
+        + """
+, zz AS (SELECT UNNEST([14]) AS z)
+, gs AS (
+  SELECT * FROM g
+  WHERE bbox_maxx - bbox_minx < 0.5 AND bbox_maxy - bbox_miny < 0.5
+)
+, ranges AS (
+  SELECT gs.doc_id, gs.span_idx, CAST(zz.z AS BIGINT) AS z,
+         """
+        + _TILE_XY.format(lon="gs.bbox_minx") + " AS x1,\n         "
+        + _TILE_XY.format(lon="gs.bbox_maxx") + " AS x2,\n         "
+        + _TILE_Y.format(lat="gs.bbox_maxy") + " AS y1,\n         "
+        + _TILE_Y.format(lat="gs.bbox_miny") + """ AS y2
+  FROM gs CROSS JOIN zz
+)
+, xs AS (
+  SELECT doc_id, span_idx, z, UNNEST(generate_series(x1, x2)) AS x, y1, y2
+  FROM ranges
+)
+SELECT doc_id, span_idx, z, x, UNNEST(generate_series(y1, y2)) AS y
+FROM xs"""
+    ),
     "tile_counts": _COVERAGE_CTE + """
         SELECT z, x, y, CAST(COUNT(*) AS BIGINT) AS n_features
         FROM cov GROUP BY z, x, y""",
