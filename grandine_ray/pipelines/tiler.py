@@ -56,20 +56,42 @@ def features_dataset(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(extract_features, batch_format="pyarrow")
 
 
+def read_features_any(path: str, mapping_yaml: str | None = None) -> rd.Dataset:
+    """Features from any input: interleaved documents (parquet/lance) or a
+    Spaten / GeoJSON / CSV file tree (the reference tiler's input), with an
+    optional mapping ruleset applied (converter → tiler flow)."""
+    if path.endswith((".spaten", ".geojson", ".geojsonseq", ".csv", ".tsv")):
+        from .converter import read_features
+
+        feats = read_features([path])
+    else:
+        feats = features_dataset(read_documents(path))
+    if mapping_yaml:
+        from ..stages.mapping import make_mapping_fn
+
+        feats = feats.map_batches(make_mapping_fn(mapping_yaml),
+                                  batch_format="pyarrow")
+    return feats
+
+
 def detect_hot_cells(
-    docs: rd.Dataset,
+    docs: rd.Dataset | None,
     zooms: list[int],
     sample_fraction: float = 0.05,
     threshold: int = 2000,
     seed: int = 42,
+    features: rd.Dataset | None = None,
 ) -> np.ndarray:
     """Sample pre-pass: estimate per-tile feature counts, return hot keys.
 
     ``threshold`` applies to the *estimated full* count (sample count
     scaled by 1/fraction).
     """
-    sample = docs.random_sample(sample_fraction, seed=seed)
-    tiled = features_dataset(sample).map_batches(
+    if features is not None:
+        sample = features.random_sample(sample_fraction, seed=seed)
+    else:
+        sample = features_dataset(docs.random_sample(sample_fraction, seed=seed))
+    tiled = sample.map_batches(
         make_coverage_fn(zooms), batch_format="pyarrow"
     )
 
@@ -110,8 +132,9 @@ def _add_salt(hot_ref, salt_k: int):
 
 
 def tile_dataset(
-    docs: rd.Dataset,
+    docs: rd.Dataset | None = None,
     zooms: list[int] | None = None,
+    features: rd.Dataset | None = None,
     salt: bool = False,
     salt_k: int = 8,
     hot_keys: np.ndarray | None = None,
@@ -131,9 +154,10 @@ def tile_dataset(
       * "salted": explicit hot-cell salting with a two-phase groupby.
     """
     zooms = zooms if zooms is not None else DEFAULT_ZOOMS
-    tiled = features_dataset(docs).map_batches(
-        make_coverage_fn(zooms), batch_format="pyarrow"
-    )
+    feats = docs if features is None else features
+    if features is None:
+        feats = features_dataset(docs)
+    tiled = feats.map_batches(make_coverage_fn(zooms), batch_format="pyarrow")
 
     if skip_partitions:
         skip = np.asarray(sorted(skip_partitions), dtype=np.int64)
@@ -154,7 +178,7 @@ def tile_dataset(
 
     if salt or strategy == "salted":
         if hot_keys is None:
-            hot_keys = detect_hot_cells(docs, zooms)
+            hot_keys = detect_hot_cells(docs, zooms, features=features)
         hot_ref = ray.put(hot_keys) if hot_keys is not None and len(hot_keys) else None
         tiled = tiled.map_batches(_add_salt(hot_ref, salt_k), batch_format="pyarrow")
         prepared = tiled.groupby(["tile_key", "salt"]).map_groups(
@@ -200,14 +224,16 @@ def run_tiler(
     zooms: list[int] | None = None,
     salt: bool = False,
     resume: bool = True,
+    mapping_yaml: str | None = None,
     input_fragments: list[str] | None = None,
 ) -> rd.Dataset:
     """Full job. With ``out_dir``: resumable partitioned output + manifest;
     returns the manifest dataset. Without: returns the tiles dataset (lazy).
     """
-    docs = read_documents(docs_path)
+    feats = read_features_any(docs_path, mapping_yaml=mapping_yaml)
     skip = completed_partitions(out_dir) if (out_dir and resume) else None
-    tiles = tile_dataset(docs, zooms=zooms, salt=salt, skip_partitions=skip)
+    tiles = tile_dataset(features=feats, zooms=zooms, salt=salt,
+                         skip_partitions=skip)
     if out_dir is None:
         return tiles
 
