@@ -103,8 +103,12 @@ class GeomBatch:
 
 
 def _expand_ranges(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
-    """Concatenate arange(starts[i], stops[i]) vectorized."""
+    """Concatenate arange(starts[i], stops[i]) vectorized (empty ranges ok)."""
     lens = stops - starts
+    nz = lens > 0
+    if not nz.all():
+        starts = starts[nz]
+        lens = lens[nz]
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64)
@@ -140,25 +144,64 @@ def decode_wkb_batch(blobs) -> GeomBatch:
                 geom_offsets=off.copy(),
             )
 
+    # mixed batch: vectorize the 21-byte point rows, loop only the rest
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+    maybe_pt = lens == 21
+    pt_coords = None
+    if maybe_pt.any():
+        sel = np.nonzero(maybe_pt)[0]
+        raw = np.frombuffer(
+            b"".join(blobs[i] for i in sel.tolist()), dtype=np.uint8
+        ).reshape(-1, 21)
+        ok = (raw[:, 0] == 1) & (raw[:, 1] == GEOM_POINT) & ~raw[:, 2:5].any(axis=1)
+        if ok.all():
+            pt_coords = np.ascontiguousarray(raw[:, 5:]).view(np.float64).reshape(-1, 2)
+        else:
+            maybe_pt[:] = False  # fall back entirely (weird 21-byte blobs)
+
     types = np.empty(n, dtype=np.uint8)
     coords_parts: list[np.ndarray] = []
     ring_sizes: list[int] = []
     geom_nrings = np.empty(n, dtype=np.int64)
+    npts_per_geom = np.empty(n, dtype=np.int64)
     for i, b in enumerate(blobs):
+        if pt_coords is not None and maybe_pt[i]:
+            types[i] = GEOM_POINT
+            ring_sizes.append(1)
+            geom_nrings[i] = 1
+            npts_per_geom[i] = 1
+            coords_parts.append(None)  # placeholder, filled vectorized below
+            continue
         t, parts, sizes = _decode_one(b)
         types[i] = t
         coords_parts.extend(parts)
         ring_sizes.extend(sizes)
         geom_nrings[i] = len(sizes)
+        npts_per_geom[i] = sum(sizes)
     ring_off = np.zeros(len(ring_sizes) + 1, dtype=np.int64)
     np.cumsum(np.asarray(ring_sizes, dtype=np.int64), out=ring_off[1:])
     geom_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(geom_nrings, out=geom_off[1:])
-    coords = (
-        np.concatenate(coords_parts).reshape(-1, 2)
-        if coords_parts
-        else np.empty((0, 2), dtype=np.float64)
-    )
+    total_pts = int(npts_per_geom.sum())
+    coords = np.empty((total_pts, 2), dtype=np.float64)
+    if pt_coords is not None:
+        # vectorized scatter of all point rows
+        pt_starts = ring_off[geom_off[:-1]][maybe_pt]
+        coords[pt_starts] = pt_coords
+        # non-point parts in order
+        others = [p for p in coords_parts if p is not None]
+    else:
+        others = coords_parts
+    if others:
+        flat = np.concatenate(others).reshape(-1, 2)
+        if pt_coords is not None:
+            other_idx = np.nonzero(~maybe_pt)[0]
+            g_starts = ring_off[geom_off[:-1]]
+            g_stops = ring_off[geom_off[1:]]
+            dst = _expand_ranges(g_starts[other_idx], g_stops[other_idx])
+            coords[dst] = flat
+        else:
+            coords[:] = flat
     return GeomBatch(types=types, coords=coords, ring_offsets=ring_off, geom_offsets=geom_off)
 
 

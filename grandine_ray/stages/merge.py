@@ -79,7 +79,10 @@ def _chain_merge(fts: list[dict]) -> list[dict]:
             used.add(nxt)
             parts.append(fts[nxt]["rings"][0][1:])
             tail = tuple(fts[nxt]["rings"][0][-1])
-        merged_out[i] = {**fts[i], "rings": [np.vstack(parts) if len(parts) > 1 else ring]}
+        if len(parts) > 1:
+            merged_out[i] = {**fts[i], "rings": [np.vstack(parts)], "merged": True}
+        else:
+            merged_out[i] = fts[i]
     # cycles: remaining unused lines form closed loops; merge each loop
     for i in lines:
         if i in used:
@@ -95,7 +98,10 @@ def _chain_merge(fts: list[dict]) -> list[dict]:
             used.add(nxt)
             parts.append(fts[nxt]["rings"][0][1:])
             tail = tuple(fts[nxt]["rings"][0][-1])
-        merged_out[i] = {**fts[i], "rings": [np.vstack(parts) if len(parts) > 1 else ring]}
+        if len(parts) > 1:
+            merged_out[i] = {**fts[i], "rings": [np.vstack(parts)], "merged": True}
+        else:
+            merged_out[i] = fts[i]
 
     out = []
     for pos, ft in enumerate(fts):

@@ -160,6 +160,53 @@ def _encode_line(pts: np.ndarray, cur: np.ndarray) -> np.ndarray:
     return out
 
 
+def batch_encode_commands(gb, is_poly: np.ndarray):
+    """Vectorized MVT command streams for EVERY geometry of a GeomBatch.
+
+    Returns (values uint64 [N], geom_cmd_offsets int64 [n+1]) so a
+    feature's command array is a zero-compute slice. Semantics identical
+    to encode_geometry_commands: cur resets per geometry, persists across
+    polygon rings; MoveTo(1)+LineTo(n-1) per ring; ClosePath after each
+    polygon ring; Go int truncation.
+    """
+    coords = gb.coords
+    ring_off = gb.ring_offsets
+    geom_off = gb.geom_offsets
+    n_geoms = len(gb.types)
+    tc = np.trunc(coords).astype(np.int64)
+    g_starts = ring_off[geom_off[:-1]]
+    prev = np.empty_like(tc)
+    if len(tc):
+        prev[1:] = tc[:-1]
+        prev[0] = 0
+    prev[g_starts] = 0
+    zz = encode_zigzag((tc - prev).reshape(-1)).reshape(-1, 2)
+
+    ring_sizes = (ring_off[1:] - ring_off[:-1]).astype(np.int64)
+    nrings_per_geom = geom_off[1:] - geom_off[:-1]
+    ring_geom = np.repeat(np.arange(n_geoms, dtype=np.int64), nrings_per_geom)
+    poly_ring = is_poly[ring_geom]
+    ring_out_len = 2 * ring_sizes + 2 + poly_ring.astype(np.int64)
+    ring_out_off = np.zeros(len(ring_sizes) + 1, dtype=np.int64)
+    np.cumsum(ring_out_len, out=ring_out_off[1:])
+    out = np.empty(int(ring_out_off[-1]), dtype=np.uint64)
+
+    p = ring_out_off[:-1]
+    r_starts = ring_off[:-1]
+    out[p] = command_int(CMD_MOVETO, 1)
+    out[p + 1] = zz[r_starts, 0]
+    out[p + 2] = zz[r_starts, 1]
+    out[p + 3] = (((ring_sizes - 1) << 3) | CMD_LINETO).astype(np.uint64)
+    body_src = wkbmod.expand_ranges(r_starts + 1, r_starts + ring_sizes)
+    body_dst = wkbmod.expand_ranges(p + 4, p + 4 + 2 * (ring_sizes - 1))
+    out[body_dst] = zz[body_src].reshape(-1)
+    close_pos = ring_out_off[1:][poly_ring] - 1
+    out[close_pos] = command_int(CMD_CLOSEPATH, 1)
+
+    geom_cmd_off = ring_out_off[geom_off]
+    return out, geom_cmd_off
+
+
 def decode_geometry_commands(cmds: list[int]):
     """Inverse of encode_geometry_commands, for tests/inspection.
 
@@ -310,7 +357,8 @@ def _zz_int(v: int) -> int:
     return (v << 1) if v >= 0 else ((-v << 1) - 1)
 
 
-def _assemble_layer(clipped: list[dict], tp, lname: str) -> bytes:
+def _assemble_layer(clipped: list[dict], tp, lname: str,
+                    batch_cmds=None) -> bytes:
     extent = tp[4]
     merged = merge_features(clipped)
 
@@ -334,14 +382,21 @@ def _assemble_layer(clipped: list[dict], tp, lname: str) -> bytes:
             vpos = vals.setdefault(vkey, len(vals))
             tags.extend((kpos, vpos))
         if ft.get("rings") is None and "pt" in ft:
-            feats.append((tags, 1, ft["pt"]))
+            gb = ft.get("geom_buf")
+            feats.append((tags, 1, gb if gb is not None else ft["pt"]))
+            continue
+        gi = ft.get("gi")
+        if batch_cmds is not None and gi is not None and not ft.get("merged"):
+            # precomputed block-level command slice (zero per-feature work)
+            allc, goff = batch_cmds
+            cmds = allc[goff[gi]:goff[gi + 1]]
         else:
             cmds = encode_geometry_commands(ft["type"], ft["rings"])
-            if len(cmds) == 0:
-                continue
-            feats.append((tags, int(ft["type"]), None))
-            cmd_arrays.append(cmds)
-            cmd_lens.append(len(cmds))
+        if len(cmds) == 0:
+            continue
+        feats.append((tags, int(ft["type"]), None))
+        cmd_arrays.append(cmds)
+        cmd_lens.append(len(cmds))
 
     if not feats:
         return b""
@@ -362,7 +417,10 @@ def _assemble_layer(clipped: list[dict], tp, lname: str) -> bytes:
     _TYPE = (b"", b"\x18\x01", b"\x18\x02", b"\x18\x03")  # field 3 varint
     for tags, gtype, pt in feats:
         if pt is not None:
-            geom_buf = _NINE + _varint(_zz_int(pt[0])) + _varint(_zz_int(pt[1]))
+            if isinstance(pt, bytes):  # bulk-encoded point geometry bytes
+                geom_buf = pt
+            else:
+                geom_buf = _NINE + _varint(_zz_int(pt[0])) + _varint(_zz_int(pt[1]))
         else:
             geom_buf = enc[byte_bounds[ci]:byte_bounds[ci + 1]]
             ci += 1
@@ -944,6 +1002,22 @@ class SortedBlockLayerEncoder:
         is_pt = types == wkbmod.GEOM_POINT
         pt_x = np.trunc(tcoords[g_starts, 0]).astype(np.int64)
         pt_y = np.trunc(tcoords[g_starts, 1]).astype(np.int64)
+        # block-level vectorized command streams, sliced per feature below
+        batch_cmds = batch_encode_commands(gb_all, types == wkbmod.GEOM_POLYGON)
+        # bulk varint geometry bytes for every point feature
+        pt_geom_bufs: list = [None] * len(types)
+        pt_sel = np.nonzero(is_pt)[0]
+        if len(pt_sel):
+            triples = np.empty((len(pt_sel), 3), dtype=np.uint64)
+            triples[:, 0] = 9
+            triples[:, 1] = encode_zigzag(pt_x[pt_sel])
+            triples[:, 2] = encode_zigzag(pt_y[pt_sel])
+            enc, sizes = _varint_array_sized(triples.reshape(-1))
+            bounds = np.zeros(len(pt_sel) * 3 + 1, dtype=np.int64)
+            np.cumsum(sizes, out=bounds[1:])
+            starts = bounds[::3]
+            for j, gi_ in enumerate(pt_sel.tolist()):
+                pt_geom_bufs[gi_] = enc[starts[j]:starts[j + 1]]
 
         # group boundaries on (tile_key, layer code)
         n = len(keys)
@@ -966,16 +1040,17 @@ class SortedBlockLayerEncoder:
                     props = tuple(sorted(_json.loads(props_json[i]).items()))
                 if is_pt[i]:
                     feats.append({"props": props, "type": 1,
-                                  "pt": (int(pt_x[i]), int(pt_y[i])), "rings": None})
+                                  "pt": (int(pt_x[i]), int(pt_y[i])),
+                                  "geom_buf": pt_geom_bufs[i], "rings": None})
                 else:
                     rings = [
                         tcoords[ring_off[r]:ring_off[r + 1]]
                         for r in range(geom_off[i], geom_off[i + 1])
                     ]
                     feats.append({"props": props, "type": int(types[i]),
-                                  "rings": rings})
+                                  "rings": rings, "gi": i})
             lname = lnames[lidx[lo]]
-            buf = _assemble_layer(feats, tp, lname)
+            buf = _assemble_layer(feats, tp, lname, batch_cmds=batch_cmds)
             if not buf:
                 continue
             out_key.append(int(keys[lo]))
