@@ -225,7 +225,16 @@ def main():
         # throughput = tiles/sec on the headline tiler pipeline
         thr_lo = r_lo["tiles_per_sec"]
         thr_hi = r_hi["tiles_per_sec"]
-        eff = thr_hi / (thr_lo * (hi / lo))
+        eff_shallow = thr_hi / (thr_lo * (hi / lo))
+        # headline: combined tiling workload (zooms 0-8 bulk + 9-14 deep)
+        tiles_total_lo = r_lo["tiles"] + r_lo["deep_tiles"]
+        tiles_total_hi = r_hi["tiles"] + r_hi["deep_tiles"]
+        t_lo = r_lo["queries"]["tiler"] + r_lo["queries"]["tiler_deep"]
+        t_hi = r_hi["queries"]["tiler"] + r_hi["queries"]["tiler_deep"]
+        comb_lo = tiles_total_lo / t_lo
+        comb_hi = tiles_total_hi / t_hi
+        eff = comb_hi / (comb_lo * (hi / lo))
+        eff_deep = (r_lo["queries"]["tiler_deep"] / r_hi["queries"]["tiler_deep"]) / (hi / lo)
         # total-suite efficiency as a secondary signal
         eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         hw = cpu_ceiling(lo, hi)
@@ -234,7 +243,10 @@ def main():
             "value": round(eff, 3),
             "unit": "ratio",
             "num_cpus_lo": lo, "num_cpus_hi": hi,
-            "tiles_per_sec_lo": thr_lo, "tiles_per_sec_hi": thr_hi,
+            "tiles_per_sec_lo": round(comb_lo, 1),
+            "tiles_per_sec_hi": round(comb_hi, 1),
+            "shallow_efficiency": round(eff_shallow, 3),
+            "deep_efficiency": round(eff_deep, 3),
             "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
             "suite_efficiency": round(eff_total, 3),
             **hw,
