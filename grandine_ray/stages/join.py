@@ -201,6 +201,106 @@ def pip_join_bruteforce(points, polys) -> set:
     return out
 
 
+def pip_join_partitioned(points_ds, polys_ds, cell_zoom: int = PIP_CELL_ZOOM):
+    """Both-sides-large PIP join: partition BOTH sides by XYZ cell.
+
+    Points hash to their single cell; polygons are replicated to every
+    cell their bbox covers (coverage flat-map), so each (cell) group joins
+    locally — the textbook partitioned spatial join for when the polygon
+    side no longer fits in a broadcast object. No duplicate output pairs:
+    a point belongs to exactly one cell.
+
+    Both inputs are features datasets (doc_id, span_idx, geom_wkb,
+    bbox_*). Skewed hot cells can additionally be salted upstream by
+    splitting the point side per cell (polygons replicate per salt).
+    """
+    import pyarrow.compute as pc
+
+    def pt_cells(batch: pa.Table) -> pa.Table:
+        px = batch["bbox_minx"].to_numpy(zero_copy_only=False)
+        py = batch["bbox_miny"].to_numpy(zero_copy_only=False)
+        cx, cy = xyz.tile_xy(px, py, cell_zoom)
+        return pa.table(
+            {
+                "cell": pa.array((cx << np.int64(32)) | cy, pa.int64()),
+                "side": pa.array(np.zeros(len(px), np.int8), pa.int8()),
+                "doc_id": batch["doc_id"],
+                "span_idx": batch["span_idx"],
+                "x": pa.array(px),
+                "y": pa.array(py),
+                "geom_wkb": pa.array([b""] * len(px), pa.binary()),
+            }
+        )
+
+    def poly_cells(batch: pa.Table) -> pa.Table:
+        row, cx, cy = xyz.coverage_flatmap(
+            batch["bbox_minx"].to_numpy(zero_copy_only=False),
+            batch["bbox_miny"].to_numpy(zero_copy_only=False),
+            batch["bbox_maxx"].to_numpy(zero_copy_only=False),
+            batch["bbox_maxy"].to_numpy(zero_copy_only=False),
+            cell_zoom,
+        )
+        take = pa.array(row)
+        return pa.table(
+            {
+                "cell": pa.array((cx << np.int64(32)) | cy, pa.int64()),
+                "side": pa.array(np.ones(len(row), np.int8), pa.int8()),
+                "doc_id": batch["doc_id"].take(take),
+                "span_idx": batch["span_idx"].take(take),
+                "x": pa.array(np.zeros(len(row))),
+                "y": pa.array(np.zeros(len(row))),
+                "geom_wkb": batch["geom_wkb"].take(take),
+            }
+        )
+
+    both = points_ds.map_batches(pt_cells, batch_format="pyarrow").union(
+        polys_ds.map_batches(poly_cells, batch_format="pyarrow")
+    )
+
+    def join_cell(group: pa.Table) -> pa.Table:
+        from ..geom.predicates import CompiledPolygon, points_in_polygon
+
+        side = group["side"].to_numpy(zero_copy_only=False)
+        pts = group.filter(pa.array(side == 0))
+        polys = group.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "span_idx": pa.array([], pa.int32()),
+                "polygon_id": pa.array([], pa.string()),
+            }
+        )
+        if pts.num_rows == 0 or polys.num_rows == 0:
+            return empty
+        px = pts["x"].to_numpy(zero_copy_only=False)
+        py = pts["y"].to_numpy(zero_copy_only=False)
+        gb = wkbmod.decode_wkb_batch(polys["geom_wkb"].to_pylist())
+        pids = [
+            f"{d}#{s}" for d, s in zip(polys["doc_id"].to_pylist(),
+                                       polys["span_idx"].to_pylist())
+        ]
+        hit_idx, hit_pid = [], []
+        for pi in range(len(gb)):
+            cp = CompiledPolygon(gb.rings_of(pi))
+            inside = points_in_polygon(px, py, None, compiled=cp)
+            sel = np.nonzero(inside)[0]
+            if len(sel):
+                hit_idx.append(sel)
+                hit_pid.extend([pids[pi]] * len(sel))
+        if not hit_idx:
+            return empty
+        take = pa.array(np.concatenate(hit_idx))
+        return pa.table(
+            {
+                "doc_id": pts["doc_id"].take(take),
+                "span_idx": pts["span_idx"].take(take),
+                "polygon_id": pa.array(hit_pid, pa.string()),
+            }
+        )
+
+    return both.groupby("cell").map_groups(join_cell, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------- kNN
 
 

@@ -69,6 +69,35 @@ def test_pip_join_matches_bruteforce():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pip_join_partitioned_equals_broadcast():
+    import ray.data as rd
+
+    from grandine_ray.stages.extract import extract_features
+    from grandine_ray.stages.join import pip_join, pip_join_partitioned
+
+    corpus = synth.ensure_corpus(400)
+    feats = rd.read_parquet(f"{corpus}/documents.parquet").map_batches(
+        extract_features, batch_format="pyarrow"
+    )
+    polys_rows = feats.filter(expr="geom_type == 3").take_all()
+    pts = feats.filter(expr="geom_type == 1")
+    broadcast = {
+        (r["doc_id"], r["span_idx"], r["polygon_id"])
+        for r in pip_join(
+            pts, [f"{r['doc_id']}#{r['span_idx']}" for r in polys_rows],
+            [r["geom_wkb"] for r in polys_rows],
+        ).take_all()
+    }
+    partitioned = {
+        (r["doc_id"], r["span_idx"], r["polygon_id"])
+        for r in pip_join_partitioned(
+            pts, feats.filter(expr="geom_type == 3")
+        ).take_all()
+    }
+    assert partitioned == broadcast and broadcast
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_knn_matches_bruteforce():
     import ray.data as rd
 
