@@ -439,6 +439,64 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding 1h windows every 30min over events (each event lands in two
+    windows — flat-map + pre-agg + small groupby)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[s]").astype(np.int64)
+        ws0 = (epoch // 1800) * 1800
+        starts = np.concatenate([ws0, ws0 - 1800])
+        idx = np.concatenate([np.arange(len(ts))] * 2)
+        take = pa.array(idx)
+        return pa.table(
+            {
+                "event_type": batch["event_type"].take(take),
+                "window_start": pa.array(
+                    starts.astype("datetime64[s]").astype("datetime64[us]")
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    agg = (
+        ev.map_batches(windows, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": batch["window_start"],
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-probed approximate ANN (scale path) — rows-only (approximate by
+    design; recall vs brute force asserted in pytest)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(expr="vec_id < 4").take_all()
+    qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    out = ann_stage.ivf_topk(emb, [r["vec_id"] for r in qrows], qm, k=10)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["score"].round(4)
+        return g[["query_id", "vec_id", "rank", "score"]]
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 def q_embedding_dedup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (exact at this scale: corpus
     broadcast + per-batch matmul; the LSH-bucketed variant in stages/ann.py
@@ -586,6 +644,8 @@ QUERIES = {
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "events_window": q_events_window,
+    "events_sliding": q_events_sliding,
+    "ann_ivf": q_ann_ivf,
     "embedding_dedup": q_embedding_dedup,
     "global_bbox": q_global_bbox,
     "simplify": q_simplify,
@@ -723,6 +783,18 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(ROUND(SUM(value) * 1000) AS BIGINT) AS sum_value_milli
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "events_sliding": """
+WITH w AS (
+  SELECT event_type,
+         UNNEST([
+           to_timestamp(FLOOR(epoch(ts) / 1800) * 1800),
+           to_timestamp(FLOOR(epoch(ts) / 1800) * 1800 - 1800)
+         ]) AS window_start
+  FROM events
+)
+SELECT event_type, CAST(window_start AS TIMESTAMP) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w GROUP BY event_type, window_start""",
     "embedding_dedup": """
 WITH n AS (SELECT vec_id, embedding FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -347,6 +347,23 @@ class KnnScorer:
         )
 
 
+def knn_topk_chunked(points_ds, query_ids, qx, qy, k: int = 5,
+                     chunk: int = 10_000):
+    """Huge-query-set scale path: the exact broadcast kNN applied per query
+    chunk so the broadcast object stays bounded; the corpus streams once
+    per chunk. Exact (same results as knn_topk), memory O(chunk)."""
+    outs = []
+    for i in range(0, len(query_ids), chunk):
+        outs.append(
+            knn_topk(points_ds, query_ids[i:i + chunk], qx[i:i + chunk],
+                     qy[i:i + chunk], k=k)
+        )
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
+
+
 def knn_topk(points_ds, query_ids, qx, qy, k: int = 5, concurrency=None):
     """Exact global kNN: partial per-batch top-k → groupby(query_id) top-k.
 

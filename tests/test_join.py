@@ -166,3 +166,53 @@ def test_hyperplane_lsh_buckets_deterministic():
     m2 = normalize(m + rng.standard_normal(m.shape).astype(np.float32) * 0.01)
     same_near = (l1.bucket_of(m) == l1.bucket_of(m2)).mean()
     assert same_near > 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall_vs_bruteforce():
+    # clustered corpus (where an inverted file is meaningful): 8 gaussian
+    # clusters in 16-d; queries drawn from cluster centers
+    import ray.data as rd
+
+    from grandine_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((250, 16)) * 0.3 for c in centers]
+    )
+    emb = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    )
+    qids = [0, 300, 700, 1100, 1900]
+    qm = vecs[qids]
+    exact = brute_force_topk(emb, qids, qm, k=10).take_all()
+    approx = ivf_topk(emb, qids, qm, k=10, nlist=8, nprobe=2,
+                      train_sample=1000).take_all()
+    recalls = []
+    for qid in qids:
+        e = {r["vec_id"] for r in exact if r["query_id"] == qid}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qid}
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_chunked_equals_plain():
+    import ray.data as rd
+
+    from grandine_ray.stages.extract import extract_features
+    from grandine_ray.stages.join import knn_topk, knn_topk_chunked
+
+    corpus = synth.ensure_corpus(400)
+    pts = rd.read_parquet(f"{corpus}/documents.parquet").map_batches(
+        extract_features, batch_format="pyarrow"
+    ).filter(expr="geom_type == 1")
+    qids = ["a", "b", "c"]
+    qx = [13.4, -74.0, 139.7]
+    qy = [52.5, 40.7, 35.7]
+    plain = {(r["query_id"], r["rank"], r["doc_id"], r["span_idx"])
+             for r in knn_topk(pts, qids, qx, qy, k=4).take_all()}
+    chunked = {(r["query_id"], r["rank"], r["doc_id"], r["span_idx"])
+               for r in knn_topk_chunked(pts, qids, qx, qy, k=4, chunk=2).take_all()}
+    assert plain == chunked
