@@ -143,10 +143,16 @@ def clip_line(pts: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:
 
 
 def _sutherland_hodgman(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
-    """Clip one ring against the rectangle; returns possibly-empty ring."""
+    """Clip one ring against the rectangle; returns possibly-empty ring.
+
+    Fully vectorized per clip edge: the output sequence (vertex-if-inside,
+    crossing-if-transition per input vertex) is assembled with one boolean
+    mask over a [n, 2, 2] slot array — no per-vertex Python loop.
+    """
     pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
     for edge in range(4):
-        if len(pts) == 0:
+        n = len(pts)
+        if n == 0:
             break
         x = pts[:, 0]
         y = pts[:, 1]
@@ -158,16 +164,42 @@ def _sutherland_hodgman(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
             inside = y >= miny
         else:
             inside = y <= maxy
-        nxt = np.roll(np.arange(len(pts)), -1)
-        out = []
-        for i in range(len(pts)):
-            j = nxt[i]
-            ci, cj = inside[i], inside[j]
-            if ci:
-                out.append(pts[i])
-            if ci != cj:
-                out.append(_edge_intersect(pts[i], pts[j], edge, minx, miny, maxx, maxy))
-        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+        nxt_inside = np.empty_like(inside)
+        nxt_inside[:-1] = inside[1:]
+        nxt_inside[-1] = inside[0]
+        trans = inside != nxt_inside
+        nx = np.empty_like(x)
+        nx[:-1] = x[1:]
+        nx[-1] = x[0]
+        ny = np.empty_like(y)
+        ny[:-1] = y[1:]
+        ny[-1] = y[0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if edge == 0:
+                t = (minx - x) / (nx - x)
+                cx = np.full(n, float(minx))
+                cy = y + t * (ny - y)
+            elif edge == 1:
+                t = (maxx - x) / (nx - x)
+                cx = np.full(n, float(maxx))
+                cy = y + t * (ny - y)
+            elif edge == 2:
+                t = (miny - y) / (ny - y)
+                cx = x + t * (nx - x)
+                cy = np.full(n, float(miny))
+            else:
+                t = (maxy - y) / (ny - y)
+                cx = x + t * (nx - x)
+                cy = np.full(n, float(maxy))
+        slots = np.empty((n, 2, 2), dtype=np.float64)
+        slots[:, 0, 0] = x
+        slots[:, 0, 1] = y
+        slots[:, 1, 0] = cx
+        slots[:, 1, 1] = cy
+        valid = np.empty((n, 2), dtype=bool)
+        valid[:, 0] = inside
+        valid[:, 1] = trans
+        pts = slots[valid]
     # drop consecutive duplicates (and closing duplicate)
     if len(pts) > 1:
         keep = np.ones(len(pts), dtype=bool)
@@ -209,13 +241,17 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[list[n
     poly_bb = (ominx, ominy, omaxx, omaxy)
     clip_bb = (minx, miny, maxx, maxy)
 
+    # cheap shortcut first: polygon bbox fully inside the clip box ⇒ no ring
+    # segment can cross a border ⇒ reference returns the polygon unchanged
+    # (polygon.go:34-36 with Intersections necessarily empty)
+    if bbox_fully_in(poly_bb, clip_bb):
+        return [rings]
+
     from .predicates import ring_intersects_rect
 
     if len(rings) == 1 and not ring_intersects_rect(outer, minx, miny, maxx, maxy):
         if bbox_fully_in(clip_bb, poly_bb):
             return [[np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])]]
-        if bbox_fully_in(poly_bb, clip_bb):
-            return [rings]
         # fall through: disjoint or corner-overlap-only — S-H yields empty
 
     out_rings = []

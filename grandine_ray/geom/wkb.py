@@ -144,7 +144,7 @@ def decode_wkb_batch(blobs) -> GeomBatch:
                 geom_offsets=off.copy(),
             )
 
-    # mixed batch: vectorize the 21-byte point rows, loop only the rest
+    # mixed batch: vectorize point AND linestring rows, loop only polygons
     lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
     maybe_pt = lens == 21
     pt_coords = None
@@ -159,18 +159,55 @@ def decode_wkb_batch(blobs) -> GeomBatch:
         else:
             maybe_pt[:] = False  # fall back entirely (weird 21-byte blobs)
 
+    # vectorized linestrings: header-sniff, join once, bulk-validate + gather
+    ln_coords = None
+    ln_counts = None
+    maybe_ln = np.zeros(n, dtype=bool)
+    for i, b in enumerate(blobs):
+        if not maybe_pt[i] and len(b) >= 9 and b[0] == 1 and b[1] == GEOM_LINESTRING:
+            maybe_ln[i] = True
+    if maybe_ln.any():
+        sel = np.nonzero(maybe_ln)[0].tolist()
+        joined = np.frombuffer(b"".join(blobs[i] for i in sel), dtype=np.uint8)
+        off = np.zeros(len(sel), dtype=np.int64)
+        if len(sel) > 1:
+            np.cumsum(lens[sel][:-1], out=off[1:])
+        hdr_ok = (joined[off + 2] == 0) & (joined[off + 3] == 0) & (joined[off + 4] == 0)
+        cnt = (
+            joined[off + 5].astype(np.int64)
+            | (joined[off + 6].astype(np.int64) << 8)
+            | (joined[off + 7].astype(np.int64) << 16)
+            | (joined[off + 8].astype(np.int64) << 24)
+        )
+        valid = hdr_ok & (cnt > 0) & (lens[sel] >= 9 + 16 * cnt)
+        if valid.all():
+            starts = off + 9
+            idx = _expand_ranges(starts, starts + 16 * cnt)
+            ln_coords = np.ascontiguousarray(joined[idx]).view("<f8").reshape(-1, 2)
+            ln_counts = cnt
+        else:
+            maybe_ln[:] = False  # malformed somewhere: exact errors via loop
+
     types = np.empty(n, dtype=np.uint8)
     coords_parts: list[np.ndarray] = []
     ring_sizes: list[int] = []
     geom_nrings = np.empty(n, dtype=np.int64)
     npts_per_geom = np.empty(n, dtype=np.int64)
+    li = 0
     for i, b in enumerate(blobs):
         if pt_coords is not None and maybe_pt[i]:
             types[i] = GEOM_POINT
             ring_sizes.append(1)
             geom_nrings[i] = 1
             npts_per_geom[i] = 1
-            coords_parts.append(None)  # placeholder, filled vectorized below
+            continue
+        if ln_coords is not None and maybe_ln[i]:
+            types[i] = GEOM_LINESTRING
+            c = int(ln_counts[li])
+            li += 1
+            ring_sizes.append(c)
+            geom_nrings[i] = 1
+            npts_per_geom[i] = c
             continue
         t, parts, sizes = _decode_one(b)
         types[i] = t
@@ -184,24 +221,22 @@ def decode_wkb_batch(blobs) -> GeomBatch:
     np.cumsum(geom_nrings, out=geom_off[1:])
     total_pts = int(npts_per_geom.sum())
     coords = np.empty((total_pts, 2), dtype=np.float64)
-    if pt_coords is not None:
-        # vectorized scatter of all point rows
-        pt_starts = ring_off[geom_off[:-1]][maybe_pt]
-        coords[pt_starts] = pt_coords
-        # non-point parts in order
-        others = [p for p in coords_parts if p is not None]
-    else:
-        others = coords_parts
-    if others:
-        flat = np.concatenate(others).reshape(-1, 2)
-        if pt_coords is not None:
-            other_idx = np.nonzero(~maybe_pt)[0]
-            g_starts = ring_off[geom_off[:-1]]
-            g_stops = ring_off[geom_off[1:]]
-            dst = _expand_ranges(g_starts[other_idx], g_stops[other_idx])
-            coords[dst] = flat
-        else:
-            coords[:] = flat
+    g_starts = ring_off[geom_off[:-1]]
+    g_stops = ring_off[geom_off[1:]]
+    if pt_coords is not None and maybe_pt.any():
+        coords[g_starts[maybe_pt]] = pt_coords
+    if ln_coords is not None and maybe_ln.any():
+        dst = _expand_ranges(g_starts[maybe_ln], g_stops[maybe_ln])
+        coords[dst] = ln_coords
+    if coords_parts:
+        flat = np.concatenate(coords_parts).reshape(-1, 2)
+        rest = ~maybe_pt & ~maybe_ln
+        if pt_coords is None:
+            rest |= maybe_pt  # point fast path disabled: points decoded in loop
+        if ln_coords is None:
+            rest |= maybe_ln
+        dst = _expand_ranges(g_starts[rest], g_stops[rest])
+        coords[dst] = flat
     return GeomBatch(types=types, coords=coords, ring_offsets=ring_off, geom_offsets=geom_off)
 
 
