@@ -357,6 +357,10 @@ def _zz_int(v: int) -> int:
     return (v << 1) if v >= 0 else ((-v << 1) - 1)
 
 
+_EXTENT_FIELD = _field(5, 0) + _varint(EXTENT)   # layer extent (constant)
+_VERSION_FIELD = _field(15, 0) + _varint(2)      # layer version (constant)
+
+
 def _assemble_layer(clipped: list[dict], tp, lname: str,
                     batch_cmds=None) -> bytes:
     extent = tp[4]
@@ -401,15 +405,25 @@ def _assemble_layer(clipped: list[dict], tp, lname: str,
     if not feats:
         return b""
 
-    # batched geometry varint encode + per-feature byte-range split
+    # batched geometry varint encode + per-feature byte-range split;
+    # tiny layers (1-2 small geometries — the common deep-zoom case) take a
+    # plain-python path that avoids the numpy setup cost entirely
+    small_cmds = None
     if cmd_arrays:
-        allcmds = np.concatenate(cmd_arrays) if len(cmd_arrays) > 1 else cmd_arrays[0]
-        enc, sizes = _varint_array_sized(allcmds)
-        val_bounds = np.zeros(len(cmd_lens) + 1, dtype=np.int64)
-        np.cumsum(np.asarray(cmd_lens), out=val_bounds[1:])
-        byte_cum = np.zeros(len(sizes) + 1, dtype=np.int64)
-        np.cumsum(sizes, out=byte_cum[1:])
-        byte_bounds = byte_cum[val_bounds]
+        total_vals = sum(cmd_lens)
+        if total_vals <= 48:
+            small_cmds = [
+                b"".join(_varint(int(v)) for v in a) for a in cmd_arrays
+            ]
+        else:
+            allcmds = (np.concatenate(cmd_arrays) if len(cmd_arrays) > 1
+                       else cmd_arrays[0])
+            enc, sizes = _varint_array_sized(allcmds)
+            val_bounds = np.zeros(len(cmd_lens) + 1, dtype=np.int64)
+            np.cumsum(np.asarray(cmd_lens), out=val_bounds[1:])
+            byte_cum = np.zeros(len(sizes) + 1, dtype=np.int64)
+            np.cumsum(sizes, out=byte_cum[1:])
+            byte_bounds = byte_cum[val_bounds]
     ci = 0
     parts: list[bytes] = [_len_field(1, lname.encode("utf-8"))]
     # precomputed wire-format tag bytes for the per-feature hot loop
@@ -421,6 +435,9 @@ def _assemble_layer(clipped: list[dict], tp, lname: str,
                 geom_buf = pt
             else:
                 geom_buf = _NINE + _varint(_zz_int(pt[0])) + _varint(_zz_int(pt[1]))
+        elif small_cmds is not None:
+            geom_buf = small_cmds[ci]
+            ci += 1
         else:
             geom_buf = enc[byte_bounds[ci]:byte_bounds[ci + 1]]
             ci += 1
@@ -447,8 +464,8 @@ def _assemble_layer(clipped: list[dict], tp, lname: str,
         parts.append(_len_field(3, k.encode("utf-8")))
     for (_, v) in vals:
         parts.append(_len_field(4, encode_value(v)))
-    parts.append(_varint_field(5, extent))
-    parts.append(_varint_field(15, 2))  # layer version
+    parts.append(_EXTENT_FIELD if extent == EXTENT else _varint_field(5, extent))
+    parts.append(_VERSION_FIELD)
     return b"".join(parts)
 
 
