@@ -121,8 +121,38 @@ def cmd_synth(argv):
     print(out)
 
 
+def cmd_spatialize(argv):
+    p = argparse.ArgumentParser(prog="spatialize")
+    p.add_argument("-in", dest="inp", required=True, help="OSM PBF file")
+    p.add_argument("-out", dest="out", required=True, help="Spaten output")
+    p.add_argument("-mapping", default=None, help="YAML mapping rule file")
+    a = p.parse_args(argv)
+    _ray_init(None)
+    import ray
+
+    from .pipelines.spatialize import spatialize
+    from .stages.mapping import DEFAULT_MAPPING
+
+    mapping = open(a.mapping).read() if a.mapping else DEFAULT_MAPPING
+    feats = spatialize(a.inp, mapping)
+    import json as _json
+
+    from .sources.spaten import write_spaten
+
+    def rows():
+        for batch in feats.iter_batches(batch_size=1000, batch_format="pyarrow"):
+            props = batch["props_json"].to_pylist()
+            for blob, pj in zip(batch["geom_wkb"].to_pylist(), props):
+                yield {"geom_wkb": blob, "props": _json.loads(pj) if pj else {}}
+
+    n = write_spaten(a.out, rows())
+    print(f"wrote {n} features to {a.out}")
+    ray.shutdown()
+
+
 COMMANDS = {
     "tiler": cmd_tiler,
+    "spatialize": cmd_spatialize,
     "converter": cmd_converter,
     "inspect": cmd_inspect,
     "synth": cmd_synth,

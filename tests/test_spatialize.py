@@ -1,0 +1,128 @@
+"""OSM PBF → features pipeline tests (reference cmd/spatialize semantics)."""
+import json
+
+import numpy as np
+import pytest
+
+from grandine_ray.geom import wkb
+from grandine_ray.geom.ops import is_clockwise
+from grandine_ray.sources import osm
+
+MAPPING = """
+- src: {key: highway, value: primary}
+  dest:
+    - {key: "@layer", value: transportation}
+    - {key: class, value: $highway}
+- src: {key: building, value: "*"}
+  dest:
+    - {key: "@layer", value: building}
+    - {key: __type, value: area}
+- src: {key: amenity, value: "*"}
+  dest:
+    - {key: "@layer", value: poi}
+    - {key: kind, value: $amenity}
+- src: {key: landuse, value: park}
+  dest:
+    - {key: "@layer", value: landuse}
+"""
+
+
+@pytest.fixture(scope="module")
+def pbf_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("osm") / "test.pbf")
+    # square building way 10 (closed, CW), road way 11 (open),
+    # untagged helper ways 12/13 for the multipolygon relation
+    nodes = [
+        (1, 13.40, 52.50, {"amenity": "cafe"}),
+        (2, 13.41, 52.50, {}),
+        (3, 13.41, 52.51, {}),
+        (4, 13.40, 52.51, {}),
+        (5, 13.45, 52.55, {"tourism": "hotel"}),   # no matching cond
+        (6, 13.50, 52.50, {}),
+        (7, 13.60, 52.50, {}),
+        # outer ring nodes of the relation
+        (20, 13.70, 52.70, {}),
+        (21, 13.80, 52.70, {}),
+        (22, 13.80, 52.80, {}),
+        (23, 13.70, 52.80, {}),
+        # inner ring nodes
+        (30, 13.73, 52.73, {}),
+        (31, 13.77, 52.73, {}),
+        (32, 13.77, 52.77, {}),
+        (33, 13.73, 52.77, {}),
+    ]
+    ways = [
+        (10, [1, 2, 3, 4, 1], {"building": "yes"}),
+        (11, [6, 7], {"highway": "primary", "name": "A1"}),
+        (12, [20, 21, 22, 23, 20], {}),              # relation outer
+        (13, [30, 31, 32, 33, 30], {}),              # relation inner
+    ]
+    rels = [
+        (40, [(12, osm.WAY, "outer"), (13, osm.WAY, "inner")],
+         {"type": "multipolygon", "landuse": "park"}),
+    ]
+    osm.write_pbf(path, nodes, ways, rels)
+    return path
+
+
+def test_pbf_codec_roundtrip(pbf_file):
+    d = osm.read_pbf(pbf_file)
+    ids, lons, lats, tags = d["nodes"]
+    assert len(ids) == 15
+    assert tags[0] == {"amenity": "cafe"}
+    assert len(d["ways"]) == 4
+    assert d["ways"][0][1].tolist() == [1, 2, 3, 4, 1]
+    assert d["relations"][0][1][0] == (12, osm.WAY, "outer")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spatialize_assembly(pbf_file):
+    from grandine_ray.pipelines.spatialize import spatialize
+
+    feats = spatialize(pbf_file, MAPPING).take_all()
+    by_layer = {}
+    for r in feats:
+        by_layer.setdefault(r["layer"], []).append(r)
+
+    # cafe node matched amenity cond → point in poi layer; hotel dropped
+    assert len(by_layer["poi"]) == 1
+    p = by_layer["poi"][0]
+    assert p["geom_type"] == 1
+    assert json.loads(p["props_json"])["kind"] == "cafe"
+
+    # road way → linestring, CCW-normalization is a no-op for open lines'
+    # area sign but applied per reference; class mapped
+    road = by_layer["transportation"][0]
+    assert road["geom_type"] == 2
+    gb = wkb.decode_wkb_batch([road["geom_wkb"]])
+    assert len(gb.rings_of(0)[0]) == 2
+
+    # building way (closed + __type=area) → polygon, __type consumed
+    b = by_layer["building"][0]
+    assert b["geom_type"] == 3
+    props = json.loads(b["props_json"])
+    assert "__type" not in props
+    gb = wkb.decode_wkb_batch([b["geom_wkb"]])
+    ring = gb.rings_of(0)[0]
+    assert len(ring) == 4
+    assert not is_clockwise(ring)  # ways normalized CCW (spatialize.go:283-285)
+
+    # multipolygon relation → polygon with outer CCW + inner CW
+    park = by_layer["landuse"][0]
+    assert park["geom_type"] == 3
+    gb = wkb.decode_wkb_batch([park["geom_wkb"]])
+    rings = gb.rings_of(0)
+    assert len(rings) == 2
+    assert not is_clockwise(rings[0])   # outer forced counter-clockwise
+    assert is_clockwise(rings[1])       # inner forced clockwise
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spatialize_missing_node_is_fatal(tmp_path):
+    from grandine_ray.pipelines.spatialize import spatialize
+
+    path = str(tmp_path / "bad.pbf")
+    osm.write_pbf(path, [(1, 0.0, 0.0, {})],
+                  [(10, [1, 99], {"highway": "primary"})], [])
+    with pytest.raises(Exception):  # reference: log.Fatal (spatialize.go:152)
+        spatialize(path, MAPPING).take_all()
