@@ -24,6 +24,8 @@ import math as _math
 def round_half_away(v):
     """Go-style round: half away from zero (point.go:129-134)."""
     if isinstance(v, (float, int)):  # scalar fast path (hot in clip loops)
+        if not _math.isfinite(v):
+            return v  # match numpy: floor/ceil of ±inf/nan pass through
         return _math.floor(v + 0.5) if v >= 0 else _math.ceil(v - 0.5)
     v = np.asarray(v, dtype=np.float64)
     return np.where(v < 0, np.ceil(v - 0.5), np.floor(v + 0.5))
@@ -33,6 +35,8 @@ def rounded_coords(v, decimals: int = POINT_PRECISION):
     s = 10.0 ** decimals
     if isinstance(v, (float, int)):
         x = v * s
+        if not _math.isfinite(x):
+            return x
         return (_math.floor(x + 0.5) if x >= 0 else _math.ceil(x - 0.5)) / s
     return round_half_away(np.asarray(v, dtype=np.float64) * s) / s
 
