@@ -260,6 +260,41 @@ def run_tiler(
     return manifest
 
 
+def finalize_job(manifest: rd.Dataset, out_dir: str, wall_s: float | None = None):
+    """Consume the manifest and write job-level metrics (rows/bytes/sec per
+    partition + totals) to out_dir/JOB.json. Returns the manifest rows."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    run_rows = manifest.take_all()  # consume/execute this run
+    # totals come from the on-disk manifest: includes partitions completed
+    # by PREVIOUS (killed) runs that this resume skipped
+    rows = []
+    for f in sorted(_glob.glob(_os.path.join(out_dir, "manifest", "p*.json"))):
+        rows.append(_json.load(open(f)))
+    total_rows = sum(r["rows"] for r in rows)
+    total_bytes = sum(r["bytes"] for r in rows)
+    job = {
+        "partitions": len(rows),
+        "tiles": int(total_rows),
+        "bytes": int(total_bytes),
+        "wall_s": wall_s,
+        "tiles_per_sec": round(total_rows / wall_s, 1) if wall_s else None,
+        "bytes_per_sec": round(total_bytes / wall_s, 1) if wall_s else None,
+        "per_partition": [
+            {k: r[k] for k in ("partition_id", "rows", "bytes", "wall_s",
+                               "cell_range_min", "cell_range_max")}
+            for r in sorted(rows, key=lambda r: r["partition_id"])
+        ],
+    }
+    tmp = _os.path.join(out_dir, "JOB.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(job, f, indent=1)
+    _os.replace(tmp, _os.path.join(out_dir, "JOB.json"))
+    return rows
+
+
 def write_tiles_dir(tiles: rd.Dataset, out_dir: str, ext: str = "mvt") -> int:
     """Reference-layout sink: one file per tile at out_dir/z/x/y.ext
     (cmd/tiler/tiler.go:269-294). For small outputs / parity checks only —
