@@ -64,9 +64,9 @@ def cmd_tiler(argv):
     total = sum(r["rows"] for r in rows)
     print(f"wrote {total} tiles across {len(rows)} partitions to {a.out}")
     if a.tiles_dir:
-        import ray.data as rd
-        import pyarrow.parquet as pq
         import glob
+
+        import ray.data as rd
 
         for f in glob.glob(f"{a.out}/tiles/*.parquet"):
             T.write_tiles_dir(rd.read_parquet(f), os.path.join(a.out, "xyz"))

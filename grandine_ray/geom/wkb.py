@@ -307,6 +307,39 @@ def encode_polygon(rings: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
+def encode_linestrings_bulk(coords: np.ndarray, sizes: np.ndarray) -> list[bytes]:
+    """Bulk LE-WKB encode of many single-ring linestrings.
+
+    coords: [total_pts, 2] concatenated vertices; sizes: points per line.
+    One output buffer is assembled with vectorized scatter/gather, then
+    sliced per line — no per-line struct packing.
+    """
+    sizes = np.asarray(sizes, dtype=np.int64)
+    n = len(sizes)
+    if n == 0:
+        return []
+    byte_lens = 9 + 16 * sizes
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(byte_lens, out=bounds[1:])
+    buf = np.zeros(int(bounds[-1]), dtype=np.uint8)
+    starts = bounds[:-1]
+    buf[starts] = 1                       # little-endian marker
+    buf[starts + 1] = GEOM_LINESTRING
+    # uint32 LE point count at offset 5
+    cnt = sizes.astype(np.uint32)
+    buf[starts + 5] = (cnt & 0xFF).astype(np.uint8)
+    buf[starts + 6] = ((cnt >> 8) & 0xFF).astype(np.uint8)
+    buf[starts + 7] = ((cnt >> 16) & 0xFF).astype(np.uint8)
+    buf[starts + 8] = ((cnt >> 24) & 0xFF).astype(np.uint8)
+    dst = _expand_ranges(starts + 9, starts + 9 + 16 * sizes)
+    buf[dst] = (
+        np.ascontiguousarray(np.asarray(coords, dtype="<f8").reshape(-1, 2))
+        .view(np.uint8).reshape(-1)
+    )
+    raw = buf.tobytes()
+    return [raw[bounds[i]:bounds[i + 1]] for i in range(n)]
+
+
 def encode_wkb_batch(gb: GeomBatch) -> list[bytes]:
     out: list[bytes] = []
     pt_mask = gb.types == GEOM_POINT

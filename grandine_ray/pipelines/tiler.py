@@ -1,21 +1,25 @@
 """The flagship pipeline: documents → vector tiles (SURVEY §3.1 Ray form).
 
-    docs = ray.data.read_parquet(...)                       # streaming read
-    feats = docs.map_batches(extract_features)              # spans → features
-    tiled = feats.map_batches(coverage)                     # 1 row → N (z,x,y)
-    tiles = tiled.groupby("tile_key").map_groups(TileEncoder)   # THE shuffle
-    tiles → partitioned parquet + per-partition manifest    # resumable
+    docs  = ray.data.read_parquet(...)                     # streaming read
+    feats = docs.map_batches(extract_features)             # spans → features
+    tiled = feats.map_batches(coverage)                    # 1 row → N (z,x,y)
+    prep  = tiled.map_batches(tilespace_prepare)           # project+clip, no shuffle
+    lbuf  = prep.sort(tile_key, lhash) |> per-layer encode # THE shuffle
+    tiles = lbuf.sort(tile_key) |> layer concat            # tiny second pass
+    tiles → partitioned parquet + per-partition manifest + JOB.json
 
 Replaces the reference's single-process FeatureCache + worker goroutines
-(cmd/tiler/tiler.go, featurecache*.go) with one wide groupby; no global
+(cmd/tiler/tiler.go, featurecache*.go) with one wide exchange; no global
 feature index exists anywhere.
 
 Skew handling (BASELINE.json: "skewed hot cells are salted and
-re-partitioned explicitly"): hot tile keys are estimated from a sample
-pre-pass, broadcast via ``ray.put``, and the coverage stage assigns
-``salt = hash(doc_id) % k`` for rows landing on hot keys. The shuffle then
-runs in two phases: groupby (tile_key, salt) does project+clip on the
-spread-out key, groupby tile_key merges + assembles the protobuf.
+re-partitioned explicitly"): the default "prepared" strategy removes
+compute skew structurally — the per-feature heavy work (projection,
+clipping, WKB) runs BEFORE the shuffle on uniform blocks, and the
+per-(tile, layer) encode splits low-zoom mega-tiles across layer groups.
+Explicit hot-cell salting (sampled counts broadcast via ``ray.put``,
+``salt = hash(doc_id) % k``) remains available as strategy="salted" and
+produces byte-identical tiles (tested).
 """
 from __future__ import annotations
 
@@ -28,13 +32,9 @@ from ..index import xyz
 from ..stages.coverage import make_coverage_fn
 from ..stages.extract import extract_features
 from ..stages.mvt import (
-    SortedBlockTileEncoder,
-    TileEncoder,
     TileFinalize,
     TilePrepare,
-    TilespacePrepare,
     sorted_block_encode,
-    sorted_block_finalize,
     tilespace_prepare,
 )
 from ..state.checkpoint import completed_partitions, partition_of_keys, write_partition
@@ -145,12 +145,11 @@ def tile_dataset(
     """documents Dataset → tiles Dataset (z, x, y, mvt, n_features, bytes).
 
     strategy (all three produce byte-identical tiles — tested):
-      * "direct" (default): single sort + full block-level encode. Fastest
-        at bench scale once stages run as elastic tasks.
-      * "prepared": shuffle-free per-feature project+clip stage, then one
-        sort of clipped tile-space rows, then merge+assemble — spreads the
-        per-feature heavy work uniformly; the right shape when low-zoom
-        mega-tiles dominate (extreme skew / much larger corpora).
+      * "prepared" (default): shuffle-free per-feature project+clip stage,
+        then one sort of clipped tile-space rows, then per-(tile, layer)
+        merge+assemble — uniform parallelism in the heavy stage, mega-tile
+        stragglers split across layers.
+      * "direct": single sort + full block-level encode (reference shape).
       * "salted": explicit hot-cell salting with a two-phase groupby.
     """
     zooms = zooms if zooms is not None else DEFAULT_ZOOMS

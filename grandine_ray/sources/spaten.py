@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..geom import wkb as wkbmod
-from ..stages.mvt import _len_field, _varint, _varint_field, _iter_fields
+from ..stages.mvt import _iter_fields, _len_field, _varint_field
 
 COOKIE = b"SPAT"
 VERSION = 0

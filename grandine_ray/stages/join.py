@@ -214,8 +214,6 @@ def pip_join_partitioned(points_ds, polys_ds, cell_zoom: int = PIP_CELL_ZOOM):
     bbox_*). Skewed hot cells can additionally be salted upstream by
     splitting the point side per cell (polygons replicate per salt).
     """
-    import pyarrow.compute as pc
-
     def pt_cells(batch: pa.Table) -> pa.Table:
         px = batch["bbox_minx"].to_numpy(zero_copy_only=False)
         py = batch["bbox_miny"].to_numpy(zero_copy_only=False)

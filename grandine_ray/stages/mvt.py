@@ -911,19 +911,27 @@ class TilespacePrepare:
             out_idx.extend(pt_sel.tolist())
             out_part.extend([0] * m)
             out_type.extend([wkbmod.GEOM_POINT] * m)
-        for i in np.nonzero(~is_pt & g_fully_in)[0].tolist():
+        # fully-in linestrings: bulk WKB encode (vectorized buffer build)
+        ln_sel = np.nonzero((types == wkbmod.GEOM_LINESTRING) & g_fully_in)[0]
+        if len(ln_sel):
+            ln_starts = ring_off[geom_off[ln_sel]]
+            ln_stops = ring_off[geom_off[ln_sel] + 1]
+            pt_idx = wkbmod.expand_ranges(ln_starts, ln_stops)
+            out_wkb.extend(
+                wkbmod.encode_linestrings_bulk(tcoords[pt_idx], ln_stops - ln_starts)
+            )
+            out_idx.extend(ln_sel.tolist())
+            out_part.extend([0] * len(ln_sel))
+            out_type.extend([wkbmod.GEOM_LINESTRING] * len(ln_sel))
+        # fully-in polygons: per-feature (ragged rings)
+        for i in np.nonzero((types == wkbmod.GEOM_POLYGON) & g_fully_in)[0].tolist():
             out_idx.append(i)
             out_part.append(0)
-            t = int(types[i])
-            out_type.append(t)
-            if t == wkbmod.GEOM_LINESTRING:
-                out_wkb.append(wkbmod.encode_linestring(
-                    tcoords[ring_off[geom_off[i]]:ring_off[geom_off[i] + 1]]))
-            else:
-                out_wkb.append(wkbmod.encode_polygon([
-                    tcoords[ring_off[r]:ring_off[r + 1]]
-                    for r in range(geom_off[i], geom_off[i + 1])
-                ]))
+            out_type.append(wkbmod.GEOM_POLYGON)
+            out_wkb.append(wkbmod.encode_polygon([
+                tcoords[ring_off[r]:ring_off[r + 1]]
+                for r in range(geom_off[i], geom_off[i + 1])
+            ]))
         # border-crossing geometries: reference clip semantics per feature
         cross = np.nonzero(~g_fully_in & ~g_outside & ~is_pt)[0]
         for i in cross.tolist():
