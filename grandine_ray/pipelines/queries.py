@@ -481,6 +481,39 @@ def q_events_sliding(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+def q_events_sessions(sf_dir: str):
+    """Gap-based session windows (30 min) per user: the stream-shaped
+    pattern from the Ray guide — partition by key, sort by ts inside
+    map_groups, detect gaps with pandas."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff().dt.total_seconds() > 1800
+        sid = gap.cumsum().fillna(0).astype("int64")
+        out = g.assign(session_id=sid).groupby("session_id").agg(
+            n_events=("ts", "size"),
+            t_start=("ts", "min"),
+            sum_value_milli=("value", lambda v: int(round(v.sum() * 1000))),
+        ).reset_index()
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "n_events", "t_start",
+                    "sum_value_milli"]]
+
+    out = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["user_id"] = g["user_id"].astype("int64")
+        g["session_id"] = g["session_id"].astype("int64")
+        g["n_events"] = g["n_events"].astype("int64")
+        g["sum_value_milli"] = g["sum_value_milli"].astype("int64")
+        return g
+
+    return out.map_batches(widen, batch_format="pandas")
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF-probed approximate ANN (scale path) — rows-only (approximate by
     design; recall vs brute force asserted in pytest)."""
@@ -645,6 +678,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
+    "events_sessions": q_events_sessions,
     "ann_ivf": q_ann_ivf,
     "embedding_dedup": q_embedding_dedup,
     "global_bbox": q_global_bbox,
@@ -795,6 +829,25 @@ WITH w AS (
 SELECT event_type, CAST(window_start AS TIMESTAMP) AS window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM w GROUP BY event_type, window_start""",
+    "events_sessions": """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS t_start,
+       CAST(ROUND(SUM(value) * 1000) AS BIGINT) AS sum_value_milli
+FROM sess GROUP BY user_id, session_id""",
     "embedding_dedup": """
 WITH n AS (SELECT vec_id, embedding FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
