@@ -6,11 +6,13 @@ bbox borders, then re-chaining of contiguous segments into 1..N sublines.
 Golden vectors: line_test.go:176-267.
 
 Polygon clipping keeps the reference's shortcut paths (polygon.go:26-40) and
-replaces the GEOS general case (clip_geos.go) with a from-scratch
-Sutherland–Hodgman rectangle clip per ring. Divergence from GEOS, by design:
-a concave polygon whose intersection with the box has multiple components
-comes back as one ring connected along the box border (GEOS would split it);
-the self-intersecting-input repair path (GEOS Buffer(0)) is not reproduced.
+replaces the GEOS general case (clip_geos.go) from scratch: a
+Weiler–Atherton-style tracer (geom/polyclip.py) splits multi-component
+intersections into clean rings like GEOS, with a Sutherland–Hodgman
+fallback (region-correct, single connected ring) for degenerate
+configurations. Remaining divergence from GEOS, by design: the
+self-intersecting-input repair path (GEOS Buffer(0)) is not reproduced —
+such rings take the S-H fallback.
 """
 from __future__ import annotations
 
@@ -253,6 +255,36 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[list[n
         if bbox_fully_in(clip_bb, poly_bb):
             return [[np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])]]
         # fall through: disjoint or corner-overlap-only — S-H yields empty
+
+    # general case: Weiler–Atherton-style multi-part tracer first (clean
+    # component splitting, what GEOS produces for the reference); fall back
+    # to Sutherland–Hodgman (region-correct, single connected ring) on
+    # degenerate configurations — border-touching vertices, corner-grazing
+    # crossings, self-intersecting subjects
+    from .polyclip import clip_ring_rect
+
+    wa = clip_ring_rect(outer, minx, miny, maxx, maxy)
+    if wa is not None:
+        holes_ok = True
+        hole_parts: list[np.ndarray] = []
+        for hole in rings[1:]:
+            hw = clip_ring_rect(hole, minx, miny, maxx, maxy)
+            if hw is None:
+                holes_ok = False
+                break
+            hole_parts.extend(hw)
+        if holes_ok:
+            if not wa:
+                return []
+            polys: list[list[np.ndarray]] = [[shell] for shell in wa]
+            from .predicates import point_in_rings
+
+            for hp in hole_parts:
+                for poly in polys:
+                    if point_in_rings(hp[0, 0], hp[0, 1], [poly[0]]):
+                        poly.append(hp)
+                        break
+            return polys
 
     out_rings = []
     for i, ring in enumerate(rings):
