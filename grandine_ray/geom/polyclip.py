@@ -72,7 +72,9 @@ def clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy):
     # standard signed area) subject; normalize and flip back at the end
     x = pts[:, 0]
     y = pts[:, 1]
-    signed2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    signed2 = float(
+        np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) + x[-1] * y[0] - x[0] * y[-1]
+    )
     flipped = signed2 < 0
     if flipped:
         pts = pts[::-1].copy()
@@ -91,99 +93,109 @@ def clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy):
     if strictly_in.all():
         return [pts[::-1].copy() if flipped else pts]
 
-    # marked sequence: ('v', x, y) vertices and ('x', x, y, entering)
-    seq: list[tuple] = []
-    n_crossings = 0
-    state = bool(strictly_in[0])
-    for i in range(n):
-        a = pts[i]
-        b = pts[(i + 1) % n]
-        seq.append(("v", a[0], a[1], strictly_in[i]))
-        seg_cross = []
-        for axis, val in ((0, minx), (0, maxx), (1, miny), (1, maxy)):
-            av, bv = a[axis], b[axis]
-            if (av < val) == (bv < val):
-                continue
-            t = (val - av) / (bv - av)
-            p = a + t * (b - a)
-            o = 1 - axis
-            lo_o, hi_o = (miny, maxy) if axis == 0 else (minx, maxx)
-            if not (lo_o < p[o] < hi_o):
-                continue
-            seg_cross.append((t, p[0], p[1]))
-        seg_cross.sort()
-        for t, x, y in seg_cross:
-            seq.append(("x", x, y, None))
-            n_crossings += 1
-    if n_crossings == 0 or n_crossings % 2 != 0:
+    # crossings, vectorized over all segments × 4 border lines
+    a = pts
+    b = np.empty_like(pts)
+    b[:-1] = pts[1:]
+    b[-1] = pts[0]
+    seg_idx_parts = []
+    t_parts = []
+    px_parts = []
+    py_parts = []
+    for axis, val in ((0, minx), (0, maxx), (1, miny), (1, maxy)):
+        av = a[:, axis]
+        bv = b[:, axis]
+        m = (av < val) != (bv < val)
+        if not m.any():
+            continue
+        w = np.nonzero(m)[0]
+        t = (val - av[w]) / (bv[w] - av[w])
+        o = 1 - axis
+        po = a[w, o] + t * (b[w, o] - a[w, o])
+        lo_o, hi_o = (miny, maxy) if axis == 0 else (minx, maxx)
+        ok = (po > lo_o) & (po < hi_o)
+        if not ok.any():
+            continue
+        w = w[ok]
+        t = t[ok]
+        po = po[ok]
+        seg_idx_parts.append(w)
+        t_parts.append(t)
+        if axis == 0:
+            px_parts.append(np.full(len(w), float(val)))
+            py_parts.append(po)
+        else:
+            px_parts.append(po)
+            py_parts.append(np.full(len(w), float(val)))
+    if not seg_idx_parts:
+        return None  # fully outside or rect inside ring: caller shortcuts
+    seg_idx = np.concatenate(seg_idx_parts)
+    ts = np.concatenate(t_parts)
+    cxs = np.concatenate(px_parts)
+    cys = np.concatenate(py_parts)
+    order = np.lexsort((ts, seg_idx))  # ring order
+    seg_idx = seg_idx[order]
+    cxs = cxs[order]
+    cys = cys[order]
+    C = len(seg_idx)
+    if C % 2 != 0:
         return None
 
-    # classify entering/exiting by alternation from the start state
-    cross_pos = []  # positions in seq
-    for si, item in enumerate(seq):
-        if item[0] == "x":
-            entering = not state
-            seq[si] = ("x", item[1], item[2], entering)
-            cross_pos.append(si)
-            state = not state
-    if state != bool(strictly_in[0]):
-        return None
+    # entering/exiting by alternation from vertex-0 containment
+    s0 = bool(strictly_in[0])
+    entering = np.where(np.arange(C) % 2 == 0, not s0, s0)
 
-    perim = {
-        si: _perimeter_pos(seq[si][1], seq[si][2], minx, miny, maxx, maxy)
-        for si in cross_pos
-    }
-    if any(p < 0 for p in perim.values()):
+    perim_arr = np.array([
+        _perimeter_pos(cxs[k], cys[k], minx, miny, maxx, maxy)
+        for k in range(C)
+    ])
+    if (perim_arr < 0).any():
         return None
-    by_perim = sorted(cross_pos, key=lambda si: perim[si])
-    next_on_perim = {
-        by_perim[k]: by_perim[(k + 1) % len(by_perim)]
-        for k in range(len(by_perim))
-    }
-    seq_next_cross = {}
-    for k in range(len(cross_pos)):
-        seq_next_cross[cross_pos[k]] = cross_pos[(k + 1) % len(cross_pos)]
+    by_perim = np.argsort(perim_arr, kind="stable")
+    next_on_perim = {}
+    for k in range(C):
+        next_on_perim[int(by_perim[k])] = int(by_perim[(k + 1) % C])
 
-    L = len(seq)
     out_rings = []
     used: set[int] = set()
-    for start in cross_pos:
-        if not seq[start][3] or start in used:
+    for start in range(C):
+        if not entering[start] or start in used:
             continue
         ringpts: list[tuple[float, float]] = []
         cur = start
         guard = 0
         while True:
             guard += 1
-            if guard > 2 * len(cross_pos) + 4:
+            if guard > C + 2:
                 return None
-            # entering crossing at seq position cur
             used.add(cur)
-            ringpts.append((seq[cur][1], seq[cur][2]))
-            # walk seq forward to the next crossing, taking vertices
-            exit_pos = seq_next_cross[cur]
-            si = (cur + 1) % L
-            while si != exit_pos:
-                item = seq[si]
-                if item[0] == "v":
-                    ringpts.append((item[1], item[2]))
-                si = (si + 1) % L
-            if not used.isdisjoint({exit_pos}) and exit_pos != start:
+            ringpts.append((cxs[cur], cys[cur]))
+            # walk the subject to the next crossing in ring order
+            ex = (cur + 1) % C
+            if entering[ex]:
+                return None  # expected an exit next
+            si = int(seg_idx[cur])
+            sj = int(seg_idx[ex])
+            if not (si == sj and ex == cur + 1):
+                v = (si + 1) % n
+                stop = (sj + 1) % n
+                while v != stop:
+                    ringpts.append((pts[v, 0], pts[v, 1]))
+                    v = (v + 1) % n
+            if ex != start and ex in used:
                 return None
-            if seq[exit_pos][3]:
-                return None  # expected an exiting crossing
-            used.add(exit_pos)
-            ringpts.append((seq[exit_pos][1], seq[exit_pos][2]))
-            # walk rect perimeter CCW to the next crossing
-            nxt = next_on_perim[exit_pos]
-            for corner in _corners_between(perim[exit_pos], perim[nxt],
+            used.add(ex)
+            ringpts.append((cxs[ex], cys[ex]))
+            # walk the rect perimeter CCW to the next crossing
+            nxt_c = next_on_perim[ex]
+            for corner in _corners_between(perim_arr[ex], perim_arr[nxt_c],
                                            minx, miny, maxx, maxy):
                 ringpts.append(corner)
-            if nxt == start:
+            if nxt_c == start:
                 break
-            if not seq[nxt][3] or nxt in used:
-                return None  # must land on an unused entering crossing
-            cur = nxt
+            if not entering[nxt_c] or nxt_c in used:
+                return None
+            cur = nxt_c
         arr = np.asarray(ringpts, dtype=np.float64)
         if len(arr) > 1:
             keep = np.ones(len(arr), dtype=bool)
@@ -197,7 +209,9 @@ def clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy):
             # via GEOS Buffer(0)) — fall back to Sutherland–Hodgman
             ax = arr[:, 0]
             ay = arr[:, 1]
-            if float(np.sum(ax * np.roll(ay, -1) - np.roll(ax, -1) * ay)) <= 0:
+            comp2 = (np.sum(ax[:-1] * ay[1:] - ax[1:] * ay[:-1])
+                     + ax[-1] * ay[0] - ax[0] * ay[-1])
+            if float(comp2) <= 0:
                 return None
             out_rings.append(arr[::-1].copy() if flipped else arr)
     if not out_rings:

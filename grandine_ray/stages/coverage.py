@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..index import xyz
 
@@ -59,16 +60,22 @@ def make_coverage_fn(zooms: list[int]):
             keys = np.empty(0, dtype=np.uint64)
 
         take = pa.array(row_idx)
+        # large_binary: the fan-out × WKB bytes of one batch can exceed the
+        # 2 GiB int32 offset limit when continent-sized features hit deep
+        # zooms — large offsets make the take safe at any fan-out
+        wkb_large = pc.cast(batch["geom_wkb"], pa.large_binary())
         cols = {
             "tile_key": pa.array(keys, pa.uint64()),
             "doc_id": batch["doc_id"].take(take),
             "span_idx": batch["span_idx"].take(take),
             "geom_type": batch["geom_type"].take(take),
-            "geom_wkb": batch["geom_wkb"].take(take),
+            "geom_wkb": wkb_large.take(take),
             "layer": batch["layer"].take(take),
         }
         if "props_json" in batch.column_names:
-            cols["props_json"] = batch["props_json"].take(take)
+            cols["props_json"] = pc.cast(
+                batch["props_json"], pa.large_string()
+            ).take(take)
         return pa.table(cols)
 
     return coverage
