@@ -169,6 +169,16 @@ def run_suite() -> dict:
     queries["text"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(queries.values()), 3)
+    # machine-state probe: single-core numpy-sort time (this VM's delivered
+    # compute fluctuates ±2× between runs; lets BENCH numbers be read in
+    # context — ~0.9 s on a quiet machine, see BENCH/BASELINE.md)
+    import numpy as _np
+
+    arr = _np.random.default_rng(0).random(3_000_000)
+    t0 = time.perf_counter()
+    for _ in range(12):
+        _np.sort(arr)
+    probe = round(time.perf_counter() - t0, 3)
     result = {
         "metric": "wall_time_total",
         "value": total,
@@ -176,6 +186,7 @@ def run_suite() -> dict:
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": ncpu,
+        "machine_probe_sec": probe,
         **extras,
     }
     ray.shutdown()
