@@ -50,6 +50,7 @@ def cmd_tiler(argv):
     p.add_argument("-no-resume", action="store_true")
     p.add_argument("-tiles-dir", action="store_true",
                    help="also write z/x/y.mvt files (reference layout)")
+    p.add_argument("-compress", action="store_true", help="gzip tile files")
     a = p.parse_args(argv)
     _ray_init(a.workers)
     import ray
@@ -69,7 +70,8 @@ def cmd_tiler(argv):
         import ray.data as rd
 
         for f in glob.glob(f"{a.out}/tiles/*.parquet"):
-            T.write_tiles_dir(rd.read_parquet(f), os.path.join(a.out, "xyz"))
+            T.write_tiles_dir(rd.read_parquet(f), os.path.join(a.out, "xyz"),
+                              compress=a.compress)
     ray.shutdown()
 
 
@@ -108,6 +110,28 @@ def cmd_inspect(argv):
     table = parser(raw if a.inp.endswith(".spaten") else raw.decode("utf-8"))
     print(table.schema)
     print(table.slice(0, a.n).to_pandas())
+
+
+def cmd_tiles(argv):
+    """Decode and summarize an MVT tile file (debugging aid)."""
+    p = argparse.ArgumentParser(prog="tiles")
+    p.add_argument("-in", dest="inp", required=True, help="z/x/y.mvt[.gz] file")
+    a = p.parse_args(argv)
+    import gzip
+
+    from .stages.mvt import decode_tile
+
+    raw = open(a.inp, "rb").read()
+    if a.inp.endswith(".gz"):
+        raw = gzip.decompress(raw)
+    layers = decode_tile(raw)
+    for name, lay in sorted(layers.items()):
+        kinds = {}
+        for ft in lay["features"]:
+            kinds[ft["type"]] = kinds.get(ft["type"], 0) + 1
+        print(f"layer {name!r}: {len(lay['features'])} features "
+              f"(types {kinds}), {len(lay['keys'])} keys, "
+              f"extent {lay['extent']}, version {lay['version']}")
 
 
 def cmd_synth(argv):
@@ -155,6 +179,7 @@ COMMANDS = {
     "spatialize": cmd_spatialize,
     "converter": cmd_converter,
     "inspect": cmd_inspect,
+    "tiles": cmd_tiles,
     "synth": cmd_synth,
 }
 

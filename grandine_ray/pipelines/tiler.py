@@ -294,24 +294,20 @@ def finalize_job(manifest: rd.Dataset, out_dir: str, wall_s: float | None = None
     return rows
 
 
-def write_tiles_dir(tiles: rd.Dataset, out_dir: str, ext: str = "mvt") -> int:
+def write_tiles_dir(tiles: rd.Dataset, out_dir: str, ext: str = "mvt",
+                    compress: bool = False, filesystem=None) -> int:
     """Reference-layout sink: one file per tile at out_dir/z/x/y.ext
-    (cmd/tiler/tiler.go:269-294). For small outputs / parity checks only —
-    the scalable layout is the partitioned parquet of :func:`run_tiler`.
+    (cmd/tiler/tiler.go:269-294; gzip = the -compress flag; any
+    pyarrow.fs.FileSystem = the S3 writer seam, cmd/tiler/s3.go). For small
+    outputs / parity checks — the scalable layout is the partitioned
+    parquet of :func:`run_tiler`.
     """
-    import os
+    from ..state.tilefs import TileWriter
 
     def write_batch(batch: pa.Table) -> pa.Table:
-        zs = batch["z"].to_pylist()
-        xs = batch["x"].to_pylist()
-        ys = batch["y"].to_pylist()
-        bufs = batch["mvt"].to_pylist()
-        for z, x, y, buf in zip(zs, xs, ys, bufs):
-            d = os.path.join(out_dir, str(z), str(x))
-            os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, f"{y}.{ext}"), "wb") as f:
-                f.write(buf)
-        return pa.table({"n": pa.array([len(zs)], pa.int64())})
+        w = TileWriter(out_dir, compress=compress, filesystem=filesystem)
+        n = w.write_batch(batch, ext=ext)
+        return pa.table({"n": pa.array([n], pa.int64())})
 
     counts = tiles.map_batches(write_batch, batch_format="pyarrow")
     return int(counts.sum("n") or 0)

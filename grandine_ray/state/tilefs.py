@@ -32,11 +32,11 @@ class TileWriter:
         with self.fs.open_output_stream(posixpath.join(d, name), compression=None) as f:
             f.write(payload)
 
-    def write_batch(self, batch) -> int:
+    def write_batch(self, batch, ext: str = "mvt") -> int:
         zs = batch["z"].to_pylist()
         xs = batch["x"].to_pylist()
         ys = batch["y"].to_pylist()
         bufs = batch["mvt"].to_pylist()
         for z, x, y, buf in zip(zs, xs, ys, bufs):
-            self.write_tile(z, x, y, buf)
+            self.write_tile(z, x, y, buf, ext=ext)
         return len(zs)
