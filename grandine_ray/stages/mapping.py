@@ -102,15 +102,37 @@ def parse_mapping(src: str) -> list[Condition]:
     return conds
 
 
+# YAML mirror of the reference's built-in ruleset (lib/mapping/default.go:52-69).
+# Quirks preserved: building matches only the empty tag VALUE (value [""]
+# in Default, not a wildcard); railway=rail maps through the
+# transportation fn, whose class comes from the (absent) highway tag and
+# therefore ends up the empty string.
 DEFAULT_MAPPING = """
-- src: {key: highway, value: primary}
+- src: {key: aeroway, value: [aerodrome, apron, heliport, runway, helipad, taxiway]}
+  dest:
+    - {key: "@layer", value: aeroway}
+    - {key: class, value: $aeroway}
+- src: {key: highway, value: [motorway, primary, trunk, secondary, tertiary]}
   dest:
     - {key: "@layer", value: transportation}
     - {key: class, value: $highway}
-- src: {key: building, value: "*"}
+- src: {key: building, value: [""]}
   dest:
     - {key: "@layer", value: building}
     - {key: "@zoom:min", value: 14}
+- src: {key: landuse, value: forest}
+  dest:
+    - {key: __type, value: area}
+    - {key: "@layer", value: landcover}
+    - {key: class, value: wood}
+- src: {key: railway, value: rail}
+  dest:
+    - {key: "@layer", value: transportation}
+    - {key: class, value: ""}
+- src: {key: waterway, value: river}
+  dest:
+    - {key: "@layer", value: waterway}
+    - {key: class, value: $waterway}
 """
 
 

@@ -253,3 +253,51 @@ def test_converter_end_to_end(tmp_path):
     n2 = convert([str(gpath), str(cpath)], str(out2), mapping_yaml=mapping,
                  out_format="spaten", lat_col=1, lon_col=2)
     assert n2 == 1
+
+
+def test_reference_mapping_yml_parses():
+    """Parse the reference's own YAML rule file in place (lib/mapping/mapping.yml)."""
+    import os
+
+    path = "/root/reference/lib/mapping/mapping.yml"
+    if not os.path.exists(path):
+        pytest.skip("reference mapping.yml unavailable")
+    from grandine_ray.stages.mapping import parse_mapping
+
+    conds = parse_mapping(open(path).read())
+    assert len(conds) == 4
+    assert conds[0].matches({"highway": "primary"})
+    assert conds[1].matches({"building": "whatever"})      # "*" wildcard
+    assert conds[2].map_props({"railway": "x", "maxspeed": "300"})["maxspeed"] == 300
+    assert conds[2].op == "lines"
+    assert conds[3].matches({"foo": "a"}) and not conds[3].matches({"foo": "c"})
+
+
+def test_default_mapping_mirrors_reference():
+    """DEFAULT_MAPPING reproduces lib/mapping/default.go:52-69 semantics."""
+    from grandine_ray.stages.mapping import DEFAULT_MAPPING, parse_mapping
+
+    conds = parse_mapping(DEFAULT_MAPPING)
+
+    def apply(props):
+        out = []
+        for c in conds:
+            if c.matches(props):
+                out.append(c.map_props(props))
+        return out
+
+    assert apply({"highway": "motorway"}) == [
+        {"@layer": "transportation", "class": "motorway"}]
+    assert apply({"highway": "residential"}) == []          # not in list
+    assert apply({"aeroway": "runway"}) == [
+        {"@layer": "aeroway", "class": "runway"}]
+    # building matches only the empty tag value (default.go quirk)
+    assert apply({"building": ""}) == [{"@layer": "building", "@zoom:min": 14}]
+    assert apply({"building": "yes"}) == []
+    assert apply({"landuse": "forest"}) == [
+        {"__type": "area", "@layer": "landcover", "class": "wood"}]
+    # railway=rail maps through transportation with class "" (absent highway)
+    assert apply({"railway": "rail"}) == [
+        {"@layer": "transportation", "class": ""}]
+    assert apply({"waterway": "river"}) == [
+        {"@layer": "waterway", "class": "river"}]
