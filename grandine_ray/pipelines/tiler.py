@@ -168,8 +168,9 @@ def tile_dataset(
 
         tiled = tiled.map_batches(resume_filter, batch_format="pyarrow")
 
-    # MVT encoders run on an autoscaling actor pool (T8); state (zoom lookup
-    # tables, buffers) is built once per actor in __init__.
+    # concurrency only applies to the legacy "salted" groupby path (its
+    # class-based map_groups requires an explicit pool); the default
+    # prepared/direct paths run as elastic stateless tasks.
     if encoder_concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         encoder_concurrency = (1, max(2, ncpu))
