@@ -301,3 +301,22 @@ def test_default_mapping_mirrors_reference():
         {"@layer": "transportation", "class": ""}]
     assert apply({"waterway": "river"}) == [
         {"@layer": "waterway", "class": "river"}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_spaten_dataset_ray(tmp_path):
+    """File-parallel Ray Spaten reader (S1 Ray integration)."""
+    from grandine_ray.sources.spaten import read_spaten_dataset, write_spaten
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.spaten")
+        write_spaten(p, iter([
+            {"geom_wkb": wkb.encode_point(i, i), "props": {"f": i}},
+            {"geom_wkb": wkb.encode_point(i + 0.5, i), "props": {}},
+        ]))
+        paths.append(p)
+    ds = read_spaten_dataset(paths)
+    rows = ds.take_all()
+    assert len(rows) == 6
+    assert {r["bbox_minx"] for r in rows} == {0.0, 0.5, 1.0, 1.5, 2.0, 2.5}

@@ -62,17 +62,22 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    import time
+
     names = sys.argv[1:] or list(qs)
     failures = []
     for name in names:
+        t0 = time.time()
         try:
             got = to_pandas(qs[name](SF_DIR))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
             failures.append(name)
             continue
+        q_sec = time.time() - t0
         if name not in oracles:
-            print(f"ok    {name}: rows-only ({len(got)} rows, cols={list(got.columns)})")
+            print(f"ok    {name}: rows-only ({len(got)} rows, "
+                  f"cols={list(got.columns)}) [{q_sec:.1f}s]")
             continue
         try:
             exp = con.execute(oracles[name]).df()
@@ -101,7 +106,7 @@ def main():
                 print(f"      only-in-ray: {only_g}")
                 print(f"      only-in-sql: {only_e}")
         else:
-            print(f"PASS  {name}: {len(got)} rows")
+            print(f"PASS  {name}: {len(got)} rows [{q_sec:.1f}s]")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
