@@ -1,3 +1,9 @@
+import sys
+from pathlib import Path
+
+# make the repo root importable regardless of pytest invocation cwd
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import os
 
 import pytest
