@@ -1,0 +1,65 @@
+"""Single-process kernel microbenchmarks — Ray-free, so timings are less
+exposed to the VM's scheduler noise than bench.py. Use to verify kernel
+optimizations between rounds. Prints one JSON line.
+
+    python tools/microbench.py [n_docs]
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import pyarrow.parquet as pq
+
+    from grandine_ray.sources import synth
+    from grandine_ray.stages.coverage import make_coverage_fn
+    from grandine_ray.stages.extract import extract_features
+    from grandine_ray.stages.mvt import (
+        SortedBlockLayerEncoder, TilespacePrepare, assemble_tiles,
+    )
+    from grandine_ray.geom import wkb
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
+    corpus = synth.ensure_corpus(100_000)
+    docs = pq.read_table(f"{corpus}/documents.parquet").slice(0, n)
+    out = {"n_docs": n}
+
+    t0 = time.perf_counter()
+    feats = extract_features(docs)
+    out["extract_s"] = round(time.perf_counter() - t0, 3)
+    out["features"] = feats.num_rows
+
+    t0 = time.perf_counter()
+    tiled = make_coverage_fn(list(range(0, 9)))(feats)
+    out["coverage_s"] = round(time.perf_counter() - t0, 3)
+    out["tiled_rows"] = tiled.num_rows
+
+    t0 = time.perf_counter()
+    prep = TilespacePrepare()(tiled)
+    out["prepare_s"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lbuf = SortedBlockLayerEncoder()(prep)
+    out["layer_encode_s"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    tiles = assemble_tiles(lbuf)
+    out["assemble_s"] = round(time.perf_counter() - t0, 3)
+    out["tiles"] = tiles.num_rows
+
+    t0 = time.perf_counter()
+    wkb.decode_wkb_batch(feats["geom_wkb"].to_pylist())
+    out["wkb_decode_s"] = round(time.perf_counter() - t0, 3)
+
+    total_rows = tiled.num_rows
+    total_s = (out["extract_s"] + out["coverage_s"] + out["prepare_s"]
+               + out["layer_encode_s"] + out["assemble_s"])
+    out["rows_per_core_sec"] = round(total_rows / total_s, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
