@@ -36,5 +36,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from grandine_ray.pipelines.queries import ORACLE_SQL
+    from grandine_ray.sources import synth
 
+    # the geospatial oracle SQL reads the synthetic ground-truth parquet at
+    # a fixed path; make sure it exists even if DuckDB runs before the
+    # corresponding Ray query callable (generation is deterministic+cached)
+    synth.ensure_corpus(10_000)
     return dict(ORACLE_SQL)
