@@ -114,3 +114,28 @@ def test_geojsonseq_testdata():
         path = cands[0]
     t = gj.parse_feature_seq(open(path).read())
     assert t.num_rows >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_featurecollection_roundtrip_via_converter(tmp_path):
+    """Reference featurecollection.geojson → converter → Spaten → GeoJSON:
+    geometry and props survive the full codec chain."""
+    import json
+
+    from grandine_ray.pipelines.converter import convert
+    from grandine_ray.sources.spaten import spaten_to_table
+
+    src = f"{REF}/lib/spatial/testfiles/featurecollection.geojson"
+    t_in = _load(src)
+    out = str(tmp_path / "fc.spaten")
+    n = convert([src], out, out_format="spaten")
+    assert n == t_in.num_rows
+    t_out = spaten_to_table(open(out, "rb").read())
+    assert t_out.num_rows == t_in.num_rows
+    assert t_out["geom_wkb"].to_pylist() == t_in["geom_wkb"].to_pylist()
+    for a, b in zip(t_in["props_json"].to_pylist(),
+                    t_out["props_json"].to_pylist()):
+        pa_ = json.loads(a) if a else {}
+        pb = json.loads(b) if b else {}
+        # Spaten typed tags preserve str/int/float; JSON round-trip equal
+        assert {k: v for k, v in pa_.items() if not k.startswith("@")} == pb
