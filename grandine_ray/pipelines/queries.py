@@ -312,6 +312,25 @@ def q_doc_length(sf_dir: str):
     return docs.map_batches(ln, batch_format="pyarrow")
 
 
+def q_top_docs(sf_dir: str):
+    """Top-20 longest documents (Dataset.sort + limit, SQL-checked)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ln(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "doc_len": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(ln, batch_format="pyarrow")
+        .sort(["doc_len", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def q_lang_dist(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     from ray.data.aggregate import Count
@@ -671,6 +690,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_counts": q_token_counts,
     "doc_length": q_doc_length,
+    "top_docs": q_top_docs,
     "lang_dist": q_lang_dist,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -875,6 +895,12 @@ FROM documents""",
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(LENGTH(text) AS BIGINT) AS doc_len
 FROM documents""",
+    "top_docs": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS doc_len
+FROM documents
+ORDER BY doc_len DESC, doc_id ASC
+LIMIT 20""",
     "lang_dist": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang""",
