@@ -23,6 +23,8 @@ produces byte-identical tiles (tested).
 """
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -122,8 +124,11 @@ def _add_salt(hot_ref, salt_k: int):
             mask = np.isin(keys, hot)
             if mask.any():
                 doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                # crc32, not hash(): per-process SipHash seeding would make the
+                # salt partitioning differ between runs, breaking clean resume
                 h = np.asarray(
-                    [hash(d) & 0x7FFFFFFF for d in doc_ids[mask]], dtype=np.int64
+                    [zlib.crc32(str(d).encode()) & 0x7FFFFFFF
+                     for d in doc_ids[mask]], dtype=np.int64
                 )
                 salt_col[mask] = (h % salt_k).astype(np.int32)
         return batch.append_column("salt", pa.array(salt_col, pa.int32()))

@@ -125,7 +125,11 @@ class LangId:
 def _shingles(text: str, k: int = 5) -> np.ndarray:
     t = _WS.sub(" ", (text or "").lower()).strip()
     if len(t) < k:
-        return np.array([hash(t) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+        # blake2b, not hash(): SipHash is seeded per-process, so hash() would
+        # give the same short doc different signatures in different Ray workers
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
+        return np.array([h], dtype=np.uint64)
     views = [t[i:i + k] for i in range(len(t) - k + 1)]
     return np.unique(
         np.fromiter(

@@ -97,3 +97,22 @@ def test_lsh_bands_shape():
     sigs = mh(_batch(["a" * 50, "b" * 50]))
     bands = text.lsh_bands(sigs, n_bands=16, id_col="doc_id")
     assert bands.num_rows == 2 * 16
+
+
+def test_minhash_short_doc_deterministic_across_processes(ray_session):
+    """<k-char docs must hash identically in separate Ray worker processes.
+
+    Guards the blake2b fix in _shingles: Python hash() is SipHash with a
+    per-process seed, which made tiny-doc signatures nondeterministic.
+    """
+    import ray
+
+    @ray.remote(max_calls=1)  # max_calls=1 forces a fresh worker process
+    def sig(t):
+        from grandine_ray.stages.text import MinHasher
+        return MinHasher().signature(t).tolist()
+
+    for t in ["ab", "", "x", "abc "]:
+        a = ray.get(sig.remote(t))
+        b = ray.get(sig.remote(t))
+        assert a == b, f"nondeterministic signature for short doc {t!r}"
