@@ -536,10 +536,14 @@ def q_events_sessions(sf_dir: str):
 def q_ann_ivf(sf_dir: str):
     """IVF-probed approximate ANN (scale path) — rows-only (approximate by
     design; recall vs brute force asserted in pytest)."""
+    import zlib
+
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     qrows = emb.filter(expr="vec_id < 4").take_all()
     qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    out = ann_stage.ivf_topk(emb, [r["vec_id"] for r in qrows], qm, k=10)
+    idx_dir = f"/tmp/graft_ivf_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
+    out = ann_stage.ivf_topk(emb, [r["vec_id"] for r in qrows], qm, k=10,
+                             index_dir=idx_dir)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
@@ -550,38 +554,12 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (exact at this scale: corpus
-    broadcast + per-batch matmul; the LSH-bucketed variant in stages/ann.py
-    is the approximate scale path)."""
+    """Embedding-cosine near-duplicate pairs — exact, distributed as a
+    block-nested-loop self-join (driver holds block refs only; each
+    (block_i, block_j) task does one chunk×chunk matmul). The approximate
+    100-TB path is the HyperplaneLSH bucket groupby in stages/ann.py."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    rows = emb.take_all()
-    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
-    m = ann_stage.normalize(np.asarray([r["embedding"] for r in rows],
-                                       dtype=np.float64))
-    import ray as _ray
-
-    ref = _ray.put({"ids": ids, "m": m})
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        corpus = _ray.get(ref)
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bm = ann_stage.normalize(
-            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        )
-        scores = np.round(bm @ corpus["m"].T, 3)
-        bi, cj = np.nonzero(scores >= 0.4)
-        a = bids[bi]
-        b = corpus["ids"][cj]
-        keep = a < b
-        return pa.table(
-            {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
-                "cosine": pa.array(scores[bi, cj][keep], pa.float64()),
-            }
-        )
-
-    return emb.map_batches(pairs, batch_format="pyarrow", batch_size=512)
+    return ann_stage.embedding_near_dup_pairs(emb, threshold=0.4, round_dp=3)
 
 
 def q_global_bbox(sf_dir: str):

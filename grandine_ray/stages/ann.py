@@ -8,8 +8,8 @@ restricts candidate generation to matching buckets before exact re-scoring.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -60,16 +60,19 @@ class CosineScorer:
 
 
 def topk_per_query(k: int):
-    """map_groups fn: global exact top-k from the partial top-k rows.
+    """map_groups fn (Arrow): global exact top-k from the partial top-k rows.
 
     Deterministic tie-break: (-score, vec_id).
     """
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def fn(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )[:k]
+        out = g.take(order)
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(out) + 1), pa.int64())
+        )
 
     return fn
 
@@ -89,7 +92,7 @@ def brute_force_topk(ds, query_ids, query_matrix, k: int = 10,
 
     partial = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
     return partial.groupby("query_id").map_groups(
-        topk_per_query(k), batch_format="pandas"
+        topk_per_query(k), batch_format="pyarrow"
     )
 
 
@@ -132,52 +135,186 @@ class IVFIndex:
         return np.argsort(-sims, axis=1)[:, :nprobe]
 
 
-def ivf_topk(ds, query_ids, query_matrix, k: int = 10, nlist: int = 16,
-             nprobe: int = 4, train_sample: int = 2048):
-    """IVF-probed top-k: scans only the probed partitions per query."""
-    import pandas as pd
+def ivf_build(ds, index_dir: str, nlist: int = 16, train_sample: int = 2048,
+              seed: int = 42) -> IVFIndex:
+    """Build a persisted IVF index: assign each vector to its nearest
+    centroid and write the corpus as parquet *hive-partitioned by list id*
+    (``index_dir/partition=<j>/``).
 
+    This is the 100-TB shape: the expensive full-corpus pass happens ONCE
+    at build time; every subsequent query set touches only the probed
+    partition directories (I/O pruning, not just compute masking).
+    Returns the trained quantizer (store its centroids next to the index).
+    """
     sample = np.asarray(
         [r["embedding"] for r in ds.limit(train_sample).take_all()],
         dtype=np.float32,
     )
-    index = IVFIndex(sample.shape[1], nlist=nlist).train(sample)
-    ref = ray.put({"centroids": index.centroids,
-                   "qids": np.asarray(query_ids),
-                   "qm": normalize(np.asarray(query_matrix, dtype=np.float32)),
-                   "k": k, "nprobe": nprobe})
+    index = IVFIndex(sample.shape[1], nlist=nlist, seed=seed).train(sample)
+    cref = ray.put(index.centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        idx = IVFIndex(0)
+        idx.centroids = ray.get(cref)
+        lists = idx.assign(_to_matrix(batch["embedding"]))
+        # "partition" becomes the hive directory key (stripped from the data
+        # files); "list_id" keeps the value readable when a probed partition
+        # dir is read directly.
+        return batch.append_column(
+            "partition", pa.array(lists, pa.int32())
+        ).append_column("list_id", pa.array(lists, pa.int32()))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["partition"]
+    )
+    np.save(f"{index_dir}/centroids.npy", index.centroids)
+    return index
+
+
+def ivf_search(index_dir: str, query_ids, query_matrix, k: int = 10,
+               nprobe: int = 4):
+    """IVF-probed top-k over a persisted index: reads ONLY the probed
+    partition directories (union over the query set), scores each batch
+    against just the queries that probe that batch's list, then the usual
+    partial-top-k → tiny groupby top-k.
+    """
+    import ray.data as rd
+
+    centroids = np.load(f"{index_dir}/centroids.npy")
+    idx = IVFIndex(centroids.shape[1])
+    idx.centroids = centroids
+    qm = normalize(np.asarray(query_matrix, dtype=np.float32))
+    probes = idx.probe(qm, nprobe)                      # [nq, nprobe]
+    probed = np.unique(probes)
+    # I/O pruning: list only the probed hive partitions — unprobed lists
+    # never leave storage. (A trained list can legitimately be empty and
+    # then has no directory.)
+    import glob
+
+    paths = [f for j in probed
+             for f in sorted(glob.glob(f"{index_dir}/partition={int(j)}/*.parquet"))]
+    ref = ray.put({"qids": np.asarray(query_ids), "qm": qm,
+                   "probes": probes, "k": k})
 
     def score(batch: pa.Table) -> pa.Table:
         p = ray.get(ref)
-        idx = IVFIndex(p["qm"].shape[1])
-        idx.centroids = p["centroids"]
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = normalize(_to_matrix(batch["embedding"]))
-        lists = idx.assign(m)
-        probes = idx.probe(p["qm"], p["nprobe"])          # [nq, nprobe]
-        rows = {"query_id": [], "vec_id": [], "score": []}
+        out_q, out_v, out_s = [], [], []
         for qi in range(len(p["qids"])):
-            cand = np.isin(lists, probes[qi])
+            cand = np.isin(lists, p["probes"][qi])
             if not cand.any():
                 continue
             sel = np.nonzero(cand)[0]
             scores = p["qm"][qi] @ m[sel].T
             kk = min(p["k"], len(sel))
             top = np.argpartition(-scores, kth=kk - 1)[:kk]
-            rows["query_id"].extend([int(p["qids"][qi])] * kk)
-            rows["vec_id"].extend(vec_ids[sel[top]].tolist())
-            rows["score"].extend(scores[top].astype(np.float64).tolist())
+            out_q.append(np.full(kk, int(p["qids"][qi]), dtype=np.int64))
+            out_v.append(vec_ids[sel[top]])
+            out_s.append(scores[top].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         return pa.table(
             {
-                "query_id": pa.array(rows["query_id"], pa.int64()),
-                "vec_id": pa.array(rows["vec_id"], pa.int64()),
-                "score": pa.array(rows["score"], pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64),
+                                   pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
-    partial = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    corpus = rd.read_parquet(paths)
+    partial = corpus.map_batches(score, batch_format="pyarrow", batch_size=4096)
     return partial.groupby("query_id").map_groups(
-        topk_per_query(k), batch_format="pandas"
+        topk_per_query(k), batch_format="pyarrow"
+    )
+
+
+def ivf_topk(ds, query_ids, query_matrix, k: int = 10, nlist: int = 16,
+             nprobe: int = 4, train_sample: int = 2048,
+             index_dir: str | None = None):
+    """Convenience build+search: persists the partitioned index (reused
+    only when the caller names an ``index_dir`` and it already exists —
+    an anonymous index is built fresh so two corpora never share a cache)
+    and answers via ivf_search.
+    """
+    import os
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="graft_ivf_")
+    if not os.path.exists(f"{index_dir}/centroids.npy"):
+        ivf_build(ds, index_dir, nlist=nlist, train_sample=train_sample)
+    return ivf_search(index_dir, query_ids, query_matrix, k=k, nprobe=nprobe)
+
+
+def embedding_near_dup_pairs(emb, threshold: float = 0.4, round_dp: int = 3,
+                             min_chunks: int = 8):
+    """Exact all-pairs cosine near-duplicate join, distributed as a
+    block-nested-loop self-join.
+
+    The corpus is materialized into Arrow block *refs* (the driver never
+    holds the vectors); each (block_i, block_j) pair with i<=j becomes one
+    task that fetches its two blocks zero-copy from the object store and
+    emits the thresholded pairs of one chunk×chunk matmul. Exact all-pairs
+    is inherently O(N²) compute — this spreads it across the cluster with
+    O(block²) task memory. For 100-TB corpora use the approximate
+    HyperplaneLSH bucket path instead (groupby ann_bucket → in-bucket
+    exact), which trades recall for a single shuffle.
+    """
+    import ray.data as rd
+
+    refs = emb.to_arrow_refs()
+    if len(refs) < min_chunks:
+        refs = emb.repartition(min_chunks).to_arrow_refs()
+    n = len(refs)
+    pair_items = [{"i": i, "j": j} for i in range(n) for j in range(i, n)]
+
+    def score_pair(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ta, tb = ray.get(refs[i]), ray.get(refs[j])
+            ia = np.asarray(ta["vec_id"].to_pylist(), dtype=np.int64)
+            ib = np.asarray(tb["vec_id"].to_pylist(), dtype=np.int64)
+            ma = normalize(np.asarray(ta["embedding"].to_pylist(),
+                                      dtype=np.float64))
+            mb = normalize(np.asarray(tb["embedding"].to_pylist(),
+                                      dtype=np.float64))
+            scores = np.round(ma @ mb.T, round_dp)
+            ai, bj = np.nonzero(scores >= threshold)
+            a, b = ia[ai], ib[bj]
+            if i == j:
+                # upper triangle: each unordered pair appears twice here
+                keep = a < b
+                a, b, s = a[keep], b[keep], scores[ai, bj][keep]
+            else:
+                # distinct blocks: each unordered pair appears once, but id
+                # order is arbitrary — canonicalize (lo, hi), drop self only
+                keep = a != b
+                a, b, s = a[keep], b[keep], scores[ai, bj][keep]
+                lo = np.minimum(a, b)
+                b = np.maximum(a, b)
+                a = lo
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(s)
+        if not out_a:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    return rd.from_items(pair_items).map_batches(
+        score_pair, batch_format="pyarrow", batch_size=1
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..geom import wkb as wkbmod
@@ -389,11 +390,17 @@ def knn_topk(points_ds, query_ids, qx, qy, k: int = 5, concurrency=None):
 
 
 class BBoxJoiner:
-    """Interval-overlap join of feature bboxes vs broadcast target bboxes."""
+    """Interval-overlap join of feature bboxes vs broadcast target bboxes.
+
+    The STRtree prunes the target set once per batch (query = the batch's
+    overall bbox); the surviving targets are tested with one vectorized
+    interval mask over all rows and hits are emitted with a single take —
+    no Python loop over rows.
+    """
 
     def __init__(self, targets_ref):
         t = ray.get(targets_ref) if isinstance(targets_ref, ray.ObjectRef) else targets_ref
-        self.ids = t["ids"]
+        self.ids = np.asarray(t["ids"], dtype=object)
         self.tree = STRtree(np.asarray(t["bboxes"], dtype=np.float64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -401,22 +408,35 @@ class BBoxJoiner:
         miny = batch["bbox_miny"].to_numpy(zero_copy_only=False)
         maxx = batch["bbox_maxx"].to_numpy(zero_copy_only=False)
         maxy = batch["bbox_maxy"].to_numpy(zero_copy_only=False)
-        doc_ids = batch["doc_id"].to_pylist()
-        span_idx = batch["span_idx"].to_numpy(zero_copy_only=False)
-        out_doc, out_span, out_t = [], [], []
-        bb = self.tree.bboxes
-        for ti in range(len(self.ids)):
-            m = ~((minx > bb[ti, 2]) | (maxx < bb[ti, 0])
-                  | (miny > bb[ti, 3]) | (maxy < bb[ti, 1]))
-            for si in np.nonzero(m)[0]:
-                out_doc.append(doc_ids[si])
-                out_span.append(int(span_idx[si]))
-                out_t.append(self.ids[ti])
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.string()),
+             "span_idx": pa.array([], pa.int32()),
+             "target_id": pa.array([], pa.string())}
+        )
+        if len(minx) == 0:
+            return empty
+        cand = self.tree.query(minx.min(), miny.min(), maxx.max(), maxy.max())
+        if len(cand) == 0:
+            return empty
+        # [T, N] overlap mask, then one nonzero → (target row, feature row);
+        # chunk the target axis so the mask stays bounded for huge target sets
+        t_chunk = max(1, 16_000_000 // max(1, len(minx)))
+        ti_parts, si_parts = [], []
+        for s in range(0, len(cand), t_chunk):
+            bb = self.tree.bboxes[cand[s:s + t_chunk]]
+            m = ~((minx[None, :] > bb[:, 2:3]) | (maxx[None, :] < bb[:, 0:1])
+                  | (miny[None, :] > bb[:, 3:4]) | (maxy[None, :] < bb[:, 1:2]))
+            t_i, s_i = np.nonzero(m)
+            ti_parts.append(t_i + s)
+            si_parts.append(s_i)
+        ti = np.concatenate(ti_parts)
+        si = np.concatenate(si_parts)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.string()),
-                "span_idx": pa.array(out_span, pa.int32()),
-                "target_id": pa.array(out_t, pa.string()),
+                "doc_id": batch["doc_id"].take(pa.array(si)),
+                "span_idx": pc.cast(batch["span_idx"].take(pa.array(si)),
+                                    pa.int32()),
+                "target_id": pa.array(self.ids[cand[ti]], pa.string()),
             }
         )
 

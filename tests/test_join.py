@@ -216,3 +216,80 @@ def test_knn_chunked_equals_plain():
     chunked = {(r["query_id"], r["rank"], r["doc_id"], r["span_idx"])
                for r in knn_topk_chunked(pts, qids, qx, qy, k=4, chunk=2).take_all()}
     assert plain == chunked
+
+
+def test_bbox_joiner_matches_bruteforce(ray_session):
+    """Vectorized tree-pruned joiner ≡ brute-force double loop."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from grandine_ray.stages.join import bbox_join
+
+    rng = np.random.default_rng(7)
+    n, t = 500, 37
+    fx = rng.uniform(-10, 10, n)
+    fy = rng.uniform(-10, 10, n)
+    feats = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)], pa.string()),
+        "span_idx": pa.array(np.zeros(n, np.int32), pa.int32()),
+        "bbox_minx": pa.array(fx), "bbox_miny": pa.array(fy),
+        "bbox_maxx": pa.array(fx + rng.uniform(0, 2, n)),
+        "bbox_maxy": pa.array(fy + rng.uniform(0, 2, n)),
+    })
+    tx = rng.uniform(-10, 10, t)
+    ty = rng.uniform(-10, 10, t)
+    tb = np.c_[tx, ty, tx + rng.uniform(0, 3, t), ty + rng.uniform(0, 3, t)]
+    tids = [f"t{i}" for i in range(t)]
+
+    got = bbox_join(rd.from_arrow(feats), tids, tb).to_pandas()
+    got_pairs = set(zip(got["doc_id"], got["target_id"]))
+
+    exp = set()
+    f = feats.to_pandas()
+    for ti in range(t):
+        m = ~((f["bbox_minx"] > tb[ti, 2]) | (f["bbox_maxx"] < tb[ti, 0])
+              | (f["bbox_miny"] > tb[ti, 3]) | (f["bbox_maxy"] < tb[ti, 1]))
+        for d in f["doc_id"][m]:
+            exp.add((d, tids[ti]))
+    assert got_pairs == exp and len(exp) > 50
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_search_prunes_io(tmp_path):
+    """The persisted IVF index reads only probed partitions: rows entering
+    the scorer must be well under the corpus size (I/O pruning, not just
+    compute masking)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from grandine_ray.stages.ann import IVFIndex, ivf_build, ivf_search, normalize
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((250, 16)) * 0.3 for c in centers]
+    )
+    emb = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    )
+    idx_dir = str(tmp_path / "ivf")
+    ivf_build(emb, idx_dir, nlist=8, train_sample=1000)
+
+    total = sum(pq.read_metadata(f).num_rows
+                for f in glob.glob(f"{idx_dir}/partition=*/*.parquet"))
+    assert total == len(vecs)
+
+    qm = vecs[[0, 300]]
+    centroids = np.load(f"{idx_dir}/centroids.npy")
+    idx = IVFIndex(centroids.shape[1]); idx.centroids = centroids
+    probed = np.unique(idx.probe(normalize(qm.astype(np.float32)), 2))
+    probed_rows = sum(
+        pq.read_metadata(f).num_rows
+        for j in probed
+        for f in glob.glob(f"{idx_dir}/partition={int(j)}/*.parquet"))
+    assert probed_rows < total * 0.7, (probed_rows, total)
+
+    out = ivf_search(idx_dir, [0, 300], qm, k=10, nprobe=2).take_all()
+    assert len(out) == 20
