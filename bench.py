@@ -154,6 +154,19 @@ def run_suite() -> dict:
     ann.count()
     queries["ann"] = round(time.perf_counter() - t0, 3)
 
+    # ---- spatialize (OSM PBF → features, distributed joins) -------------
+    from grandine_ray.pipelines.spatialize import spatialize
+    from grandine_ray.sources.synth import PBF_MAPPING, ensure_pbf
+
+    pbf_path, pbf_expected = ensure_pbf(scale=4)   # ~270k nodes, 26k ways
+    t0 = time.perf_counter()
+    n_feats = spatialize(pbf_path, PBF_MAPPING).count()
+    wall = time.perf_counter() - t0
+    queries["spatialize"] = round(wall, 3)
+    extras["osm_features"] = int(n_feats)
+    assert n_feats == sum(pbf_expected.values()), (n_feats, pbf_expected)
+    extras["osm_features_per_sec"] = round(n_feats / wall, 1)
+
     # ---- text -----------------------------------------------------------
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])

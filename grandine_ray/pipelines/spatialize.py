@@ -2,38 +2,56 @@
 
 The reference makes three sequential in-process passes over the PBF with
 id-keyed hash maps (elemCache, T6). The Ray form replaces the maps with
-joins (J1):
+distributed hash-partitioned joins (J1) — the driver never materializes
+node coordinates, assembled lines, or features:
 
     blobs (blob-parallel decode)
       ├─ tagged nodes matching mapping conds  → point features
       ├─ matched ways (id, refs, mapped tags)
       ├─ matched multipolygon relations (members, mapped tags)
-      ├─ ALL ways (id, refs)           [for relation members]
+      ├─ ALL ways (id, refs)           [for relation members, semi-join]
       └─ ALL node coords (id, lon, lat)
-    way_use = explode(refs of matched ways ∪ relation-member ways)
-    coords  = groupby(node_id){way_use ∪ node_coords}   # hash join #1
-    lines   = groupby(use_key) assemble ordered vertices # shuffle #2
-    features = way lines (CCW-normalized; __type=area → polygon)
-             ∪ relation polygons (groupby rel_id, outer/inner winding)
+    join #1 (part = node_id % P):  way-node uses × node coords, resolved
+        with one vectorized searchsorted per partition (NOT per node id)
+    join #2 (part = way_id % P):   ordered line assembly per use_key via
+        lexsort + ListArray.from_arrays (one call per partition)
+    join #3 (part = way_id % P):   way props × lines → way features;
+        relation members × lines → (rel, ring) rows
+    join #4 (part = rel_id % P):   ring rows → multipolygon features
+    span_idx: per-(kind, part) counts → driver-side prefix offsets
+        (3·P tiny rows) → distributed rank assignment
 
 Assembly semantics mirror spatialize.go:240-330 exactly: ways reversed if
 clockwise; `__type=area` consumed into a polygon; relations kept iff
 type=multipolygon or __type=area; outer rings forced counter-clockwise,
-inner rings clockwise; rings with <3 points dropped.
+inner rings clockwise; rings with <3 points dropped; a way referencing a
+node absent from the PBF is fatal (spatialize.go:152).
+
+Scale notes (planet-PBF design): every stage is a map_batches or a
+P-partition groupby whose group function is vectorized over the whole
+partition; the only driver-side collections are the relation-member way-id
+set (relations are a ~1% sliver of a planet file; broadcast via ray.put)
+and the 3·P span-offset rows.
 """
 from __future__ import annotations
 
 import json
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..geom import wkb as wkbmod
 from ..geom.ops import is_clockwise
 from ..sources import osm
 from ..stages.mapping import parse_mapping
+
+DEFAULT_PARTITIONS = 64
+
+_ROLE_OUTER = 0
+_ROLE_INNER = 1
 
 
 def _blob_ds(pbf_path: str) -> rd.Dataset:
@@ -52,10 +70,28 @@ def _decode_batch(batch: pa.Table):
         yield osm.decode_block(osm._read_blob(path, off, size))
 
 
-def spatialize(pbf_path: str, mapping_yaml: str) -> rd.Dataset:
-    """Returns a features Dataset (same schema as extract/converter)."""
+def _empty_feat_part() -> pa.Table:
+    return pa.table({
+        "kind": pa.array([], pa.int8()),
+        "sort_key": pa.array([], pa.int64()),
+        "part": pa.array([], pa.int32()),
+        "geom_wkb": pa.array([], pa.binary()),
+        "props_json": pa.array([], pa.string()),
+    })
+
+
+def spatialize(pbf_path: str, mapping_yaml: str,
+               num_partitions: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """Returns a features Dataset (same schema as extract/converter).
+
+    ``num_partitions`` sizes the hash-join partitions; one partition's
+    rows must fit in a worker's heap (raise it for planet-scale inputs).
+    """
     conds = parse_mapping(mapping_yaml)
     blobs = _blob_ds(pbf_path)
+    P = num_partitions
+
+    # ---------------- stage A: blob-parallel extraction -------------------
 
     def node_coords(batch: pa.Table) -> pa.Table:
         ids_l, lons_l, lats_l = [], [], []
@@ -73,7 +109,7 @@ def spatialize(pbf_path: str, mapping_yaml: str) -> rd.Dataset:
         )
 
     def tagged_points(batch: pa.Table) -> pa.Table:
-        rows = {"geom_wkb": [], "props_json": []}
+        rows = {"node_id": [], "geom_wkb": [], "props_json": []}
         for block in _decode_batch(batch):
             ids, lons, lats, tags = block["nodes"]
             for i, t in enumerate(tags):
@@ -81,6 +117,7 @@ def spatialize(pbf_path: str, mapping_yaml: str) -> rd.Dataset:
                     continue
                 for cond in conds:
                     if cond.matches(t):
+                        rows["node_id"].append(int(ids[i]))
                         rows["geom_wkb"].append(
                             wkbmod.encode_point(lons[i], lats[i])
                         )
@@ -89,6 +126,7 @@ def spatialize(pbf_path: str, mapping_yaml: str) -> rd.Dataset:
                         )
         return pa.table(
             {
+                "node_id": pa.array(rows["node_id"], pa.int64()),
                 "geom_wkb": pa.array(rows["geom_wkb"], pa.binary()),
                 "props_json": pa.array(rows["props_json"], pa.string()),
             }
@@ -131,14 +169,16 @@ def spatialize(pbf_path: str, mapping_yaml: str) -> rd.Dataset:
                         if mtype == osm.WAY and role in ("outer", "inner"):
                             rows["rel_id"].append(rid)
                             rows["way_id"].append(mid)
-                            rows["role"].append(role)
+                            rows["role"].append(
+                                _ROLE_OUTER if role == "outer" else _ROLE_INNER
+                            )
                             rows["seq"].append(seq)
                             rows["props_json"].append(pj)
         return pa.table(
             {
                 "rel_id": pa.array(rows["rel_id"], pa.int64()),
                 "way_id": pa.array(rows["way_id"], pa.int64()),
-                "role": pa.array(rows["role"], pa.string()),
+                "role": pa.array(rows["role"], pa.int8()),
                 "seq": pa.array(rows["seq"], pa.int32()),
                 "props_json": pa.array(rows["props_json"], pa.string()),
             }
@@ -163,38 +203,48 @@ def spatialize(pbf_path: str, mapping_yaml: str) -> rd.Dataset:
     rel_members = blobs.map_batches(matched_rels, batch_format="pyarrow").materialize()
     allways = blobs.map_batches(all_way_refs, batch_format="pyarrow")
 
-    # relation member ways need refs from the full way table (semi-join)
-    member_way_ids = {r["way_id"] for r in rel_members.take_all()}
+    # relation member ways need refs from the full way table. Broadcast
+    # semi-join: relations are a tiny sliver of a planet file, so the
+    # member-id set is small — ray.put once, np.isin in every task.
+    member_ids = np.unique(np.asarray(
+        [r["way_id"] for r in
+         rel_members.select_columns(["way_id"]).take_all()],
+        dtype=np.int64,
+    ))
+    member_ref = ray.put(member_ids)
 
     def member_refs(batch: pa.Table) -> pa.Table:
-        m = np.isin(batch["way_id"].to_numpy(zero_copy_only=False),
-                    np.asarray(sorted(member_way_ids), dtype=np.int64))
+        ids = ray.get(member_ref)
+        m = np.isin(batch["way_id"].to_numpy(zero_copy_only=False), ids)
         return batch.filter(pa.array(m))
 
     member_ways = allways.map_batches(member_refs, batch_format="pyarrow")
 
-    # ---- node-coordinate resolution: hash join on node_id ---------------
+    # ------------- join #1: node-coordinate resolution --------------------
+    # Uses and coords are hash-partitioned on node_id; within a partition
+    # ONE searchsorted resolves every use (vs. a Python fn per node id).
+
     def explode(kind: int):
         def fn(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
             refs = batch["refs"].combine_chunks()
             flat = pc.list_flatten(refs)
             parent = pc.list_parent_indices(refs)
-            # per-way sequence number
             lens = pc.list_value_length(refs).to_numpy(zero_copy_only=False)
-            seq = np.concatenate([np.arange(l) for l in lens]) if len(lens) else np.empty(0, np.int64)
+            seq = (np.concatenate([np.arange(l) for l in lens])
+                   if len(lens) else np.empty(0, np.int64))
+            nid = flat.to_numpy(zero_copy_only=False)
+            use_key = (batch["way_id"].take(parent).to_numpy(zero_copy_only=False)
+                       * 4 + kind)
+            n = len(nid)
             return pa.table(
                 {
-                    "node_id": flat,
-                    "use_key": pa.compute.add(
-                        pa.compute.multiply(batch["way_id"].take(parent), 4),
-                        kind,
-                    ),
+                    "node_id": pa.array(nid, pa.int64()),
+                    "use_key": pa.array(use_key, pa.int64()),
                     "seq": pa.array(seq.astype(np.int32), pa.int32()),
-                    "side": pa.array(np.full(len(flat), 1, np.int8), pa.int8()),
-                    "lon": pa.array(np.zeros(len(flat))),
-                    "lat": pa.array(np.zeros(len(flat))),
+                    "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                    "lon": pa.array(np.zeros(n)),
+                    "lat": pa.array(np.zeros(n)),
+                    "part": pa.array((nid % P).astype(np.int32), pa.int32()),
                 }
             )
 
@@ -206,6 +256,7 @@ def spatialize(pbf_path: str, mapping_yaml: str) -> rd.Dataset:
 
     def node_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        nid = batch["node_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "node_id": batch["node_id"],
@@ -214,125 +265,347 @@ def spatialize(pbf_path: str, mapping_yaml: str) -> rd.Dataset:
                 "side": pa.array(np.zeros(n, np.int8), pa.int8()),
                 "lon": batch["lon"],
                 "lat": batch["lat"],
+                "part": pa.array((nid % P).astype(np.int32), pa.int32()),
             }
         )
 
     unioned = way_use.union(nodes.map_batches(node_side, batch_format="pyarrow"))
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        src = group[group["side"] == 0]
-        if src.empty:
+    def vec_resolve(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        nid = t["node_id"].to_numpy(zero_copy_only=False)
+        cmask = side == 0
+        order = np.argsort(nid[cmask], kind="stable")
+        cids = nid[cmask][order]
+        clon = t["lon"].to_numpy(zero_copy_only=False)[cmask][order]
+        clat = t["lat"].to_numpy(zero_copy_only=False)[cmask][order]
+        umask = ~cmask
+        unid = nid[umask]
+        pos = np.searchsorted(cids, unid)
+        bad = (pos >= len(cids)) | (cids[np.minimum(pos, max(len(cids) - 1, 0))]
+                                    != unid) if len(cids) else np.ones(len(unid), bool)
+        if bad.any():
             raise ValueError(
-                f"missing node {int(group['node_id'].iloc[0])} referenced by way"
+                f"missing node {int(unid[bad.argmax()])} referenced by way"
             )  # reference: fatal (spatialize.go:152)
-        lon = src["lon"].iloc[0]
-        lat = src["lat"].iloc[0]
-        uses = group[group["side"] == 1]
-        return pd.DataFrame(
-            {"use_key": uses["use_key"], "seq": uses["seq"],
-             "lon": lon, "lat": lat}
-        )
-
-    resolved = unioned.groupby("node_id").map_groups(resolve, batch_format="pandas")
-
-    # ---- line assembly per use_key --------------------------------------
-    def assemble(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("seq")
-        pts = np.stack([g["lon"].to_numpy(), g["lat"].to_numpy()], axis=1)
-        return pd.DataFrame(
+        uk = t["use_key"].to_numpy(zero_copy_only=False)[umask]
+        return pa.table(
             {
-                "use_key": [int(g["use_key"].iloc[0])],
-                "coords": [pts.reshape(-1).tolist()],
+                "use_key": pa.array(uk, pa.int64()),
+                "seq": t["seq"].filter(pa.array(umask)),
+                "lon": pa.array(clon[pos]),
+                "lat": pa.array(clat[pos]),
+                "part": pa.array(((uk >> 2) % P).astype(np.int32), pa.int32()),
             }
         )
 
-    lines = resolved.groupby("use_key").map_groups(
-        assemble, batch_format="pandas"
-    ).materialize()
-
-    line_map = {
-        int(r["use_key"]): np.asarray(r["coords"], dtype=np.float64).reshape(-1, 2)
-        for r in lines.take_all()
-    }
-
-    # ---- way features ----------------------------------------------------
-    feat_wkb: list[bytes] = []
-    feat_props: list[str] = []
-    for r in ways.take_all():
-        ln = line_map.get(int(r["way_id"]) * 4 + 1)
-        if ln is None:
-            continue
-        props = json.loads(r["props_json"]) if r["props_json"] else {}
-        area = props.pop("__type", None) == "area"
-        ring = ln[:-1] if area and len(ln) > 1 and (ln[0] == ln[-1]).all() else ln
-        if is_clockwise(ring):  # ways normalized CCW (spatialize.go:283-285)
-            ring = ring[::-1].copy()
-        if area:
-            feat_wkb.append(wkbmod.encode_polygon([ring]))
-        else:
-            feat_wkb.append(wkbmod.encode_linestring(ring))
-        feat_props.append(json.dumps(props, sort_keys=True))
-
-    # ---- relation polygons ----------------------------------------------
-    rel_rows: dict[int, dict] = {}
-    for r in rel_members.take_all():
-        rel_rows.setdefault(int(r["rel_id"]), {"props": r["props_json"], "members": []})
-        rel_rows[int(r["rel_id"])]["members"].append(
-            (int(r["seq"]), r["role"], int(r["way_id"]))
-        )
-    for rid in sorted(rel_rows):
-        rings = []
-        for seq, role, wid in sorted(rel_rows[rid]["members"]):
-            ln = line_map.get(wid * 4 + 2, line_map.get(wid * 4 + 1))
-            if ln is None:
-                continue
-            ring = ln[:-1] if len(ln) > 1 and (ln[0] == ln[-1]).all() else ln
-            if len(ring) < 3:  # spatialize.go:312-314
-                continue
-            cw = is_clockwise(ring)
-            if (role == "outer" and cw) or (role == "inner" and not cw):
-                ring = ring[::-1].copy()
-            rings.append(ring)
-        if rings:
-            feat_wkb.append(wkbmod.encode_polygon(rings))
-            props = json.loads(rel_rows[rid]["props"]) if rel_rows[rid]["props"] else {}
-            props.pop("__type", None)
-            feat_props.append(json.dumps(props, sort_keys=True))
-
-    assembled = _features_table(feat_wkb, feat_props, source=pbf_path)
-    point_rows = points.take_all()
-    pt_table = _features_table(
-        [r["geom_wkb"] for r in point_rows],
-        [r["props_json"] for r in point_rows],
-        source=pbf_path,
-        offset=assembled.num_rows,
+    resolved = unioned.groupby("part").map_groups(
+        vec_resolve, batch_format="pyarrow"
     )
-    full = pa.concat_tables([pt_table, assembled])
-    return rd.from_arrow(full)
 
+    # ------------- join #2: ordered line assembly per use_key -------------
+    # Re-keyed by way_id (= use_key >> 2): one lexsort + one
+    # ListArray.from_arrays per partition assembles every line in it.
 
-def _features_table(wkbs: list[bytes], props: list[str], source: str,
-                    offset: int = 0) -> pa.Table:
-    gb = wkbmod.decode_wkb_batch(wkbs)
-    bb = gb.bboxes()
-    layers = []
-    for p in props:
-        d = json.loads(p) if p else {}
-        layers.append(str(d.get("@layer", "default")))
-    n = len(wkbs)
-    return pa.table(
-        {
-            "doc_id": pa.array([source] * n, pa.string()),
-            "span_idx": pa.array(
-                np.arange(offset, offset + n, dtype=np.int32), pa.int32()
-            ),
-            "geom_type": pa.array(gb.types, pa.uint8()),
-            "geom_wkb": pa.array(wkbs, pa.binary()),
-            "bbox_minx": pa.array(bb[:, 0] if n else []),
-            "bbox_miny": pa.array(bb[:, 1] if n else []),
-            "bbox_maxx": pa.array(bb[:, 2] if n else []),
-            "bbox_maxy": pa.array(bb[:, 3] if n else []),
-            "layer": pa.array(layers, pa.string()),
-            "props_json": pa.array(props, pa.string()),
-        }
+    def vec_assemble(t: pa.Table) -> pa.Table:
+        uk = t["use_key"].to_numpy(zero_copy_only=False)
+        seq = t["seq"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, uk))
+        uk_s = uk[order]
+        bounds = np.flatnonzero(np.diff(uk_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        flat = np.empty(2 * len(uk_s))
+        flat[0::2] = lon[order]
+        flat[1::2] = lat[order]
+        offsets = np.concatenate([starts, [len(uk_s)]]).astype(np.int64) * 2
+        coords = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()) if offsets[-1] < 2**31 else
+            pa.array(offsets, pa.int64()),
+            pa.array(flat),
+        )
+        keys = uk_s[starts] if len(uk_s) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "use_key": pa.array(keys, pa.int64()),
+                "coords": coords,
+                "part": pa.array(((keys >> 2) % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    lines = resolved.groupby("part").map_groups(
+        vec_assemble, batch_format="pyarrow"
+    ).materialize()  # consumed by two joins (#3 ways, #3 rels) — pin once
+
+    # ------------- join #3a: way props × lines → way features -------------
+
+    def way_side(batch: pa.Table) -> pa.Table:
+        wid = batch["way_id"].to_numpy(zero_copy_only=False)
+        n = len(wid)
+        return pa.table(
+            {
+                "use_key": pa.array(wid * 4 + 1, pa.int64()),
+                "coords": pa.array([None] * n, pa.list_(pa.float64())),
+                "props_json": batch["props_json"],
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "part": pa.array((wid % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "use_key": batch["use_key"],
+                "coords": batch["coords"],
+                "props_json": pa.array([""] * n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "part": batch["part"],
+            }
+        )
+
+    way_join = ways.map_batches(way_side, batch_format="pyarrow").union(
+        lines.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def emit_way_feats(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        luk = t["use_key"].to_numpy(zero_copy_only=False)[lmask]
+        order = np.argsort(luk, kind="stable")
+        luk_s = luk[order]
+        lcoords = t["coords"].filter(pa.array(lmask)).take(pa.array(order))
+        wmask = ~lmask
+        wuk = t["use_key"].to_numpy(zero_copy_only=False)[wmask]
+        props_arr = t["props_json"].filter(pa.array(wmask)).to_pylist()
+        pos = np.searchsorted(luk_s, wuk)
+        out_wkb, out_props, out_key = [], [], []
+        for i in range(len(wuk)):
+            p = pos[i]
+            if p >= len(luk_s) or luk_s[p] != wuk[i]:
+                continue  # way had no resolvable line
+            ln = np.asarray(lcoords[p].as_py(), dtype=np.float64).reshape(-1, 2)
+            props = json.loads(props_arr[i]) if props_arr[i] else {}
+            area = props.pop("__type", None) == "area"
+            ring = (ln[:-1] if area and len(ln) > 1 and (ln[0] == ln[-1]).all()
+                    else ln)
+            if is_clockwise(ring):  # ways normalized CCW (spatialize.go:283-285)
+                ring = ring[::-1].copy()
+            out_wkb.append(wkbmod.encode_polygon([ring]) if area
+                           else wkbmod.encode_linestring(ring))
+            out_props.append(json.dumps(props, sort_keys=True))
+            out_key.append(int(wuk[i]) >> 2)
+        if not out_key:
+            return _empty_feat_part()
+        keys = np.asarray(out_key, dtype=np.int64)
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+                "sort_key": pa.array(keys, pa.int64()),
+                "part": pa.array((keys % P).astype(np.int32), pa.int32()),
+                "geom_wkb": pa.array(out_wkb, pa.binary()),
+                "props_json": pa.array(out_props, pa.string()),
+            }
+        )
+
+    way_feats = way_join.groupby("part").map_groups(
+        emit_way_feats, batch_format="pyarrow"
+    )
+
+    # ------------- join #3b/#4: relation members × lines → polygons -------
+
+    def rel_side(batch: pa.Table) -> pa.Table:
+        wid = batch["way_id"].to_numpy(zero_copy_only=False)
+        n = len(wid)
+        return pa.table(
+            {
+                "use_key": pa.array(wid * 4 + 2, pa.int64()),
+                "coords": pa.array([None] * n, pa.list_(pa.float64())),
+                "rel_id": batch["rel_id"],
+                "role": batch["role"],
+                "seq": batch["seq"],
+                "props_json": batch["props_json"],
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "part": pa.array((wid % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def line_side_rel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "use_key": batch["use_key"],
+                "coords": batch["coords"],
+                "rel_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "role": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "seq": pa.array(np.zeros(n, np.int32), pa.int32()),
+                "props_json": pa.array([""] * n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "part": batch["part"],
+            }
+        )
+
+    rel_join = rel_members.map_batches(rel_side, batch_format="pyarrow").union(
+        lines.map_batches(line_side_rel, batch_format="pyarrow")
+    )
+
+    def attach_member_lines(t: pa.Table) -> pa.Table:
+        """Attach each member way's line (kind-2 key, kind-1 fallback)."""
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        luk = t["use_key"].to_numpy(zero_copy_only=False)[lmask]
+        order = np.argsort(luk, kind="stable")
+        luk_s = luk[order]
+        lcoords = t["coords"].filter(pa.array(lmask)).take(pa.array(order))
+        rmask = ~lmask
+        rt = t.filter(pa.array(rmask))
+        ruk = rt["use_key"].to_numpy(zero_copy_only=False)
+
+        def lookup(keys):
+            p = np.searchsorted(luk_s, keys)
+            ok = (p < len(luk_s))
+            ok &= np.where(ok, luk_s[np.minimum(p, max(len(luk_s) - 1, 0))]
+                           == keys, False)
+            return p, ok
+
+        pos2, ok2 = lookup(ruk)
+        pos1, ok1 = lookup(ruk - 1)          # kind-1 fallback (wid*4+1)
+        pos = np.where(ok2, pos2, pos1)
+        ok = ok2 | ok1
+        sel = np.nonzero(ok)[0]
+        rel_id = rt["rel_id"].to_numpy(zero_copy_only=False)[sel]
+        return pa.table(
+            {
+                "rel_id": pa.array(rel_id, pa.int64()),
+                "role": rt["role"].take(pa.array(sel)),
+                "seq": rt["seq"].take(pa.array(sel)),
+                "props_json": rt["props_json"].take(pa.array(sel)),
+                "coords": lcoords.take(pa.array(pos[sel])),
+                "part": pa.array((rel_id % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    rel_rings = rel_join.groupby("part").map_groups(
+        attach_member_lines, batch_format="pyarrow"
+    )
+
+    def emit_rel_feats(t: pa.Table) -> pa.Table:
+        rid = t["rel_id"].to_numpy(zero_copy_only=False)
+        seq = t["seq"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        props_l = t["props_json"].to_pylist()
+        coords = t["coords"]
+        order = np.lexsort((seq, rid))
+        out_wkb, out_props, out_key = [], [], []
+        i = 0
+        n = len(rid)
+        while i < n:
+            j = i
+            rings = []
+            while j < n and rid[order[j]] == rid[order[i]]:
+                ln = np.asarray(coords[order[j]].as_py(),
+                                dtype=np.float64).reshape(-1, 2)
+                ring = (ln[:-1] if len(ln) > 1 and (ln[0] == ln[-1]).all()
+                        else ln)
+                if len(ring) >= 3:  # spatialize.go:312-314
+                    cw = is_clockwise(ring)
+                    r = role[order[j]]
+                    if (r == _ROLE_OUTER and cw) or (r == _ROLE_INNER and not cw):
+                        ring = ring[::-1].copy()
+                    rings.append(ring)
+                j += 1
+            if rings:
+                props = (json.loads(props_l[order[i]])
+                         if props_l[order[i]] else {})
+                props.pop("__type", None)
+                out_wkb.append(wkbmod.encode_polygon(rings))
+                out_props.append(json.dumps(props, sort_keys=True))
+                out_key.append(int(rid[order[i]]))
+            i = j
+        if not out_key:
+            return _empty_feat_part()
+        keys = np.asarray(out_key, dtype=np.int64)
+        return pa.table(
+            {
+                "kind": pa.array(np.full(len(keys), 2, np.int8), pa.int8()),
+                "sort_key": pa.array(keys, pa.int64()),
+                "part": pa.array((keys % P).astype(np.int32), pa.int32()),
+                "geom_wkb": pa.array(out_wkb, pa.binary()),
+                "props_json": pa.array(out_props, pa.string()),
+            }
+        )
+
+    rel_feats = rel_rings.groupby("part").map_groups(
+        emit_rel_feats, batch_format="pyarrow"
+    )
+
+    # ------------- point features ----------------------------------------
+
+    def point_feats(batch: pa.Table) -> pa.Table:
+        nid = batch["node_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(len(nid), np.int8), pa.int8()),
+                "sort_key": pa.array(nid, pa.int64()),
+                "part": pa.array((nid % P).astype(np.int32), pa.int32()),
+                "geom_wkb": batch["geom_wkb"],
+                "props_json": batch["props_json"],
+            }
+        )
+
+    pt_feats = points.map_batches(point_feats, batch_format="pyarrow")
+
+    # ------------- span_idx: distributed deterministic numbering ----------
+    # Per-(kind, part) counts come to the driver (≤ 3·P tiny rows); prefix
+    # offsets are broadcast; each group assigns offset + rank (sorted by
+    # sort_key) — features never collect on the driver.
+    feats0 = pt_feats.union(way_feats).union(rel_feats).materialize()
+    from ray.data.aggregate import Count
+
+    cnt_rows = feats0.groupby(["kind", "part"]).aggregate(
+        Count(alias_name="n")
+    ).take_all()
+    offsets = {}
+    acc = 0
+    for r in sorted(cnt_rows, key=lambda r: (r["kind"], r["part"])):
+        offsets[(int(r["kind"]), int(r["part"]))] = acc
+        acc += int(r["n"])
+    off_ref = ray.put(offsets)
+    source = pbf_path
+
+    def finalize(t: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        kind = int(t["kind"][0].as_py())
+        part = int(t["part"][0].as_py())
+        base = offs[(kind, part)]
+        order = np.argsort(t["sort_key"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        t = t.take(pa.array(order))
+        wkbs = t["geom_wkb"].to_pylist()
+        props = t["props_json"].to_pylist()
+        gb = wkbmod.decode_wkb_batch(wkbs)
+        bb = gb.bboxes()
+        layers = [str((json.loads(p) if p else {}).get("@layer", "default"))
+                  for p in props]
+        n = len(wkbs)
+        return pa.table(
+            {
+                "doc_id": pa.array([source] * n, pa.string()),
+                "span_idx": pa.array(
+                    np.arange(base, base + n, dtype=np.int32), pa.int32()
+                ),
+                "geom_type": pa.array(gb.types, pa.uint8()),
+                "geom_wkb": pa.array(wkbs, pa.binary()),
+                "bbox_minx": pa.array(bb[:, 0] if n else []),
+                "bbox_miny": pa.array(bb[:, 1] if n else []),
+                "bbox_maxx": pa.array(bb[:, 2] if n else []),
+                "bbox_maxy": pa.array(bb[:, 3] if n else []),
+                "layer": pa.array(layers, pa.string()),
+                "props_json": pa.array(props, pa.string()),
+            }
+        )
+
+    return feats0.groupby(["kind", "part"]).map_groups(
+        finalize, batch_format="pyarrow"
     )

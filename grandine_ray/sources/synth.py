@@ -268,3 +268,93 @@ def docs_path(corpus_dir: str) -> str:
 
 def corpus_for_sf(sf_dir: str) -> str:
     return ensure_corpus(n_docs_for_sf(sf_dir))
+
+
+# ------------------------------------------------------------ synthetic PBF
+
+PBF_MAPPING = """
+- src: {key: highway, value: primary}
+  dest:
+    - {key: "@layer", value: transportation}
+    - {key: class, value: $highway}
+- src: {key: building, value: "*"}
+  dest:
+    - {key: "@layer", value: building}
+    - {key: __type, value: area}
+- src: {key: amenity, value: "*"}
+  dest:
+    - {key: "@layer", value: poi}
+    - {key: kind, value: $amenity}
+- src: {key: landuse, value: park}
+  dest:
+    - {key: "@layer", value: landuse}
+"""
+
+
+def ensure_pbf(scale: int = 1, seed: int = SEED) -> tuple[str, dict]:
+    """Generate (once) a multi-blob synthetic OSM PBF for the spatialize
+    bench: grid roads, building squares, multipolygon relations, POI nodes.
+    Returns (path, expected-feature-count dict). ``scale`` multiplies every
+    entity class linearly.
+    """
+    from . import osm
+
+    out = Path(SYNTH_ROOT) / f"osm_s{scale}"
+    path = str(out / "synth.pbf")
+    expected = {
+        "transportation": 200 * scale,
+        "building": 5000 * scale,
+        "landuse": 250 * scale,
+        "poi": 1000 * scale,
+    }
+    if (out / "_SUCCESS").exists():
+        return path, expected
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_grid = 200                                   # 40k·scale grid nodes
+    nodes, ways, rels = [], [], []
+    wid = 1
+    base = 0
+    for s in range(scale):
+        off = s * 10.0
+        nid0 = base + 1
+        for r in range(n_grid):
+            for c in range(n_grid):
+                nodes.append((nid0 + r * n_grid + c,
+                              off + c * 0.01, r * 0.01, {}))
+        for r in range(n_grid):
+            ways.append((wid, [nid0 + r * n_grid + c for c in range(n_grid)],
+                         {"highway": "primary"}))
+            wid += 1
+        base += n_grid * n_grid
+        for b in range(expected["building"] // scale):
+            ids = [base + 1 + k for k in range(4)]
+            base += 4
+            x, y = rng.uniform(0, 2, 2)
+            x += off
+            nodes += [(ids[0], x, y, {}), (ids[1], x + .001, y, {}),
+                      (ids[2], x + .001, y + .001, {}), (ids[3], x, y + .001, {})]
+            ways.append((wid, ids + [ids[0]], {"building": "yes"}))
+            wid += 1
+        for i in range(expected["landuse"] // scale):
+            oids = [base + 1 + k for k in range(4)]
+            iids = [base + 5 + k for k in range(4)]
+            base += 8
+            x, y = off + 3 + (i % 50) * 0.1, 3.0 + (i // 50) * 0.1
+            nodes += [(oids[0], x, y, {}), (oids[1], x + .05, y, {}),
+                      (oids[2], x + .05, y + .05, {}), (oids[3], x, y + .05, {}),
+                      (iids[0], x + .01, y + .01, {}), (iids[1], x + .04, y + .01, {}),
+                      (iids[2], x + .04, y + .04, {}), (iids[3], x + .01, y + .04, {})]
+            ways.append((wid, oids + [oids[0]], {}))
+            ways.append((wid + 1, iids + [iids[0]], {}))
+            rels.append((10_000_000 + s * 100_000 + i,
+                         [(wid, osm.WAY, "outer"), (wid + 1, osm.WAY, "inner")],
+                         {"type": "multipolygon", "landuse": "park"}))
+            wid += 2
+        for i in range(expected["poi"] // scale):
+            base += 1
+            nodes.append((base, off + rng.uniform(0, 2), rng.uniform(0, 2),
+                          {"amenity": "cafe"}))
+    osm.write_pbf(path, nodes, ways, rels)
+    (out / "_SUCCESS").touch()
+    return path, expected

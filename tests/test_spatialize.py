@@ -126,3 +126,80 @@ def test_spatialize_missing_node_is_fatal(tmp_path):
                   [(10, [1, 99], {"highway": "primary"})], [])
     with pytest.raises(Exception):  # reference: log.Fatal (spatialize.go:152)
         spatialize(path, MAPPING).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spatialize_scale_synthetic(tmp_path):
+    """Distributed assembly at 1000x fixture node count: a multi-blob
+    synthetic PBF (grid roads + building squares + ring relations) streams
+    through the partitioned joins; feature counts match the analytically
+    known ground truth."""
+    rng = np.random.default_rng(11)
+    n_grid = 100                     # 10k intersection nodes
+    nodes = []
+    nid = lambda r, c: r * n_grid + c + 1
+    for r in range(n_grid):
+        for c in range(n_grid):
+            nodes.append((nid(r, c), c * 0.01, r * 0.01, {}))
+    ways = []
+    wid = 1
+    for r in range(n_grid):         # horizontal roads
+        ways.append((wid, [nid(r, c) for c in range(n_grid)],
+                     {"highway": "primary"}))
+        wid += 1
+    # building squares on a separate id range
+    base = n_grid * n_grid + 1
+    bnodes = []
+    bways = []
+    n_bld = 500
+    for b in range(n_bld):
+        ids = [base + b * 4 + k for k in range(4)]
+        x, y = rng.uniform(0, 1, 2)
+        bnodes += [(ids[0], x, y, {}), (ids[1], x + .001, y, {}),
+                   (ids[2], x + .001, y + .001, {}), (ids[3], x, y + .001, {})]
+        bways.append((wid, ids + [ids[0]], {"building": "yes"}))
+        wid += 1
+    # multipolygon relations over untagged rings
+    rbase = base + n_bld * 4
+    rnodes, rways, rels = [], [], []
+    n_rel = 40
+    for i in range(n_rel):
+        oids = [rbase + i * 8 + k for k in range(4)]
+        iids = [rbase + i * 8 + 4 + k for k in range(4)]
+        x, y = 2 + i * 0.1, 2.0
+        rnodes += [(oids[0], x, y, {}), (oids[1], x + .05, y, {}),
+                   (oids[2], x + .05, y + .05, {}), (oids[3], x, y + .05, {})]
+        rnodes += [(iids[0], x + .01, y + .01, {}), (iids[1], x + .04, y + .01, {}),
+                   (iids[2], x + .04, y + .04, {}), (iids[3], x + .01, y + .04, {})]
+        rways.append((wid, oids + [oids[0]], {}))
+        rways.append((wid + 1, iids + [iids[0]], {}))
+        rels.append((1000000 + i,
+                     [(wid, osm.WAY, "outer"), (wid + 1, osm.WAY, "inner")],
+                     {"type": "multipolygon", "landuse": "park"}))
+        wid += 2
+    # tagged poi nodes
+    pbase = rbase + n_rel * 8
+    pnodes = [(pbase + i, rng.uniform(0, 1), rng.uniform(0, 1),
+               {"amenity": "cafe"}) for i in range(200)]
+
+    path = str(tmp_path / "big.pbf")
+    osm.write_pbf(path, nodes + bnodes + rnodes + pnodes,
+                  ways + bways + rways, rels)
+    assert len([1 for *_, t in osm.scan_blob_index(path) if t == "OSMData"]) > 2
+
+    from grandine_ray.pipelines.spatialize import spatialize
+
+    feats = spatialize(path, MAPPING, num_partitions=16)
+    df = feats.to_pandas()
+    counts = df.groupby("layer").size().to_dict()
+    assert counts["transportation"] == n_grid
+    assert counts["building"] == n_bld
+    assert counts["landuse"] == n_rel
+    assert counts["poi"] == 200
+    # span_idx unique + dense over the whole output
+    si = np.sort(df["span_idx"].to_numpy())
+    assert (si == np.arange(len(df))).all()
+    # every relation polygon kept both rings
+    park = df[df["layer"] == "landuse"].iloc[0]
+    from grandine_ray.geom import wkb as wkbmod
+    assert len(wkbmod.decode_wkb_batch([park["geom_wkb"]]).rings_of(0)) == 2
