@@ -366,41 +366,15 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup candidates verified by n-gram Jaccard ≥ 0.5.
+    """MinHash-LSH near-dup candidates verified by n-gram Jaccard ≥ 0.5 —
+    fully distributed: capped in-band pair generation, distinct groupby,
+    two hash joins to attach texts, Jaccard inside map_batches (no
+    to_pandas/take_all anywhere).
 
     Non-SQL-expressible (sketches) → rows-only driver check; pytest plants
     near-duplicates and checks recall/precision against exact Jaccard."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = docs.map_batches(text_stage.minhasher_batch, batch_format="pyarrow")
-    bands = sigs.map_batches(
-        lambda b: text_stage.lsh_bands(b, id_col="doc_id"), batch_format="pyarrow"
-    )
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame({"doc_a": [p[0] for p in out],
-                             "doc_b": [p[1] for p in out]})
-
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    cand_pd = cand.to_pandas().drop_duplicates()
-    if cand_pd.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in docs.take_all()
-        if r["doc_id"] in set(cand_pd["doc_a"]) | set(cand_pd["doc_b"])
-    }
-    jac = [
-        text_stage.jaccard(texts[a], texts[b])
-        for a, b in zip(cand_pd["doc_a"], cand_pd["doc_b"])
-    ]
-    cand_pd = cand_pd.assign(jaccard=np.round(jac, 4))
-    return cand_pd[cand_pd["jaccard"] >= 0.5].reset_index(drop=True)
+    return text_stage.minhash_near_dup(docs, threshold=0.5)
 
 
 def q_simhash(sf_dir: str):

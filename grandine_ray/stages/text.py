@@ -15,6 +15,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WS = re.compile(r"\s+")
 _WORD = re.compile(r"\w+", re.UNICODE)
@@ -276,3 +277,141 @@ def rolling_fingerprint(batch: pa.Table, window: int = 16) -> pa.Table:
         hashes = (strided * powers[None, :]).sum(axis=1)
         out[i] = hashes.min()
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
+
+
+# --------------------------------------------------- distributed LSH dedup
+
+
+def lsh_candidate_pairs(bands, band_cap: int = 512):
+    """(band_id, band_hash) buckets → distinct candidate pairs, distributed.
+
+    In-band all-pairs is O(B²); a mega-bucket (e.g. millions of identical
+    docs) is capped at ``band_cap`` ids per chunk — pairs are generated
+    within each chunk and consecutive chunks are chain-linked by their
+    first element, so the candidate *graph* keeps every member of a
+    mega-bucket connected (what dedup clustering needs) while the pair
+    count stays O(B·band_cap). Buckets smaller than band_cap (the normal
+    case) are exhaustive and unchanged.
+    """
+    from ray.data.aggregate import Count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = np.unique(t["doc_id"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        a_l, b_l = [], []
+        chunks = [ids[i:i + band_cap] for i in range(0, len(ids), band_cap)]
+        for ci, ch in enumerate(chunks):
+            ii, jj = np.triu_indices(len(ch), k=1)
+            a_l.append(ch[ii])
+            b_l.append(ch[jj])
+            if ci:
+                a_l.append(chunks[ci - 1][:1])
+                b_l.append(ch[:1])
+        return pa.table({"doc_a": pa.array(np.concatenate(a_l), pa.int64()),
+                         "doc_b": pa.array(np.concatenate(b_l), pa.int64())})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    # distinct (a pair collides in many bands): tiny groupby on the pairs
+    distinct = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="_nb")
+    )
+    return distinct.drop_columns(["_nb"])
+
+
+def _attach_text(cand, docs, key_col: str, out_col: str, carry: list[str],
+                 P: int):
+    """Distributed hash join (union + part groupby + ONE searchsorted per
+    partition — same pattern as pipelines/spatialize.py). Used instead of
+    Dataset.join: Ray 2.49's hash-join aggregator raises ArrowInvalid when
+    a left partition is empty (schema lost), which any sparse candidate
+    set triggers.
+    """
+    carry_all = ["doc_a", "doc_b"] + carry
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(did)
+        cols = {"_key": pa.array(did, pa.int64())}
+        for c in carry_all:
+            cols[c] = (pa.array(np.zeros(n, np.int64), pa.int64())
+                       if c in ("doc_a", "doc_b")
+                       else pa.array([""] * n, pa.string()))
+        cols["_text"] = b["text"]
+        cols["_side"] = pa.array(np.zeros(n, np.int8), pa.int8())
+        cols["_part"] = pa.array((did % P).astype(np.int32), pa.int32())
+        return pa.table(cols)
+
+    def cand_side(b: pa.Table) -> pa.Table:
+        key = b[key_col].to_numpy(zero_copy_only=False)
+        n = len(key)
+        cols = {"_key": pa.array(key, pa.int64())}
+        for c in carry_all:
+            cols[c] = b[c]
+        cols["_text"] = pa.array([""] * n, pa.string())
+        cols["_side"] = pa.array(np.ones(n, np.int8), pa.int8())
+        cols["_part"] = pa.array((key % P).astype(np.int32), pa.int32())
+        return pa.table(cols)
+
+    unioned = cand.map_batches(cand_side, batch_format="pyarrow").union(
+        docs.map_batches(doc_side, batch_format="pyarrow")
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        dmask = side == 0
+        dkey = t["_key"].to_numpy(zero_copy_only=False)[dmask]
+        order = np.argsort(dkey, kind="stable")
+        dkey_s = dkey[order]
+        dtext = t["_text"].filter(pa.array(dmask)).take(pa.array(order))
+        cmask = ~dmask
+        ct = t.filter(pa.array(cmask))
+        ckey = ct["_key"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dkey_s, ckey)
+        ok = ((pos < len(dkey_s))
+              & (dkey_s[np.minimum(pos, max(len(dkey_s) - 1, 0))] == ckey)
+              if len(dkey_s) else np.zeros(len(ckey), bool))
+        sel = np.nonzero(ok)[0]
+        cols = {c: ct[c].take(pa.array(sel)) for c in carry_all}
+        cols[out_col] = dtext.take(pa.array(pos[sel]))
+        return pa.table(cols)
+
+    return unioned.groupby("_part").map_groups(resolve, batch_format="pyarrow")
+
+
+def verify_jaccard(cand, docs, threshold: float = 0.5,
+                   num_partitions: int = 8):
+    """Attach both texts with two distributed hash joins and compute exact
+    n-gram Jaccard inside map_batches — no driver-side text fetch."""
+    j = _attach_text(cand, docs, "doc_a", "text_a", [], num_partitions)
+    j = _attach_text(j, docs, "doc_b", "text_b", ["text_a"], num_partitions)
+
+    def score(b: pa.Table) -> pa.Table:
+        va = b["text_a"].to_pylist()
+        vb = b["text_b"].to_pylist()
+        jac = np.round([jaccard(x, y) for x, y in zip(va, vb)], 4)
+        out = pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                        "jaccard": pa.array(jac, pa.float64())})
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def minhash_near_dup(docs, threshold: float = 0.5, band_cap: int = 512,
+                     num_partitions: int = 8):
+    """Full distributed MinHash+LSH near-dup pipeline:
+    signatures → bands → capped in-band pairs → distinct → Jaccard verify.
+    """
+    sigs = docs.map_batches(minhasher_batch, batch_format="pyarrow")
+    bands = sigs.map_batches(
+        lambda b: lsh_bands(b, id_col="doc_id"), batch_format="pyarrow"
+    )
+    # pin the (tiny: id pairs) candidate set — its groupby would otherwise
+    # share one streaming graph with the two join operators and starve them
+    # of CPU slots at low parallelism (measured deadlock at 8 cpus)
+    cand = lsh_candidate_pairs(bands, band_cap=band_cap).materialize()
+    return verify_jaccard(cand, docs, threshold=threshold,
+                          num_partitions=num_partitions)

@@ -116,3 +116,42 @@ def test_minhash_short_doc_deterministic_across_processes(ray_session):
         a = ray.get(sig.remote(t))
         b = ray.get(sig.remote(t))
         assert a == b, f"nondeterministic signature for short doc {t!r}"
+
+
+def test_lsh_candidate_cap_keeps_megabucket_connected(ray_session):
+    """A bucket of identical docs larger than band_cap must produce a
+    CONNECTED candidate graph with O(B*cap) pairs, not O(B^2)."""
+    import ray.data as rd
+
+    n = 40
+    docs = rd.from_arrow(_batch(["identical document text " * 5] * n))
+    sigs = docs.map_batches(text.minhasher_batch, batch_format="pyarrow")
+    bands = sigs.map_batches(lambda b: text.lsh_bands(b, id_col="doc_id"),
+                             batch_format="pyarrow")
+    cand = text.lsh_candidate_pairs(bands, band_cap=8).to_pandas()
+    # bounded: far fewer than the 780 all-pairs
+    assert len(cand) < 40 * 8
+    # connected: union-find over the pairs reaches all 40 docs
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(n)}) == 1
+
+
+def test_minhash_near_dup_matches_planted(ray_session):
+    """End-to-end distributed pipeline finds the planted near-dup pair."""
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    texts = [base, base + "extra tail.", "completely different content here " * 8,
+             "unrelated words that share nothing with the fox sentences " * 6]
+    out = text.minhash_near_dup(
+        rd.from_arrow(_batch(texts)), threshold=0.5).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs
+    assert all({a, b} == {0, 1} for a, b in pairs)
