@@ -8,11 +8,13 @@ Golden vectors: line_test.go:176-267.
 Polygon clipping keeps the reference's shortcut paths (polygon.go:26-40) and
 replaces the GEOS general case (clip_geos.go) from scratch: a
 Weiler–Atherton-style tracer (geom/polyclip.py) splits multi-component
-intersections into clean rings like GEOS, with a Sutherland–Hodgman
-fallback (region-correct, single connected ring) for degenerate
-configurations. Remaining divergence from GEOS, by design: the
-self-intersecting-input repair path (GEOS Buffer(0)) is not reproduced —
-such rings take the S-H fallback.
+intersections into clean rings like GEOS; configurations it rejects
+(border-touching vertices, self-intersecting rings, overlapping holes) go
+to the exact even-odd planar-arrangement polygonizer (geom/arrangement.py)
+— the from-scratch equivalent of the reference's GEOS Buffer(0) retry
+(clip_geos.go:25-33), verified to clip the self_intersect fixture into
+the same 2 polygons as clip_geos_test.go:19-30. Sutherland–Hodgman
+remains as a last-resort region-correct safety net.
 """
 from __future__ import annotations
 
@@ -229,12 +231,65 @@ def _edge_intersect(p, q, edge, minx, miny, maxx, maxy):
     return np.array([px + t * (qx - px), maxy])
 
 
-def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[list[np.ndarray]]:
-    """Polygon ∩ bbox → 0..1 polygons (each a ring list).
+def _wa_polygon(rings, minx, miny, maxx, maxy):
+    """Weiler–Atherton clip of outer + holes; None on degenerate input."""
+    from .polyclip import clip_ring_rect
+    from .predicates import point_in_rings
+
+    wa = clip_ring_rect(rings[0], minx, miny, maxx, maxy)
+    if wa is None:
+        return None
+    hole_parts: list[np.ndarray] = []
+    for hole in rings[1:]:
+        hb = (hole[:, 0].min(), hole[:, 1].min(),
+              hole[:, 0].max(), hole[:, 1].max())
+        if (hb[2] < minx or hb[0] > maxx or hb[3] < miny or hb[1] > maxy):
+            continue  # hole entirely outside the box
+        hw = clip_ring_rect(hole, minx, miny, maxx, maxy)
+        if hw is None:
+            # no border crossing: either disjoint from the box (drop) or
+            # the hole swallows the whole box (empty result) — else a true
+            # degenerate (border-touching) configuration
+            from .predicates import point_in_rings, ring_intersects_rect
+
+            if not ring_intersects_rect(hole, minx, miny, maxx, maxy):
+                if point_in_rings((minx + maxx) / 2, (miny + maxy) / 2,
+                                  [hole]):
+                    return []
+                continue
+            return None
+        hole_parts.extend(hw)
+    if not wa:
+        return []
+    polys: list[list[np.ndarray]] = [[shell] for shell in wa]
+    from .polyclip import _perimeter_pos
+
+    for hp in hole_parts:
+        # containment test point: a vertex OFF the clip border (a clipped
+        # part's endpoints lie ON the border, where point-in-ring is
+        # undefined); fall back to the part's centroid
+        tx, ty = float(np.mean(hp[:, 0])), float(np.mean(hp[:, 1]))
+        for x, y in hp:
+            if _perimeter_pos(x, y, minx, miny, maxx, maxy) < 0:
+                tx, ty = float(x), float(y)
+                break
+        for poly in polys:
+            if point_in_rings(tx, ty, [poly[0]]):
+                poly.append(hp)
+                break
+    return polys
+
+
+def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy,
+                 _allow_repair: bool = True) -> list[list[np.ndarray]]:
+    """Polygon ∩ bbox → 0..n polygons (each a ring list).
 
     Shortcut paths follow polygon.go:26-40: a single-ring polygon whose
     outer ring does not intersect the bbox border either fully covers the
     bbox (→ the bbox rectangle) or lies fully inside it (→ unchanged).
+    Self-intersecting outers are repaired (geom/repair.py — the
+    reference's GEOS Buffer(0) retry, clip_geos.go:25-33) when the
+    multi-part tracer rejects them.
     """
     rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rings]
     outer = rings[0]
@@ -261,30 +316,22 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[list[n
     # to Sutherland–Hodgman (region-correct, single connected ring) on
     # degenerate configurations — border-touching vertices, corner-grazing
     # crossings, self-intersecting subjects
-    from .polyclip import clip_ring_rect
+    polys = _wa_polygon(rings, minx, miny, maxx, maxy)
+    if polys is not None:
+        return polys
 
-    wa = clip_ring_rect(outer, minx, miny, maxx, maxy)
-    if wa is not None:
-        holes_ok = True
-        hole_parts: list[np.ndarray] = []
-        for hole in rings[1:]:
-            hw = clip_ring_rect(hole, minx, miny, maxx, maxy)
-            if hw is None:
-                holes_ok = False
-                break
-            hole_parts.extend(hw)
-        if holes_ok:
-            if not wa:
-                return []
-            polys: list[list[np.ndarray]] = [[shell] for shell in wa]
-            from .predicates import point_in_rings
+    # W-A rejected the configuration (vertices exactly on the border,
+    # self-intersecting rings, odd crossing structure). Exact even-odd
+    # fallback: the planar-arrangement polygonizer — our from-scratch
+    # Buffer(0)+Intersection (clip_geos.go:25-33; clip_geos_test.go expects
+    # the self_intersect fixture to clip into exactly 2 polygons).
+    if _allow_repair:
+        try:
+            from .arrangement import clip_polygon_arrangement
 
-            for hp in hole_parts:
-                for poly in polys:
-                    if point_in_rings(hp[0, 0], hp[0, 1], [poly[0]]):
-                        poly.append(hp)
-                        break
-            return polys
+            return clip_polygon_arrangement(rings, minx, miny, maxx, maxy)
+        except Exception:
+            pass  # safety net below stays region-correct
 
     out_rings = []
     for i, ring in enumerate(rings):

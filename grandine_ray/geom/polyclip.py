@@ -6,8 +6,8 @@ bridges when the intersection has several components; this tracer returns
 one clean ring per component (what GEOS produces for the reference's
 clip path, lib/spatial/clip_geos.go) for simple (non-self-intersecting)
 subject rings. Degenerate configurations (vertices exactly on the border,
-odd crossing structure) return ``None`` and the caller falls back to
-Sutherland–Hodgman, which is always region-correct.
+odd crossing structure) return ``None`` and the caller falls back to the
+exact even-odd arrangement polygonizer (geom/arrangement.py).
 
 Method: the subject ring is unrolled into a marked sequence of vertices
 and border crossings (in ring order); components are traced by walking

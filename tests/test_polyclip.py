@@ -118,3 +118,56 @@ def test_clip_polygon_multipart_integration():
     polys = clip_polygon([sq, hole], 5, 50, 95, 95)
     assert len(polys) == 1
     assert len(polys[0]) == 2       # shell + assigned hole
+
+
+def test_arrangement_cross_validated_on_self_intersecting():
+    """The even-odd arrangement polygonizer vs the scanline rasterizer on
+    randomized SELF-INTERSECTING rings (the inputs W-A rejects and GEOS
+    repairs with Buffer(0))."""
+    from grandine_ray.geom.arrangement import clip_polygon_arrangement
+
+    rng = np.random.default_rng(23)
+    checked = 0
+    for trial in range(60):
+        n = int(rng.integers(6, 12))
+        # random walk ring — frequently self-intersecting
+        ring = rng.uniform(5, 95, (n, 2))
+        bx, by = rng.uniform(0, 50, 2)
+        polys = clip_polygon_arrangement([ring], bx, by, bx + 45, by + 45)
+        checked += 1
+        got = np.zeros((160, 160), bool)
+        for p in polys:
+            m = _mask([p[0]])
+            for h in p[1:]:
+                m &= ~_mask([h])
+            got |= m
+        # even-odd raster ground truth
+        size, extent = 160, 100.0
+        ys = (np.arange(size) + 0.5) * extent / size
+        xs = (np.arange(size) + 0.5) * extent / size
+        X, Y = np.meshgrid(xs, ys)
+        rx, ry = ring[:, 0], ring[:, 1]
+        nx_, ny_ = np.roll(rx, -1), np.roll(ry, -1)
+        cnt = np.zeros(X.shape, np.int64)
+        for k in range(n):
+            cond = (ry[k] > Y) != (ny_[k] > Y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xin = rx[k] + (Y - ry[k]) / (ny_[k] - ry[k]) * (nx_[k] - rx[k])
+            cnt += cond & (X < xin)
+        exp = ((cnt % 2) == 1) & _box_mask(bx, by, bx + 45, by + 45)
+        iou = _iou(got, exp)
+        assert iou > 0.88, (trial, iou, len(polys))
+    assert checked == 60
+
+
+def test_arrangement_bowtie_and_annulus():
+    from grandine_ray.geom.arrangement import clip_polygon_arrangement
+
+    bow = np.array([[10, 10], [60, 60], [60, 10], [10, 60]], float)
+    out = clip_polygon_arrangement([bow], 0, 0, 100, 100)
+    assert len(out) == 2  # two filled lobes (Buffer(0)/MakeValid semantics)
+    # self-touching annulus drawn as one ring -> polygon with hole
+    ann = np.array([[0, 0], [40, 0], [40, 40], [0, 40], [0, 0],
+                    [10, 10], [10, 30], [30, 30], [30, 10], [10, 10]], float)
+    out = clip_polygon_arrangement([ann], -5, -5, 50, 50)
+    assert len(out) == 1 and len(out[0]) == 2

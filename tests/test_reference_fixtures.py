@@ -66,19 +66,31 @@ def test_polygon_with_holes_clip():
     assert len(out[0]) >= 1
 
 
-def test_self_intersect_clip_documented_behavior():
-    # clip_geos_test.go:19-30 expects 2 polygons from GEOS; our
-    # Sutherland–Hodgman produces one connected result (documented
-    # divergence, geom/clip.py) — assert it stays valid and non-empty
+def test_self_intersect_clip_geos_parity():
+    # clip_geos_test.go:19-30: GEOS (after the Buffer(0) repair retry,
+    # clip_geos.go:25-33) clips the fixture into exactly 2 polygons. The
+    # even-odd arrangement polygonizer (geom/arrangement.py) reproduces
+    # that: the main region plus the ~44-unit-squared border sliver
+    # (raster-cross-validated component count and area).
     t = _load(f"{REF}/lib/spatial/testfiles/self_intersect.geojson")
     gb = wkb.decode_wkb_batch([t["geom_wkb"][0].as_py()])
     from grandine_ray.geom.clip import clip_polygon
 
     out = clip_polygon(gb.rings_of(0), 0, 0, 2000, 2000)
-    assert len(out) == 1 and len(out[0]) >= 1
-    for ring in out[0]:
-        assert (ring[:, 0] >= -1e-9).all() and (ring[:, 0] <= 2000 + 1e-9).all()
-        assert (ring[:, 1] >= -1e-9).all() and (ring[:, 1] <= 2000 + 1e-9).all()
+    assert len(out) == 2  # exact GEOS parity
+
+    def ring_area(r):
+        x, y = r[:, 0], r[:, 1]
+        return 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+    total = sum(ring_area(p[0]) - sum(ring_area(h) for h in p[1:])
+                for p in out)
+    # raster even-odd ground truth: 87.2% of the 2000x2000 window filled
+    assert abs(total / 4e6 - 0.8725) < 0.005
+    for poly in out:
+        for ring in poly:
+            assert (ring[:, 0] >= -1e-6).all() and (ring[:, 0] <= 2000 + 1e-6).all()
+            assert (ring[:, 1] >= -1e-6).all() and (ring[:, 1] <= 2000 + 1e-6).all()
 
 
 def test_geojson_testdata_files():
