@@ -1,16 +1,28 @@
 """Per-tile feature merging (reference lib/spatial/merge.go:6-114).
 
 Groups features by exact props equality, then concatenates LineStrings
-whose endpoints touch. Only LineStrings merge. Determinism: callers
-pre-sort features canonically (doc_id, span_idx) — the reference fixpoint
-result depends on input order (SURVEY §7.5).
+whose endpoints touch. Only LineStrings merge.
 
-Divergence from the reference, by design: merging is hash-chained (O(n))
-rather than the O(n²) pairwise fixpoint of merge.go:68-104 — required
-because low-zoom tiles hold the whole corpus in one group. When endpoints
-are unique the maximal chains are identical; when several lines share an
-endpoint (possible after clipping to tile borders) both algorithms pick an
-arbitrary-but-deterministic matching, and ours picks by lowest input index.
+This is an EXACT simulation of the reference algorithm — including its
+order-dependent tie-breaks when several line endpoints collide — made
+near-linear with endpoint hash indexes:
+
+  * ``MergeFeatures`` (merge.go:6-29): per props-bucket, repeat
+    ``searchAndMerge`` until the bucket length stops shrinking;
+  * ``searchAndMerge`` (merge.go:68-104): for each feature (ascending
+    position, skipping ignored), scan the remaining features ascending;
+    on a match extend the current line IN PLACE (``l1+l2[1:]`` when
+    l1.last == l2.first is tested FIRST, else ``l2+l1[1:]``) and keep
+    scanning FORWARD from the matched index — a hash lookup of the
+    current endpoints plus a min-index filter reproduces that scan
+    without touching non-matching features.
+
+Each merge consumes one feature, so total work is O(n + collisions)
+per round instead of the reference's O(n²) pairwise scan — required
+because low-zoom tiles hold the whole corpus in one group — while the
+chosen pairings (and therefore output bytes) are identical
+(tests/test_mvt.py::test_merge_endpoint_collision_parity checks against
+a literal transcription of the Go loop).
 """
 from __future__ import annotations
 
@@ -38,75 +50,87 @@ def merge_features(feats: list[dict]) -> list[dict]:
 
     out: list[dict] = []
     for bucket in buckets:
-        out.extend(_chain_merge(bucket))
+        # reference fixpoint (merge.go:13-23): repeat until no shrink
+        while len(bucket) > 1:
+            start = len(bucket)
+            bucket = _search_and_merge(bucket)
+            if len(bucket) == start:
+                break
+        out.extend(bucket)
     return out
 
 
-def _chain_merge(fts: list[dict]) -> list[dict]:
-    """Hash-chained tail-to-head merging — O(n) instead of the reference's
-    O(n²) pairwise fixpoint (merge.go:68-104). Produces the same maximal
-    chains when line endpoints are unique; with duplicate endpoints the
-    lowest input index is chosen deterministically (input is canonically
-    pre-sorted by the callers).
-    """
-    lines = [i for i, ft in enumerate(fts) if ft["type"] == 2]
-    if len(lines) < 2:
+def _search_and_merge(fts: list[dict]) -> list[dict]:
+    """One ``searchAndMerge`` round (merge.go:68-104), hash-accelerated."""
+    n = len(fts)
+    line_idx = [i for i in range(n) if fts[i]["type"] == 2]
+    if len(line_idx) < 2:
         return fts
+    ignored = [False] * n
     heads: dict[tuple, list[int]] = {}
     tails: dict[tuple, list[int]] = {}
-    for i in lines:
-        ring = fts[i]["rings"][0]
-        heads.setdefault(tuple(ring[0]), []).append(i)
-        tails.setdefault(tuple(ring[-1]), []).append(i)
+    rings: dict[int, np.ndarray] = {}
+    merged_flag: dict[int, bool] = {}
+    for i in line_idx:
+        r = fts[i]["rings"][0]
+        rings[i] = r
+        heads.setdefault(tuple(r[0]), []).append(i)
+        tails.setdefault(tuple(r[-1]), []).append(i)
 
-    used: set[int] = set()
-    merged_out: dict[int, dict] = {}
-    for i in lines:
-        if i in used:
+    for ref in line_idx:
+        if ignored[ref]:
             continue
-        # only start a chain from a line whose head extends no unused tail,
-        # so every chain is maximal; pure cycles fall through below
-        ring = fts[i]["rings"][0]
-        if any(j not in used and j != i for j in tails.get(tuple(ring[0]), [])):
-            continue
-        used.add(i)
-        parts = [ring]
-        tail = tuple(ring[-1])
+        ring = rings[ref]
+        first = tuple(ring[0])
+        last = tuple(ring[-1])
+        fronts: list[np.ndarray] = []   # latest prepend first
+        backs: list[np.ndarray] = [ring]
+        pos = -1
+        changed = False
         while True:
-            nxt = next((j for j in heads.get(tail, []) if j not in used), None)
-            if nxt is None:
+            cands = [i for i in heads.get(last, ())
+                     if not ignored[i] and i != ref and i > pos]
+            cands += [i for i in tails.get(first, ())
+                      if not ignored[i] and i != ref and i > pos]
+            if not cands:
                 break
-            used.add(nxt)
-            parts.append(fts[nxt]["rings"][0][1:])
-            tail = tuple(fts[nxt]["rings"][0][-1])
-        if len(parts) > 1:
-            merged_out[i] = {**fts[i], "rings": [np.vstack(parts)], "merged": True}
-        else:
-            merged_out[i] = fts[i]
-    # cycles: remaining unused lines form closed loops; merge each loop
-    for i in lines:
-        if i in used:
-            continue
-        used.add(i)
-        ring = fts[i]["rings"][0]
-        parts = [ring]
-        tail = tuple(ring[-1])
-        while True:
-            nxt = next((j for j in heads.get(tail, []) if j not in used), None)
-            if nxt is None:
-                break
-            used.add(nxt)
-            parts.append(fts[nxt]["rings"][0][1:])
-            tail = tuple(fts[nxt]["rings"][0][-1])
-        if len(parts) > 1:
-            merged_out[i] = {**fts[i], "rings": [np.vstack(parts)], "merged": True}
-        else:
-            merged_out[i] = fts[i]
+            i = min(cands)
+            r_i = rings[i]
+            # mergeLines order (merge.go:106-113): l1.last==l2.first first
+            if tuple(r_i[0]) == last:
+                backs.append(r_i[1:])
+                last = tuple(r_i[-1])
+            else:
+                fronts.insert(0, r_i)
+                first = tuple(r_i[0])
+            ignored[i] = True
+            heads[tuple(r_i[0])].remove(i)
+            tails[tuple(r_i[-1])].remove(i)
+            pos = i
+            changed = True
+        if changed:
+            old_first = tuple(ring[0])
+            old_last = tuple(ring[-1])
+            parts = fronts[:1] + [p[1:] for p in fronts[1:]] + (
+                [backs[0][1:] if fronts else backs[0]] + backs[1:]
+                if fronts else backs
+            )
+            new_ring = np.vstack(parts)
+            rings[ref] = new_ring
+            merged_flag[ref] = True
+            # later refs must see ref's CURRENT endpoints (Go mutates
+            # fts[refID] in place)
+            heads[old_first].remove(ref)
+            tails[old_last].remove(ref)
+            heads.setdefault(tuple(new_ring[0]), []).append(ref)
+            tails.setdefault(tuple(new_ring[-1]), []).append(ref)
 
-    out = []
-    for pos, ft in enumerate(fts):
-        if ft["type"] != 2:
-            out.append(ft)
-        elif pos in merged_out:
-            out.append(merged_out[pos])
+    out: list[dict] = []
+    for posi in range(n):
+        if ignored[posi]:
+            continue
+        ft = fts[posi]
+        if posi in merged_flag:
+            ft = {**ft, "rings": [rings[posi]], "merged": True}
+        out.append(ft)
     return out

@@ -114,3 +114,59 @@ def test_encode_tile_empty_outside():
     feats = {"default": [{"props": (), "type": 1, "rings": [np.array([[100.0, 10.0]])]}]}
     buf = mvt.encode_tile(8, 137, 84, feats)  # tile is near Berlin
     assert buf == b""
+
+
+def _go_merge_reference(lines):
+    """Literal transcription of merge.go:6-113 (fixpoint + positional
+    scan + mergeLines direction order) — the parity oracle."""
+    fts = [ln.copy() for ln in lines]
+
+    def search_and_merge(fts):
+        ignore = set()
+        for ref in range(len(fts)):
+            if ref in ignore:
+                continue
+            for i in range(len(fts)):
+                if i in ignore or i == ref:
+                    continue
+                l1, l2 = fts[ref], fts[i]
+                if (l1[-1] == l2[0]).all():
+                    fts[ref] = np.vstack([l1, l2[1:]])
+                    ignore.add(i)
+                elif (l2[-1] == l1[0]).all():
+                    fts[ref] = np.vstack([l2, l1[1:]])
+                    ignore.add(i)
+        return [f for p, f in enumerate(fts) if p not in ignore]
+
+    while len(fts) > 1:
+        start = len(fts)
+        fts = search_and_merge(fts)
+        if len(fts) == start:
+            break
+    return fts
+
+
+def test_merge_endpoint_collision_parity():
+    """Hash-indexed merge must pick the SAME pairings as the Go loop when
+    >=3 line endpoints collide (VERDICT r1 item 10)."""
+    rng = np.random.default_rng(17)
+    # a small pool of shared endpoints forces heavy collisions
+    for trial in range(120):
+        n_pts = int(rng.integers(3, 6))
+        pool = [(float(x), float(y))
+                for x, y in rng.integers(0, 4, (n_pts, 2))]
+        n_lines = int(rng.integers(2, 9))
+        lines = []
+        for _ in range(n_lines):
+            a, b = rng.integers(0, n_pts, 2)
+            mid = rng.uniform(10, 20, (1, 2))  # unique interior vertex
+            lines.append(np.vstack([np.array(pool[a]), mid,
+                                    np.array(pool[b])]))
+        expected = _go_merge_reference(lines)
+        got = merge_features(
+            [{"props": (), "type": 2, "rings": [ln]} for ln in lines]
+        )
+        got_rings = [f["rings"][0] for f in got]
+        assert len(got_rings) == len(expected), trial
+        for g, e in zip(got_rings, expected):
+            assert g.shape == e.shape and (g == e).all(), trial
