@@ -41,5 +41,10 @@ def oracle_sql() -> dict[str, str]:
     # the geospatial oracle SQL reads the synthetic ground-truth parquet at
     # a fixed path; make sure it exists even if DuckDB runs before the
     # corresponding Ray query callable (generation is deterministic+cached)
-    synth.ensure_corpus(10_000)
+    corpus = synth.ensure_corpus(10_000)
+    # independent precomputed ground truth for the non-SQL-expressible
+    # queries (scalar from-scratch reimplementations, oracle/expected.py)
+    from grandine_ray.oracle.expected import ensure_expected
+
+    ensure_expected(corpus)
     return dict(ORACLE_SQL)

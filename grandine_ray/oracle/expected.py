@@ -1,0 +1,422 @@
+"""Independent ground-truth generators for the non-SQL-expressible queries.
+
+Each function here is a from-scratch scalar reimplementation of the
+operator's SPEC (RDP, scanline fill, S2/hex cell math, SimHash, rolling
+fingerprint, exact n-gram Jaccard) using only the stdlib + element-wise
+numpy — deliberately NOT importing the engine's vectorized kernels, so a
+vectorization or distribution bug in the engine cannot cancel out in the
+oracle. ``ensure_expected`` materializes them once per corpus version as
+parquet files under /tmp/graft_expected/; ``ORACLE_SQL`` then checks the
+Ray pipelines against them with a plain ``SELECT`` (full rows + schema +
+value-hash driver gate, per VERDICT r1 item 8).
+
+Inputs: the synthetic ground-truth vertex table (geoms.parquet — written
+from the PRE-WKB coordinates, so these oracles never touch the engine's
+WKB codec) and the driver's sf0.01 documents table.
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import re
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EXPECTED_DIR = "/tmp/graft_expected"
+_VERSION = "v2"
+
+_WORD = re.compile(r"\w+", re.UNICODE)
+_WS = re.compile(r"\s+")
+
+
+def _h8(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(),
+                          "little")
+
+
+# ------------------------------------------------------------ geometry maths
+
+
+def _seg_dist(ax, ay, bx, by, px, py):
+    """Distance from p to SEGMENT ab (projection clamped to [0, 1] —
+    the reference semantics, line.go:351-380)."""
+    cx, cy = bx - ax, by - ay
+    len_sq = cx * cx + cy * cy
+    if len_sq == 0:
+        t = 0.0
+    else:
+        t = ((px - ax) * cx + (py - ay) * cy) / len_sq
+    t = min(1.0, max(0.0, t))
+    qx, qy = ax + t * cx, ay + t * cy
+    return math.hypot(px - qx, py - qy)
+
+
+def _rdp(pts, eps):
+    """Ramer–Douglas–Peucker over (x, y) tuple lists (first-max split)."""
+    if len(pts) < 3:
+        return list(pts)
+    ax, ay = pts[0]
+    bx, by = pts[-1]
+    best, best_d = 0, -1.0
+    for i in range(1, len(pts) - 1):
+        d = _seg_dist(ax, ay, bx, by, pts[i][0], pts[i][1])
+        if d > best_d:
+            best, best_d = i, d
+    if best_d > eps:
+        left = _rdp(pts[:best + 1], eps)
+        right = _rdp(pts[best:], eps)
+        return left[:-1] + right
+    return [pts[0], pts[-1]]
+
+
+def _scanline_fill_fraction(rings, size, extent):
+    """Even-odd scanline fill over pixel centers; mirrors the documented
+    raster semantics (pixel center (row + 0.5)/scale; runs between sorted
+    crossing pairs, pixel index range [ceil(x*s - .5), floor(x*s - .5)])."""
+    scale = size / extent
+    filled = 0
+    for row in range(size):
+        ycv = (row + 0.5) / scale
+        xs_cross = []
+        for ring in rings:
+            n = len(ring)
+            for k in range(n):
+                x1, y1 = ring[k]
+                x2, y2 = ring[(k + 1) % n]
+                if (y1 <= ycv < y2) or (y2 <= ycv < y1):
+                    t = (ycv - y1) / (y2 - y1)
+                    xs_cross.append(x1 + t * (x2 - x1))
+        xs_cross.sort()
+        for j in range(0, len(xs_cross) - 1, 2):
+            lo = max(0, math.ceil(xs_cross[j] * scale - 0.5))
+            hi = min(size - 1, math.floor(xs_cross[j + 1] * scale - 0.5))
+            if hi >= lo:
+                filled += hi - lo + 1
+    return round(filled / (size * size), 6)
+
+
+def _point_in_rings_evenodd(x, y, rings):
+    cnt = 0
+    for ring in rings:
+        n = len(ring)
+        for k in range(n):
+            x1, y1 = ring[k]
+            x2, y2 = ring[(k + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xin = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+                if x < xin:
+                    cnt += 1
+    return cnt % 2 == 1
+
+
+def _s2_cell(lon, lat, level=12):
+    """Scalar S2-style cell id (public face/uv/st + Morton formulas)."""
+    phi = math.radians(lat)
+    lam = math.radians(lon)
+    x = math.cos(phi) * math.cos(lam)
+    y = math.cos(phi) * math.sin(lam)
+    z = math.sin(phi)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        face = 0 if x > 0 else 3
+    elif ay >= ax and ay >= az:
+        face = 1 if y > 0 else 4
+    else:
+        face = 2 if z > 0 else 5
+    if face == 0:
+        u, v = y / x, z / x
+    elif face == 1:
+        u, v = -x / y, z / y
+    elif face == 2:
+        u, v = -x / z, -y / z
+    elif face == 3:
+        u, v = z / x, y / x
+    elif face == 4:
+        u, v = z / y, -x / y
+    else:
+        u, v = -y / z, -x / z
+
+    def st(uu):
+        r = 0.5 * math.sqrt(1.0 + 3.0 * abs(uu))
+        return r if uu >= 0 else 1.0 - r
+
+    n = 1 << level
+    i = min(n - 1, max(0, int(st(u) * n)))
+    j = min(n - 1, max(0, int(st(v) * n)))
+    code = 0
+    for b in range(level):
+        code |= ((i >> b) & 1) << (2 * b + 1)
+        code |= ((j >> b) & 1) << (2 * b)
+    return (face << (2 * level + 5)) | (code << 5) | level
+
+
+_MERC_MAX = 20037508.342789244
+
+
+def _hex_cell(lon, lat, res=9):
+    mx = math.radians(lon) * 6378137.0
+    clat = min(89.9, max(-89.9, lat))
+    my = math.log(math.tan(math.radians(clat) / 2.0 + math.pi / 4.0)) * 6378137.0
+    size = _MERC_MAX / (2.0 ** res)
+    q = (math.sqrt(3.0) / 3.0 * mx - 1.0 / 3.0 * my) / size
+    r = (2.0 / 3.0 * my) / size
+    s = -q - r
+    rq, rr, rs = round(q), round(r), round(s)
+    dq, dr, ds = abs(rq - q), abs(rr - r), abs(rs - s)
+    if dq > dr and dq > ds:
+        rq = -rr - rs
+    elif dr > ds:
+        rr = -rq - rs
+    return (res << 56) | ((rq + (1 << 27)) << 28) | (rr + (1 << 27))
+
+
+# --------------------------------------------------------------- text maths
+
+
+def _shingle_set(text, k=5):
+    t = _WS.sub(" ", (text or "").lower()).strip()
+    if len(t) < k:
+        return {_h8(t.encode("utf-8"))}
+    return {_h8(t[i:i + k].encode()) for i in range(len(t) - k + 1)}
+
+
+def _simhash(text):
+    words = _WORD.findall((text or "").lower())
+    if not words:
+        return 0
+    votes = [0] * 64
+    for w in words:
+        h = _h8(w.encode())
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def _fingerprint(text, window=16):
+    data = (text or "").encode("utf-8")
+    if len(data) <= window:
+        return _h8(data)
+    mask = (1 << 64) - 1
+    best = None
+    # rolling polynomial hash sum(byte[i+k] * 257^k) mod 2^64
+    powers = [pow(257, k, 1 << 64) for k in range(window)]
+    h = 0
+    for k in range(window):
+        h = (h + data[k] * powers[k]) & mask
+    best = h
+    inv = None
+    for i in range(1, len(data) - window + 1):
+        # recompute from scratch is O(n*w); cheap enough at oracle scale is
+        # fine, but keep the rolling update: h' = (h - d[i-1]) / 257 + ...
+        h = (h - data[i - 1]) & mask
+        # division by 257 mod 2^64 via modular inverse (257 is odd)
+        if inv is None:
+            inv = pow(257, -1, 1 << 64)
+        h = (h * inv) & mask
+        h = (h + data[i + window - 1] * powers[window - 1]) & mask
+        if h < best:
+            best = h
+    return best
+
+
+# ----------------------------------------------------------- table builders
+
+
+def _geom_rows(corpus_dir):
+    t = pq.read_table(f"{corpus_dir}/geoms.parquet")
+    cols = t.to_pydict()
+    for i in range(t.num_rows):
+        rings = {}
+        for x, y, r in zip(cols["xs"][i], cols["ys"][i], cols["ring_of"][i]):
+            rings.setdefault(r, []).append((x, y))
+        yield (cols["doc_id"][i], cols["span_idx"][i], cols["geom_type"][i],
+               [rings[k] for k in sorted(rings)])
+
+
+def expected_simplify(corpus_dir) -> pa.Table:
+    doc, span, n_in, n_out = [], [], [], []
+    for d, s, gt, rings in _geom_rows(corpus_dir):
+        if gt != 2:
+            continue
+        pts = rings[0]
+        doc.append(d)
+        span.append(s)
+        n_in.append(len(pts))
+        n_out.append(len(_rdp(pts, 0.01)))
+    return pa.table({
+        "doc_id": pa.array(doc, pa.string()),
+        "span_idx": pa.array(span, pa.int64()),
+        "n_points_in": pa.array(n_in, pa.int64()),
+        "n_points_simplified": pa.array(n_out, pa.int64()),
+    })
+
+
+def expected_raster_stats(corpus_dir) -> pa.Table:
+    doc, span, fills = [], [], []
+    for d, s, gt, rings in _geom_rows(corpus_dir):
+        if gt != 3:
+            continue
+        # per-ring min-shift + global extent (matches the registered query's
+        # normalization, pipelines/queries.py::q_raster_stats)
+        shifted = []
+        extent = 1e-9
+        for r in rings:
+            mx = min(p[0] for p in r)
+            my = min(p[1] for p in r)
+            rr = [(p[0] - mx, p[1] - my) for p in r]
+            extent = max(extent, max(max(p[0], p[1]) for p in rr))
+            shifted.append(rr)
+        doc.append(d)
+        span.append(s)
+        fills.append(_scanline_fill_fraction(shifted, 32, extent))
+    return pa.table({
+        "doc_id": pa.array(doc, pa.string()),
+        "span_idx": pa.array(span, pa.int64()),
+        "fill_fraction": pa.array(fills, pa.float64()),
+    })
+
+
+def expected_cell_index(corpus_dir) -> pa.Table:
+    doc, span, s2c, h3c = [], [], [], []
+    for d, s, gt, rings in _geom_rows(corpus_dir):
+        if gt != 1:
+            continue
+        lon, lat = rings[0][0]
+        doc.append(d)
+        span.append(s)
+        s2c.append(_s2_cell(lon, lat, 12))
+        h3c.append(_hex_cell(lon, lat, 9))
+    return pa.table({
+        "doc_id": pa.array(doc, pa.string()),
+        "span_idx": pa.array(span, pa.int64()),
+        "s2_cell": pa.array(s2c, pa.uint64()),
+        "h3_cell": pa.array(h3c, pa.uint64()),
+    })
+
+
+def _doc_texts(docs_parquet):
+    t = pq.read_table(docs_parquet, columns=["doc_id", "text"])
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+def expected_simhash(docs_parquet) -> pa.Table:
+    ids, texts = _doc_texts(docs_parquet)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "simhash": pa.array([_simhash(t) for t in texts], pa.uint64()),
+    })
+
+
+def expected_fingerprint(docs_parquet) -> pa.Table:
+    ids, texts = _doc_texts(docs_parquet)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fingerprint": pa.array([_fingerprint(t) for t in texts],
+                                pa.uint64()),
+    })
+
+
+def expected_minhash_pairs(docs_parquet, threshold=0.5) -> pa.Table:
+    """EXACT all-pairs n-gram Jaccard (no sketches, no LSH): every pair of
+    documents with true Jaccard >= threshold. The registered query's
+    MinHash+LSH pipeline must find exactly these on the fixed corpus (its
+    LSH parameters give recall 1.0 there — asserted at generation time by
+    the caller)."""
+    ids, texts = _doc_texts(docs_parquet)
+    sets = [_shingle_set(t) for t in texts]
+    a_l, b_l, j_l = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            si, sj = sets[i], sets[j]
+            inter = len(si & sj)
+            if inter == 0:
+                continue
+            jac = inter / len(si | sj)
+            if round(jac, 4) >= threshold:
+                a, b = ids[i], ids[j]
+                if a > b:
+                    a, b = b, a
+                a_l.append(a)
+                b_l.append(b)
+                j_l.append(round(jac, 4))
+    return pa.table({
+        "doc_a": pa.array(a_l, pa.int64()),
+        "doc_b": pa.array(b_l, pa.int64()),
+        "jaccard": pa.array(j_l, pa.float64()),
+    })
+
+
+def expected_media_features(corpus_dir) -> pa.Table:
+    """Media pipeline ground truth: per-doc span walk in plain Python (the
+    engine derives span_idx with vectorized list offsets — this checks it
+    row by row), fake store bytes + decode + nearest-neighbor 16->8 resize
+    + channel mean, recomputed scalar-wise."""
+    t = pq.read_table(f"{corpus_dir}/documents.parquet")
+    doc_ids = t["doc_id"].to_pylist()
+    spans = t["spans"].to_pylist()
+    d_l, s_l, r_l, m_l = [], [], [], []
+    for d, doc_spans in zip(doc_ids, spans):
+        for idx, sp in enumerate(doc_spans):
+            if sp["kind"] != "media":
+                continue
+            ref = sp["media_ref"]
+            payload = b""
+            i = 0
+            while len(payload) < 256:
+                payload += hashlib.blake2b(f"{ref}:{i}".encode(),
+                                           digest_size=32).digest()
+                i += 1
+            payload = payload[:256]
+            seed = int.from_bytes(payload[:8], "little")
+            img = np.random.default_rng(seed).integers(
+                0, 256, (16, 16, 3), dtype=np.uint8)
+            resized = img[::2, ::2]          # nearest 16->8 (arange*16//8)
+            mean_r = round(float(resized[:, :, 0].astype(np.float64).mean()), 4)
+            d_l.append(d)
+            s_l.append(idx)
+            r_l.append(ref)
+            m_l.append(mean_r)
+    return pa.table({
+        "doc_id": pa.array(d_l, pa.string()),
+        "span_idx": pa.array(s_l, pa.int64()),
+        "media_ref": pa.array(r_l, pa.string()),
+        "mean_r": pa.array(m_l, pa.float64()),
+    })
+
+
+GENERATORS = {
+    "media_features": ("corpus", expected_media_features),
+    "simplify": ("corpus", expected_simplify),
+    "raster_stats": ("corpus", expected_raster_stats),
+    "cell_index": ("corpus", expected_cell_index),
+    "simhash": ("docs", expected_simhash),
+    "fingerprint": ("docs", expected_fingerprint),
+    "minhash_pairs": ("docs", expected_minhash_pairs),
+}
+
+
+def ensure_expected(corpus_dir: str,
+                    docs_parquet: str = "/root/testdata/sf0.01/documents.parquet",
+                    names=None) -> str:
+    """Materialize the expected parquets once; returns EXPECTED_DIR."""
+    out = Path(EXPECTED_DIR)
+    out.mkdir(parents=True, exist_ok=True)
+    marker = out / f"_SUCCESS_{_VERSION}"
+    if marker.exists():
+        return str(out)
+    for name, (kind, fn) in GENERATORS.items():
+        if names is not None and name not in names:
+            continue
+        src = corpus_dir if kind == "corpus" else docs_parquet
+        pq.write_table(fn(src), out / f"{name}.parquet")
+    if names is None:
+        marker.touch()
+    return str(out)

@@ -218,8 +218,8 @@ def q_bbox_join(sf_dir: str):
 
 def q_pip_join(sf_dir: str):
     """Point-in-polygon join: corpus points vs corpus polygons (broadcast
-    small side + per-actor R-tree). Non-SQL-expressible → rows-only check;
-    pytest holds the brute-force oracle."""
+    small side + per-actor R-tree). Oracled by a genuine SQL ray-cast over
+    the ground-truth vertex table (see ORACLE_SQL["pip_join"])."""
     full = _features_ds(sf_dir).filter(expr="geom_type == 3").take_all()
     poly_ids = [f"{r['doc_id']}#{r['span_idx']}" for r in full]
     poly_wkbs = [r["geom_wkb"] for r in full]
@@ -241,8 +241,8 @@ def q_pip_join(sf_dir: str):
 def q_cell_index(sf_dir: str):
     """S2-style + H3-style cell ids for point features (NORTH-RULE EXT).
 
-    Engine-defined ids (no public lib available offline) → rows-only check;
-    determinism + locality asserted in pytest."""
+    Checked against an independent scalar reimplementation of the cell
+    math (oracle/expected.py); locality/hierarchy asserted in pytest."""
     pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
 
     def cells(batch: pa.Table) -> pa.Table:
@@ -371,8 +371,9 @@ def q_minhash_pairs(sf_dir: str):
     two hash joins to attach texts, Jaccard inside map_batches (no
     to_pandas/take_all anywhere).
 
-    Non-SQL-expressible (sketches) → rows-only driver check; pytest plants
-    near-duplicates and checks recall/precision against exact Jaccard."""
+    Oracled by EXACT all-pairs n-gram Jaccard (oracle/expected.py) — the
+    LSH parameters give recall 1.0 on the fixed corpus; pytest plants
+    near-duplicates for the recall property itself."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return text_stage.minhash_near_dup(docs, threshold=0.5)
 
@@ -558,7 +559,8 @@ def q_global_bbox(sf_dir: str):
 
 
 def q_simplify(sf_dir: str):
-    """RDP simplification of linestrings (M13) — rows-only (not SQL-able)."""
+    """RDP simplification of linestrings (M13); oracled by an independent
+    scalar RDP (oracle/expected.py)."""
     from ..geom.ops import simplify_rdp
 
     lines = _features_ds(sf_dir).filter(expr="geom_type == 2")
@@ -585,7 +587,7 @@ def q_simplify(sf_dir: str):
 
 def q_raster_stats(sf_dir: str):
     """Rasterize polygon features to a 32×32 grid; report fill fraction —
-    rows-only (raster kernels aren't SQL-expressible)."""
+    oracled by an independent scalar scanline fill (oracle/expected.py)."""
     from ..stages.raster import rasterize_polygon
 
     polys = _features_ds(sf_dir).filter(expr="geom_type == 3")
@@ -611,7 +613,8 @@ def q_raster_stats(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Multimodal actor-pool pipeline over media spans (decode stubbed
-    deterministically — see stages/media.py) — rows-only."""
+    deterministically — see stages/media.py); oracled by a scalar span-walk
+    recomputation (oracle/expected.py)."""
     from ..stages.media import media_pipeline
 
     out = media_pipeline(_docs_ds(sf_dir), concurrency=(1, 4), batch_size=512)
@@ -869,4 +872,79 @@ scored AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        CAST(rank AS BIGINT) AS rank, ROUND(CAST(score AS DOUBLE), 4) AS score
 FROM scored WHERE rank <= 10""",
+    # Genuine SQL ray-cast PIP over the ground-truth vertex table: unnest
+    # every polygon ring (ring_of gives per-vertex ring ids, written from
+    # the pre-WKB coords), close each ring, bbox-prune candidates, even-odd
+    # crossing parity per (point, polygon).
+    "pip_join": f"""
+WITH pts AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+         xs[1] AS px, ys[1] AS py
+  FROM {_GEOMS} WHERE geom_type = 1
+),
+pb AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, xs, ys, ring_of,
+         list_aggregate(xs, 'min') AS minx, list_aggregate(ys, 'min') AS miny,
+         list_aggregate(xs, 'max') AS maxx, list_aggregate(ys, 'max') AS maxy
+  FROM {_GEOMS} WHERE geom_type = 3
+),
+verts AS (
+  SELECT doc_id, span_idx,
+         UNNEST(xs) AS x, UNNEST(ys) AS y, UNNEST(ring_of) AS rid,
+         UNNEST(generate_series(1, len(xs))) AS pos
+  FROM pb
+),
+ring_info AS (
+  SELECT doc_id, span_idx, rid, MIN(pos) AS mn, MAX(pos) AS mx
+  FROM verts GROUP BY doc_id, span_idx, rid
+),
+segs AS (
+  SELECT v.doc_id, v.span_idx, v.x AS x1, v.y AS y1,
+         COALESCE(w.x, f.x) AS x2, COALESCE(w.y, f.y) AS y2
+  FROM verts v
+  JOIN ring_info ri
+    ON ri.doc_id = v.doc_id AND ri.span_idx = v.span_idx AND ri.rid = v.rid
+  LEFT JOIN verts w
+    ON w.doc_id = v.doc_id AND w.span_idx = v.span_idx AND w.rid = v.rid
+       AND w.pos = v.pos + 1
+  JOIN verts f
+    ON f.doc_id = v.doc_id AND f.span_idx = v.span_idx AND f.rid = v.rid
+       AND f.pos = ri.mn
+),
+cand AS (
+  SELECT p.doc_id AS pd, p.span_idx AS ps, pb.doc_id AS qd,
+         pb.span_idx AS qs, p.px, p.py
+  FROM pts p JOIN pb
+    ON p.px BETWEEN pb.minx AND pb.maxx AND p.py BETWEEN pb.miny AND pb.maxy
+),
+hits AS (
+  SELECT c.pd, c.ps, c.qd, c.qs,
+         SUM(CASE WHEN ((s.y1 > c.py) <> (s.y2 > c.py))
+                   AND c.px < s.x1 + (c.py - s.y1) / (s.y2 - s.y1)
+                                     * (s.x2 - s.x1)
+              THEN 1 ELSE 0 END) AS crossings
+  FROM cand c
+  JOIN segs s ON s.doc_id = c.qd AND s.span_idx = c.qs
+  GROUP BY c.pd, c.ps, c.qd, c.qs
+)
+SELECT pd AS doc_id, ps AS span_idx, qd || '#' || qs AS polygon_id
+FROM hits WHERE crossings % 2 = 1""",
+    # Independent precomputed ground truth (grandine_ray/oracle/expected.py:
+    # scalar from-scratch reimplementations — RDP with segment distance,
+    # scanline fill, S2/hex cell math, SimHash, rolling fingerprint, exact
+    # all-pairs n-gram Jaccard); materialized by oracle_sql() prep.
+    "simplify":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/simplify.parquet')",
+    "raster_stats":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/raster_stats.parquet')",
+    "cell_index":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/cell_index.parquet')",
+    "simhash":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/simhash.parquet')",
+    "fingerprint":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/fingerprint.parquet')",
+    "minhash_pairs":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/minhash_pairs.parquet')",
+    "media_features":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/media_features.parquet')",
 }

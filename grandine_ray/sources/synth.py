@@ -121,6 +121,7 @@ def generate(n_docs: int, seed: int = SEED):
     g_layer: list[str] = []
     g_xs: list[np.ndarray] = []
     g_ys: list[np.ndarray] = []
+    g_ring: list[np.ndarray] = []   # per-vertex ring index (polygons w/ holes)
 
     n_spans_per_doc = rng.integers(1, 9, size=n_docs)
     has_geom = rng.random(n_docs) < 0.8
@@ -180,6 +181,9 @@ def generate(n_docs: int, seed: int = SEED):
                 allpts = np.concatenate([np.asarray(r) for r in rings])
                 g_xs.append(allpts[:, 0])
                 g_ys.append(allpts[:, 1])
+                g_ring.append(np.concatenate(
+                    [np.full(len(r), ri, dtype=np.int32)
+                     for ri, r in enumerate(rings)]))
 
     # strictly-increasing offsets per doc: cumulative text length
     span_doc_arr = np.asarray(span_doc, dtype=np.int64)
@@ -215,6 +219,8 @@ def generate(n_docs: int, seed: int = SEED):
             "layer": pa.array(g_layer, pa.string()),
             "xs": pa.array([x.tolist() for x in g_xs], pa.list_(pa.float64())),
             "ys": pa.array([y.tolist() for y in g_ys], pa.list_(pa.float64())),
+            "ring_of": pa.array([r.tolist() for r in g_ring],
+                                pa.list_(pa.int32())),
         }
     )
     return documents, geoms
@@ -241,7 +247,7 @@ def ensure_corpus(n_docs: int, seed: int = SEED) -> str:
     task — the single-file read was a fixed serial cost at every CPU count.
     """
     out = Path(SYNTH_ROOT) / f"docs_{n_docs}"
-    done = out / "_SUCCESS2"
+    done = out / "_SUCCESS3"  # v3: geoms carries ring_of
     if done.exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
