@@ -320,12 +320,40 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy,
     if polys is not None:
         return polys
 
-    # W-A rejected the configuration (vertices exactly on the border,
-    # self-intersecting rings, odd crossing structure). Exact even-odd
-    # fallback: the planar-arrangement polygonizer — our from-scratch
-    # Buffer(0)+Intersection (clip_geos.go:25-33; clip_geos_test.go expects
-    # the self_intersect fixture to clip into exactly 2 polygons).
+    # W-A rejected the configuration. The overwhelmingly common cause in
+    # the tiler is vertices EXACTLY on the clip border (tile-space
+    # quantization aligns coordinates with tile edges): retry against an
+    # infinitesimally shrunken box — crossings become proper and
+    # point-touching components separate — then snap border coordinates
+    # back. Costs one more W-A pass, not the O(E²) arrangement.
     if _allow_repair:
+        dx = max(abs(maxx - minx), 1.0) * 1e-9
+        dy = max(abs(maxy - miny), 1.0) * 1e-9
+        polys = _wa_polygon(rings, minx + dx, miny + dy, maxx - dx, maxy - dy)
+        if polys is not None:
+            border_hole = False
+            for poly in polys:
+                for ri, ring in enumerate(poly):
+                    for axis, lo, hi, d in ((0, minx, maxx, dx),
+                                            (1, miny, maxy, dy)):
+                        v = ring[:, axis]
+                        m_lo = np.abs(v - lo) <= 2 * d
+                        m_hi = np.abs(v - hi) <= 2 * d
+                        v[m_lo] = lo
+                        v[m_hi] = hi
+                        if ri > 0 and (m_lo.any() or m_hi.any()):
+                            # a hole running along the clip border can cut
+                            # its shell into several components — only the
+                            # arrangement resolves that exactly
+                            border_hole = True
+            if not border_hole:
+                return polys
+
+        # Still degenerate (self-intersecting rings, overlapping holes,
+        # coincident geometry): exact even-odd planar-arrangement
+        # polygonizer — our from-scratch Buffer(0)+Intersection
+        # (clip_geos.go:25-33; clip_geos_test.go expects the
+        # self_intersect fixture to clip into exactly 2 polygons).
         try:
             from .arrangement import clip_polygon_arrangement
 
