@@ -50,22 +50,27 @@ def merge_features(feats: list[dict]) -> list[dict]:
 
     out: list[dict] = []
     for bucket in buckets:
-        # reference fixpoint (merge.go:13-23): repeat until no shrink
+        # reference fixpoint (merge.go:13-23): repeat until no shrink.
+        # _search_and_merge reports whether any head/tail match remains in
+        # its final index, so converged buckets skip the confirming round
+        # (a round that finds nothing is a full dict rebuild — measured 2x
+        # merge cost on deep tile pyramids).
         while len(bucket) > 1:
-            start = len(bucket)
-            bucket = _search_and_merge(bucket)
-            if len(bucket) == start:
+            bucket, more = _search_and_merge(bucket)
+            if not more:
                 break
         out.extend(bucket)
     return out
 
 
-def _search_and_merge(fts: list[dict]) -> list[dict]:
-    """One ``searchAndMerge`` round (merge.go:68-104), hash-accelerated."""
+def _search_and_merge(fts: list[dict]):
+    """One ``searchAndMerge`` round (merge.go:68-104), hash-accelerated.
+
+    Returns (surviving features, any-match-remains flag)."""
     n = len(fts)
     line_idx = [i for i in range(n) if fts[i]["type"] == 2]
     if len(line_idx) < 2:
-        return fts
+        return fts, False
     ignored = [False] * n
     heads: dict[tuple, list[int]] = {}
     tails: dict[tuple, list[int]] = {}
@@ -74,8 +79,11 @@ def _search_and_merge(fts: list[dict]) -> list[dict]:
     for i in line_idx:
         r = fts[i]["rings"][0]
         rings[i] = r
-        heads.setdefault(tuple(r[0]), []).append(i)
-        tails.setdefault(tuple(r[-1]), []).append(i)
+        heads.setdefault((r[0, 0], r[0, 1]), []).append(i)
+        tails.setdefault((r[-1, 0], r[-1, 1]), []).append(i)
+    # no endpoint is both a head and a tail ⇒ no merge can ever happen
+    if not heads.keys() & tails.keys():
+        return fts, False
 
     for ref in line_idx:
         if ignored[ref]:
@@ -125,6 +133,21 @@ def _search_and_merge(fts: list[dict]) -> list[dict]:
             heads.setdefault(tuple(new_ring[0]), []).append(ref)
             tails.setdefault(tuple(new_ring[-1]), []).append(ref)
 
+    # does any (head, tail) match survive in the final index? (decides
+    # whether the caller needs another round; Go's rerun would find
+    # exactly these)
+    more = False
+    for key, hl in heads.items():
+        live_h = [i for i in hl if not ignored[i]]
+        if not live_h:
+            continue
+        for j in tails.get(key, ()):
+            if not ignored[j] and (len(live_h) > 1 or live_h[0] != j):
+                more = True
+                break
+        if more:
+            break
+
     out: list[dict] = []
     for posi in range(n):
         if ignored[posi]:
@@ -133,4 +156,4 @@ def _search_and_merge(fts: list[dict]) -> list[dict]:
         if posi in merged_flag:
             ft = {**ft, "rings": [rings[posi]], "merged": True}
         out.append(ft)
-    return out
+    return out, more
