@@ -174,6 +174,64 @@ def cmd_spatialize(argv):
     ray.shutdown()
 
 
+def cmd_serve(argv):
+    """Static viewer + tile server (role parity with the reference's
+    viewer/: a small page rendering the engine's z/x/y MVT output).
+    Gzipped tiles (tiler -compress) are served with Content-Encoding."""
+    import functools
+    import http.server
+    import os as _os
+
+    p = argparse.ArgumentParser(prog="serve")
+    p.add_argument("-dir", dest="tiles", required=True,
+                   help="z/x/y tile tree (tiler -tiles-dir output)")
+    p.add_argument("-port", type=int, default=8439)
+    a = p.parse_args(argv)
+    viewer_dir = _os.path.join(_os.path.dirname(__file__), "viewer")
+    tiles_dir = _os.path.abspath(a.tiles)
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path in ("/", "/index.html"):
+                body = open(_os.path.join(viewer_dir, "index.html"), "rb").read()
+                self._send(200, body, "text/html")
+                return
+            if path.startswith("/tiles/"):
+                rel = _os.path.normpath(path[len("/tiles/"):])
+                full = _os.path.join(tiles_dir, rel)
+                if rel.startswith(".."):
+                    self._send(404, b"not found", "text/plain")
+                    return
+                if not _os.path.isfile(full) and _os.path.isfile(full + ".gz"):
+                    full += ".gz"   # tiler -compress writes z/x/y.mvt.gz
+                if not _os.path.isfile(full):
+                    self._send(404, b"not found", "text/plain")
+                    return
+                body = open(full, "rb").read()
+                gz = body[:2] == b"\x1f\x8b"
+                self._send(200, body, "application/vnd.mapbox-vector-tile",
+                           gzip_enc=gz)
+                return
+            self._send(404, b"not found", "text/plain")
+
+        def _send(self, code, body, ctype, gzip_enc=False):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            if gzip_enc:
+                self.send_header("Content-Encoding", "gzip")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", a.port), Handler)
+    print(f"serving {tiles_dir} at http://127.0.0.1:{a.port}/")
+    srv.serve_forever()
+
+
 COMMANDS = {
     "tiler": cmd_tiler,
     "spatialize": cmd_spatialize,
@@ -181,6 +239,7 @@ COMMANDS = {
     "inspect": cmd_inspect,
     "tiles": cmd_tiles,
     "synth": cmd_synth,
+    "serve": cmd_serve,
 }
 
 
