@@ -378,6 +378,17 @@ def q_minhash_pairs(sf_dir: str):
     return text_stage.minhash_near_dup(docs, threshold=0.5)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH near-dup pairs via distributed min-label propagation
+    (stages/text.py dedup_clusters); cluster_id = min doc id reachable
+    (the canonical keep-doc). Oracled by a DuckDB recursive CTE over the
+    independent exact-Jaccard pair table."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = text_stage.minhash_near_dup(docs, threshold=0.5).materialize()
+    return text_stage.dedup_clusters(pairs)
+
+
 def q_simhash(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(text_stage.simhasher_batch, batch_format="pyarrow")
@@ -649,6 +660,7 @@ QUERIES = {
     "lang_dist": q_lang_dist,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "events_window": q_events_window,
@@ -947,4 +959,21 @@ FROM hits WHERE crossings % 2 = 1""",
         "SELECT * FROM read_parquet('/tmp/graft_expected/minhash_pairs.parquet')",
     "media_features":
         "SELECT * FROM read_parquet('/tmp/graft_expected/media_features.parquet')",
+    "dedup_clusters": """
+WITH RECURSIVE
+  e AS (
+    SELECT doc_a AS a, doc_b AS b
+    FROM read_parquet('/tmp/graft_expected/minhash_pairs.parquet')
+    UNION ALL
+    SELECT doc_b, doc_a
+    FROM read_parquet('/tmp/graft_expected/minhash_pairs.parquet')
+  ),
+  nodes AS (SELECT DISTINCT a AS n FROM e),
+  reach(n, m) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m
+  )
+SELECT n AS doc_id, MIN(m) AS cluster_id
+FROM reach GROUP BY n""",
 }

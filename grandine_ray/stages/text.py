@@ -415,3 +415,137 @@ def minhash_near_dup(docs, threshold: float = 0.5, band_cap: int = 512,
     cand = lsh_candidate_pairs(bands, band_cap=band_cap).materialize()
     return verify_jaccard(cand, docs, threshold=threshold,
                           num_partitions=num_partitions)
+
+
+# ------------------------------------------- dedup clustering (conn. comp.)
+
+
+def dedup_clusters(pairs, num_partitions: int = 8, max_iters: int = 50):
+    """Connected components over near-duplicate pairs → (doc_id,
+    cluster_id) with cluster_id = min doc id reachable (the canonical
+    "keep" representative for each duplicate cluster).
+
+    Distributed min-label propagation: labels live as a Dataset keyed by
+    doc; each round joins edge endpoints to current labels (the
+    union + part-groupby + searchsorted join pattern) and takes the
+    per-node min over {own label} ∪ {neighbours' labels}; converged when
+    an aggregate reports zero label changes. Rounds needed = cluster
+    diameter (tiny for dup clusters); the edge set — dedup OUTPUT, far
+    smaller than the corpus — is what shuffles each round.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    P = num_partitions
+
+    def sym_edges(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, bb])
+        dst = np.concatenate([bb, a])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "_part": pa.array((src % P).astype(np.int32),
+                                           pa.int32())})
+
+    edges = pairs.map_batches(sym_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate([
+            b["doc_a"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"doc_id": pa.array(n, pa.int64()),
+                         "label": pa.array(n, pa.int64())})
+
+    labels = pairs.map_batches(init_labels, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Min("label", alias_name="label")) \
+        .materialize()
+
+    def label_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        return pa.table({
+            "_key": pa.array(d, pa.int64()),
+            "dst": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "label": b["label"],
+            "_side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "_part": pa.array((d % P).astype(np.int32), pa.int32()),
+        })
+
+    def edge_side(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        n = len(s)
+        return pa.table({
+            "_key": pa.array(s, pa.int64()),
+            "dst": b["dst"],
+            "label": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "_side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "_part": b["_part"],
+        })
+
+    def propagate(t: pa.Table) -> pa.Table:
+        """Partition-level: every edge (src→dst) emits src's current
+        label as a candidate for dst; labels also re-emit themselves."""
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lkey = t["_key"].to_numpy(zero_copy_only=False)[lmask]
+        order = np.argsort(lkey, kind="stable")
+        lkey_s = lkey[order]
+        lval = t["label"].to_numpy(zero_copy_only=False)[lmask][order]
+        emask = ~lmask
+        ekey = t["_key"].to_numpy(zero_copy_only=False)[emask]
+        edst = t["dst"].to_numpy(zero_copy_only=False)[emask]
+        pos = np.searchsorted(lkey_s, ekey)
+        ok = ((pos < len(lkey_s))
+              & (lkey_s[np.minimum(pos, max(len(lkey_s) - 1, 0))] == ekey)
+              if len(lkey_s) else np.zeros(len(ekey), bool))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([lkey_s, edst[ok]]), pa.int64()),
+            "label": pa.array(np.concatenate([lval, lval[pos[ok]]]),
+                              pa.int64()),
+        })
+
+    for _ in range(max_iters):
+        unioned = labels.map_batches(label_side, batch_format="pyarrow") \
+            .union(edges.map_batches(edge_side, batch_format="pyarrow"))
+        cand = unioned.groupby("_part").map_groups(
+            propagate, batch_format="pyarrow")
+        new_labels = cand.groupby("doc_id").aggregate(
+            Min("label", alias_name="label")).materialize()
+        # convergence: join old/new per doc, count changes (tiny aggregate)
+        def tag_old(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b["doc_id"], "l_old": b["label"],
+                             "l_new": pa.array(
+                                 np.full(b.num_rows, 2**62, np.int64),
+                                 pa.int64())})
+
+        def tag_new(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b["doc_id"],
+                             "l_old": pa.array(
+                                 np.full(b.num_rows, 2**62, np.int64),
+                                 pa.int64()),
+                             "l_new": b["label"]})
+
+        both = labels.map_batches(tag_old, batch_format="pyarrow").union(
+            new_labels.map_batches(tag_new, batch_format="pyarrow"))
+        per_doc = both.groupby("doc_id").aggregate(
+            Min("l_old", alias_name="lo"), Min("l_new", alias_name="ln"))
+
+        def diff(b: pa.Table) -> pa.Table:
+            lo = b["lo"].to_numpy(zero_copy_only=False)
+            ln = b["ln"].to_numpy(zero_copy_only=False)
+            return pa.table({"changed": pa.array(
+                np.array([int((lo != ln).sum())], np.int64), pa.int64())})
+
+        from ray.data.aggregate import Sum
+        changed = per_doc.map_batches(diff, batch_format="pyarrow") \
+            .aggregate(Sum("changed", alias_name="n"))["n"]
+        labels = new_labels
+        if changed == 0:
+            break
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "cluster_id": b["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

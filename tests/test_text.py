@@ -155,3 +155,19 @@ def test_minhash_near_dup_matches_planted(ray_session):
     pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (0, 1) in pairs
     assert all({a, b} == {0, 1} for a, b in pairs)
+
+
+def test_dedup_clusters_known_graph(ray_session):
+    """Chain 1-2-3-4, triangle 10-11-12, pair 20-21: min-label propagation
+    must converge to the component minimum for every node."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    pairs = pa.table({
+        "doc_a": pa.array([1, 2, 3, 10, 11, 10, 20], pa.int64()),
+        "doc_b": pa.array([2, 3, 4, 11, 12, 12, 21], pa.int64()),
+    })
+    out = text.dedup_clusters(rd.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
