@@ -37,7 +37,7 @@ CMD_CLOSEPATH = 7
 # ------------------------------------------------------------- protobuf bits
 
 
-def _varint(v: int) -> bytes:
+def _varint_slow(v: int) -> bytes:
     out = bytearray()
     v = int(v)
     while True:
@@ -50,6 +50,21 @@ def _varint(v: int) -> bytes:
             return bytes(out)
 
 
+# precomputed encodings for the 1-2 byte range (covers zigzagged tile-space
+# deltas, tag indices and length fields — the per-feature hot path does
+# millions of scalar encodes on deep pyramids)
+_VARINT_TABLE = None
+
+
+def _varint(v: int) -> bytes:
+    global _VARINT_TABLE
+    if _VARINT_TABLE is None:
+        _VARINT_TABLE = [_varint_slow(i) for i in range(1 << 14)]
+    if 0 <= v < (1 << 14):
+        return _VARINT_TABLE[int(v)]
+    return _varint_slow(v)
+
+
 def varint_array(vals: np.ndarray) -> bytes:
     """Vectorized varint encoding of a uint64 array (packed repeated)."""
     vals = np.asarray(vals, dtype=np.uint64)
@@ -57,7 +72,7 @@ def varint_array(vals: np.ndarray) -> bytes:
     if n == 0:
         return b""
     if n <= 24:  # tiny arrays: plain loop beats numpy setup cost
-        return b"".join(_varint(int(v)) for v in vals)
+        return b"".join(map(_varint, vals.tolist()))
     if int(vals.max()) < 128:  # single-byte fast path
         return vals.astype(np.uint8).tobytes()
     return _varint_array_sized(vals)[0]
@@ -413,7 +428,7 @@ def _assemble_layer(clipped: list[dict], tp, lname: str,
         total_vals = sum(cmd_lens)
         if total_vals <= 48:
             small_cmds = [
-                b"".join(_varint(int(v)) for v in a) for a in cmd_arrays
+                b"".join(map(_varint, a.tolist())) for a in cmd_arrays
             ]
         else:
             allcmds = (np.concatenate(cmd_arrays) if len(cmd_arrays) > 1
