@@ -188,12 +188,62 @@ def decode_wkb_batch(blobs) -> GeomBatch:
         else:
             maybe_ln[:] = False  # malformed somewhere: exact errors via loop
 
+    # vectorized SINGLE-RING polygons (the dominant polygon shape): same
+    # header-sniff + bulk-gather as linestrings, ring count pinned to 1
+    pg_coords = None
+    pg_counts = None
+    maybe_pg = np.zeros(n, dtype=bool)
+    for i, b in enumerate(blobs):
+        if (not maybe_pt[i] and not maybe_ln[i] and len(b) >= 13
+                and b[0] == 1 and b[1] == GEOM_POLYGON):
+            maybe_pg[i] = True
+    if maybe_pg.any():
+        sel = np.nonzero(maybe_pg)[0].tolist()
+        joined = np.frombuffer(b"".join(blobs[i] for i in sel), dtype=np.uint8)
+        off = np.zeros(len(sel), dtype=np.int64)
+        if len(sel) > 1:
+            np.cumsum(lens[sel][:-1], out=off[1:])
+        hdr_ok = (joined[off + 2] == 0) & (joined[off + 3] == 0) & (joined[off + 4] == 0)
+        one_ring = ((joined[off + 5] == 1) & (joined[off + 6] == 0)
+                    & (joined[off + 7] == 0) & (joined[off + 8] == 0))
+        cnt = (
+            joined[off + 9].astype(np.int64)
+            | (joined[off + 10].astype(np.int64) << 8)
+            | (joined[off + 11].astype(np.int64) << 16)
+            | (joined[off + 12].astype(np.int64) << 24)
+        )
+        valid = hdr_ok & one_ring & (cnt > 0) & (lens[sel] >= 13 + 16 * cnt)
+        if not valid.all():
+            # multi-ring / malformed candidates take the exact loop; the
+            # single-ring majority still goes vectorized
+            maybe_pg[np.asarray(sel)[~valid]] = False
+            off = off[valid]
+            cnt = cnt[valid]
+        if len(cnt):
+            starts = off + 13
+            idx = _expand_ranges(starts, starts + 16 * cnt)
+            pg_coords = np.ascontiguousarray(joined[idx]).view("<f8").reshape(-1, 2)
+            # strip closing vertex (wkb.go:167): rings stored unclosed
+            pstart = np.zeros(len(cnt), dtype=np.int64)
+            if len(cnt) > 1:
+                np.cumsum(cnt[:-1], out=pstart[1:])
+            plast = pstart + cnt - 1
+            closed = ((cnt > 1)
+                      & (pg_coords[pstart, 0] == pg_coords[plast, 0])
+                      & (pg_coords[pstart, 1] == pg_coords[plast, 1]))
+            if closed.any():
+                keep = np.ones(len(pg_coords), dtype=bool)
+                keep[plast[closed]] = False
+                pg_coords = pg_coords[keep]
+            pg_counts = cnt - closed.astype(np.int64)
+
     types = np.empty(n, dtype=np.uint8)
     coords_parts: list[np.ndarray] = []
     ring_sizes: list[int] = []
     geom_nrings = np.empty(n, dtype=np.int64)
     npts_per_geom = np.empty(n, dtype=np.int64)
     li = 0
+    pgi = 0
     for i, b in enumerate(blobs):
         if pt_coords is not None and maybe_pt[i]:
             types[i] = GEOM_POINT
@@ -205,6 +255,14 @@ def decode_wkb_batch(blobs) -> GeomBatch:
             types[i] = GEOM_LINESTRING
             c = int(ln_counts[li])
             li += 1
+            ring_sizes.append(c)
+            geom_nrings[i] = 1
+            npts_per_geom[i] = c
+            continue
+        if pg_coords is not None and maybe_pg[i]:
+            types[i] = GEOM_POLYGON
+            c = int(pg_counts[pgi])
+            pgi += 1
             ring_sizes.append(c)
             geom_nrings[i] = 1
             npts_per_geom[i] = c
@@ -228,13 +286,18 @@ def decode_wkb_batch(blobs) -> GeomBatch:
     if ln_coords is not None and maybe_ln.any():
         dst = _expand_ranges(g_starts[maybe_ln], g_stops[maybe_ln])
         coords[dst] = ln_coords
+    if pg_coords is not None and maybe_pg.any():
+        dst = _expand_ranges(g_starts[maybe_pg], g_stops[maybe_pg])
+        coords[dst] = pg_coords
     if coords_parts:
         flat = np.concatenate(coords_parts).reshape(-1, 2)
-        rest = ~maybe_pt & ~maybe_ln
+        rest = ~maybe_pt & ~maybe_ln & ~maybe_pg
         if pt_coords is None:
             rest |= maybe_pt  # point fast path disabled: points decoded in loop
         if ln_coords is None:
             rest |= maybe_ln
+        if pg_coords is None:
+            rest |= maybe_pg
         dst = _expand_ranges(g_starts[rest], g_stops[rest])
         coords[dst] = flat
     return GeomBatch(types=types, coords=coords, ring_offsets=ring_off, geom_offsets=geom_off)
