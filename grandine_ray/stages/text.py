@@ -505,44 +505,23 @@ def dedup_clusters(pairs, num_partitions: int = 8, max_iters: int = 50):
                               pa.int64()),
         })
 
+    from ray.data.aggregate import Sum
+
+    # labels only ever decrease (min over {self} ∪ neighbours), so the
+    # label SUM strictly decreases on any change — convergence is one
+    # tiny aggregate per round, no old/new join needed
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
     for _ in range(max_iters):
         unioned = labels.map_batches(label_side, batch_format="pyarrow") \
             .union(edges.map_batches(edge_side, batch_format="pyarrow"))
         cand = unioned.groupby("_part").map_groups(
             propagate, batch_format="pyarrow")
-        new_labels = cand.groupby("doc_id").aggregate(
+        labels = cand.groupby("doc_id").aggregate(
             Min("label", alias_name="label")).materialize()
-        # convergence: join old/new per doc, count changes (tiny aggregate)
-        def tag_old(b: pa.Table) -> pa.Table:
-            return pa.table({"doc_id": b["doc_id"], "l_old": b["label"],
-                             "l_new": pa.array(
-                                 np.full(b.num_rows, 2**62, np.int64),
-                                 pa.int64())})
-
-        def tag_new(b: pa.Table) -> pa.Table:
-            return pa.table({"doc_id": b["doc_id"],
-                             "l_old": pa.array(
-                                 np.full(b.num_rows, 2**62, np.int64),
-                                 pa.int64()),
-                             "l_new": b["label"]})
-
-        both = labels.map_batches(tag_old, batch_format="pyarrow").union(
-            new_labels.map_batches(tag_new, batch_format="pyarrow"))
-        per_doc = both.groupby("doc_id").aggregate(
-            Min("l_old", alias_name="lo"), Min("l_new", alias_name="ln"))
-
-        def diff(b: pa.Table) -> pa.Table:
-            lo = b["lo"].to_numpy(zero_copy_only=False)
-            ln = b["ln"].to_numpy(zero_copy_only=False)
-            return pa.table({"changed": pa.array(
-                np.array([int((lo != ln).sum())], np.int64), pa.int64())})
-
-        from ray.data.aggregate import Sum
-        changed = per_doc.map_batches(diff, batch_format="pyarrow") \
-            .aggregate(Sum("changed", alias_name="n"))["n"]
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b["doc_id"],
