@@ -378,6 +378,92 @@ def q_minhash_pairs(sf_dir: str):
     return text_stage.minhash_near_dup(docs, threshold=0.5)
 
 
+def q_filter_corpus(sf_dir: str):
+    """Training-data corpus filter (the C4-style keep-list): token-count
+    and length thresholds plus exact-dedup canonical selection (keep the
+    min doc_id per identical text), composed from the token counter and
+    content hash stages — the filtered corpus a pretraining run would
+    actually read."""
+    from ray.data.aggregate import Min
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    scored = docs.map_batches(text_stage.token_counter_batch,
+                              batch_format="pyarrow")
+    scored = scored.map_batches(text_stage.content_hash,
+                                batch_format="pyarrow")
+
+    def thresholds(b: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(b["text"])
+        keep = pc.and_(pc.greater_equal(b["n_tokens_ws"], 10),
+                       pc.greater_equal(ln, 50))
+        out = b.filter(keep)
+        return pa.table({
+            "doc_id": pc.cast(out["doc_id"], pa.int64()),
+            "content_hash": out["content_hash"],
+            "doc_len": pc.cast(pc.utf8_length(out["text"]), pa.int64()),
+            "n_tokens_ws": pc.cast(out["n_tokens_ws"], pa.int64()),
+        })
+
+    surviving = scored.map_batches(thresholds, batch_format="pyarrow")
+    keep = surviving.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc")
+    )
+    # semi-join survivors to their hash's canonical doc (union+part join)
+    P = 8
+
+    def surv_side(b: pa.Table) -> pa.Table:
+        h = b["content_hash"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_h": b["content_hash"],
+            "doc_id": b["doc_id"],
+            "doc_len": b["doc_len"],
+            "n_tokens_ws": b["n_tokens_ws"],
+            "_side": pa.array(np.ones(len(h), np.int8), pa.int8()),
+            "_part": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+        })
+
+    def keep_side(b: pa.Table) -> pa.Table:
+        # the groupby key may arrive as Python ints > int64 — rebuild uint64
+        h = np.asarray(b["content_hash"].to_pylist(), dtype=np.uint64)
+        return pa.table({
+            "_h": pa.array(h, pa.uint64()),
+            "doc_id": pc.cast(b["keep_doc"], pa.int64()),
+            "doc_len": pa.array(np.zeros(len(h), np.int64), pa.int64()),
+            "n_tokens_ws": pa.array(np.zeros(len(h), np.int64), pa.int64()),
+            "_side": pa.array(np.zeros(len(h), np.int8), pa.int8()),
+            "_part": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+        })
+
+    unioned = surviving.map_batches(surv_side, batch_format="pyarrow").union(
+        keep.map_batches(keep_side, batch_format="pyarrow")
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        kmask = side == 0
+        kh = t["_h"].to_numpy(zero_copy_only=False)[kmask]
+        order = np.argsort(kh, kind="stable")
+        kh_s = kh[order]
+        kdoc = t["doc_id"].to_numpy(zero_copy_only=False)[kmask][order]
+        st = t.filter(pa.array(~kmask))
+        sh = st["_h"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kh_s, sh)
+        ok = ((pos < len(kh_s))
+              & (kh_s[np.minimum(pos, max(len(kh_s) - 1, 0))] == sh)
+              if len(kh_s) else np.zeros(len(sh), bool))
+        sel = np.nonzero(ok & (st["doc_id"].to_numpy(zero_copy_only=False)
+                               == kdoc[np.minimum(pos, max(len(kh_s) - 1, 0))]))[0]
+        out = st.take(pa.array(sel))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "doc_len": out["doc_len"],
+            "n_tokens_ws": out["n_tokens_ws"],
+        })
+
+    return unioned.groupby("_part").map_groups(pick, batch_format="pyarrow")
+
+
 def q_dedup_clusters(sf_dir: str):
     """Duplicate-cluster assignment: connected components over the
     MinHash-LSH near-dup pairs via distributed min-label propagation
@@ -661,6 +747,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "filter_corpus": q_filter_corpus,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "events_window": q_events_window,
@@ -976,4 +1063,23 @@ WITH RECURSIVE
   )
 SELECT n AS doc_id, MIN(m) AS cluster_id
 FROM reach GROUP BY n""",
+    "filter_corpus": r"""
+WITH scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         CAST(LENGTH(text) AS BIGINT) AS doc_len,
+         CAST(CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT)
+         AS n_tokens_ws
+  FROM documents
+),
+surv AS (
+  SELECT * FROM scored WHERE n_tokens_ws >= 10 AND doc_len >= 50
+),
+canon AS (
+  SELECT doc_id, doc_len, n_tokens_ws,
+         MIN(doc_id) OVER (PARTITION BY text) AS keep_doc
+  FROM surv
+)
+SELECT doc_id, doc_len, n_tokens_ws
+FROM canon WHERE doc_id = keep_doc""",
 }
