@@ -327,6 +327,19 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy,
     # point-touching components separate — then snap border coordinates
     # back. Costs one more W-A pass, not the O(E²) arrangement.
     if _allow_repair:
+        # a self-intersecting subject can slip through the shrunken retry's
+        # orientation check and emit out-of-box garbage (hypothesis-found);
+        # only simple rings may take the cheap path
+        from .repair import ring_self_intersects
+
+        if ring_self_intersects(outer):
+            try:
+                from .arrangement import clip_polygon_arrangement
+
+                return clip_polygon_arrangement(rings, minx, miny, maxx, maxy)
+            except Exception:
+                pass
+
         dx = max(abs(maxx - minx), 1.0) * 1e-9
         dy = max(abs(maxy - miny), 1.0) * 1e-9
         polys = _wa_polygon(rings, minx + dx, miny + dy, maxx - dx, maxy - dy)

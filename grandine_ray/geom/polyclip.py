@@ -114,6 +114,25 @@ def clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy):
         po = a[w, o] + t * (b[w, o] - a[w, o])
         lo_o, hi_o = (miny, maxy) if axis == 0 else (minx, maxx)
         ok = (po > lo_o) & (po < hi_o)
+        # a segment passing exactly THROUGH a box corner is invisible to
+        # both borders' strict interval tests. Distinguish: a tangent graze
+        # (both sides outside — correctly contributes no crossing) from a
+        # genuine diagonal entry (one side strictly inside — must register
+        # exactly once; corners are owned by the vertical borders).
+        if axis == 0:
+            corner = (po == lo_o) | (po == hi_o)
+            if corner.any():
+                ci = np.nonzero(corner)[0]
+                eps = 1e-7
+                for k in ci:
+                    wi = w[k]
+                    for tt in (t[k] - eps, t[k] + eps):
+                        if 0.0 < tt < 1.0:
+                            sx = a[wi, 0] + tt * (b[wi, 0] - a[wi, 0])
+                            sy = a[wi, 1] + tt * (b[wi, 1] - a[wi, 1])
+                            if minx < sx < maxx and miny < sy < maxy:
+                                ok[k] = True
+                                break
         if not ok.any():
             continue
         w = w[ok]
