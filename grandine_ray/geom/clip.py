@@ -280,6 +280,24 @@ def _wa_polygon(rings, minx, miny, maxx, maxy):
     return polys
 
 
+def _corners_consistent(polys, outer, minx, miny, maxx, maxy) -> bool:
+    """Exact sanity check on a W-A result: a box corner can only be part
+    of the clipped boundary if the subject's even-odd region covers it.
+    Self-intersecting subjects that slip past the tracer's orientation
+    check produce perimeter walks through corners OUTSIDE the subject
+    (fuzz-found) — four cheap ray casts reject those."""
+    from .repair import _point_in_ring
+
+    corners = ((minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy))
+    for poly in polys:
+        for ring in poly:
+            for cx, cy in corners:
+                if ((ring[:, 0] == cx) & (ring[:, 1] == cy)).any():
+                    if not _point_in_ring(cx, cy, outer):
+                        return False
+    return True
+
+
 def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy,
                  _allow_repair: bool = True) -> list[list[np.ndarray]]:
     """Polygon ∩ bbox → 0..n polygons (each a ring list).
@@ -317,7 +335,8 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy,
     # degenerate configurations — border-touching vertices, corner-grazing
     # crossings, self-intersecting subjects
     polys = _wa_polygon(rings, minx, miny, maxx, maxy)
-    if polys is not None:
+    if polys is not None and _corners_consistent(polys, outer, minx, miny,
+                                                 maxx, maxy):
         return polys
 
     # W-A rejected the configuration. The overwhelmingly common cause in
@@ -359,7 +378,8 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy,
                             # its shell into several components — only the
                             # arrangement resolves that exactly
                             border_hole = True
-            if not border_hole:
+            if not border_hole and _corners_consistent(polys, outer, minx,
+                                                       miny, maxx, maxy):
                 return polys
 
         # Still degenerate (self-intersecting rings, overlapping holes,

@@ -171,3 +171,42 @@ def test_arrangement_bowtie_and_annulus():
                     [10, 10], [10, 30], [30, 30], [30, 10], [10, 10]], float)
     out = clip_polygon_arrangement([ann], -5, -5, 50, 50)
     assert len(out) == 1 and len(out[0]) == 2
+
+
+def test_clip_polygon_region_agreement_fuzz():
+    """clip_polygon output region (even-odd over emitted polys) must match
+    the raster even-odd truth for random rings — catches fast paths
+    accepting inputs outside their validity premise (e.g. the W-A tracer
+    on self-intersecting subjects, fixed via the corner-consistency
+    check)."""
+    from grandine_ray.geom.clip import clip_polygon
+
+    rng = np.random.default_rng(7)
+
+    def inside_cnt(ring, X, Y):
+        rx, ry = ring[:, 0], ring[:, 1]
+        nx_, ny_ = np.roll(rx, -1), np.roll(ry, -1)
+        cnt = np.zeros(X.shape, np.int64)
+        for k in range(len(rx)):
+            cond = (ry[k] > Y) != (ny_[k] > Y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xin = rx[k] + (Y - ry[k]) / (ny_[k] - ry[k]) * (nx_[k] - rx[k])
+            cnt += cond & (X < xin)
+        return cnt
+
+    size = 60
+    xs = np.linspace(-10 + 1 / 6, 10 - 1 / 6, size)
+    X, Y = np.meshgrid(xs, xs)
+    for trial in range(120):
+        n = int(rng.integers(3, 10))
+        ring = rng.uniform(-14, 14, (n, 2)).round(1)
+        out = clip_polygon([ring], -10, -10, 10, 10)
+        got = np.zeros(X.shape, bool)
+        for p in out:
+            cnt = np.zeros(X.shape, np.int64)
+            for r in p:
+                cnt += inside_cnt(r, X, Y)
+            got |= (cnt % 2) == 1
+        exp = (inside_cnt(ring, X, Y) % 2) == 1
+        diff = int((got != exp).sum())
+        assert diff <= max(12, 0.08 * exp.sum()), (trial, diff, int(exp.sum()))
