@@ -232,21 +232,33 @@ def clip_polygon_arrangement(rings, minx, miny, maxx, maxy):
                 cycles.append(np.asarray([pts[k] for k in cyc]))
 
     # classify cycles
+    def _in_cyc(x, y, cyc):
+        return _parity_point(x, y, [cyc])
+
     def _face_point(cyc, side=1.0):
-        """Point just off the midpoint of the cycle's longest edge:
-        side=+1 → left of traversal (the face the cycle bounds),
-        side=-1 → right of traversal (e.g. a CW hole cycle's interior)."""
+        """Point just inside the region the cycle encloses geometrically
+        (side=+1 for CCW cycles / left of traversal, side=-1 for CW hole
+        interiors). Skinny faces can defeat a fixed offset, so candidate
+        points are validated against the cycle itself across edges and
+        offset scales (fuzz-hardened)."""
+        base = max(maxx - minx, maxy - miny)
         seglen = np.linalg.norm(np.diff(np.vstack([cyc, cyc[:1]]), axis=0),
                                 axis=1)
-        li = int(np.argmax(seglen))
-        p0 = cyc[li]
-        p1 = cyc[(li + 1) % len(cyc)]
-        mid = (p0 + p1) / 2
-        dvec = p1 - p0
-        nrm = np.array([-dvec[1], dvec[0]])
-        nrm = nrm / (np.linalg.norm(nrm) + 1e-30)
-        eps = max(maxx - minx, maxy - miny) * 1e-7
-        return mid + side * nrm * eps
+        order = np.argsort(seglen)[::-1]
+        want_inside = (side > 0) == (_cycle_area2(cyc) > 0)
+        for li in order[: min(4, len(order))]:
+            p0 = cyc[li]
+            p1 = cyc[(li + 1) % len(cyc)]
+            if seglen[li] <= 0:
+                continue
+            mid = (p0 + p1) / 2
+            dvec = p1 - p0
+            nrm = np.array([-dvec[1], dvec[0]]) / seglen[li]
+            for scale in (1e-7, 1e-9, 1e-5):
+                cand = mid + side * nrm * base * scale
+                if _in_cyc(cand[0], cand[1], cyc) == want_inside:
+                    return cand
+        return (cyc[0] + cyc[len(cyc) // 2]) / 2  # last resort
 
     shells = []
     holes = []

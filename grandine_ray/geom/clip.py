@@ -280,6 +280,21 @@ def _wa_polygon(rings, minx, miny, maxx, maxy):
     return polys
 
 
+def _vertices_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd containment of every point in ``pts`` vs one
+    ring: [P, S] crossing broadcast, one pass."""
+    px = pts[:, 0][:, None]
+    py = pts[:, 1][:, None]
+    rx = ring[:, 0][None, :]
+    ry = ring[:, 1][None, :]
+    nx_ = np.roll(ring[:, 0], -1)[None, :]
+    ny_ = np.roll(ring[:, 1], -1)[None, :]
+    cond = (ry > py) != (ny_ > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = rx + (py - ry) / (ny_ - ry) * (nx_ - rx)
+    return (np.where(cond, px < xin, False).sum(axis=1) % 2) == 1
+
+
 def _corners_consistent(polys, outer, minx, miny, maxx, maxy) -> bool:
     """Exact sanity check on a W-A result: a box corner can only be part
     of the clipped boundary if the subject's even-odd region covers it.
@@ -334,7 +349,16 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy,
     # to Sutherland–Hodgman (region-correct, single connected ring) on
     # degenerate configurations — border-touching vertices, corner-grazing
     # crossings, self-intersecting subjects
-    polys = _wa_polygon(rings, minx, miny, maxx, maxy)
+    # holes protruding past the outer ring make attach-by-containment
+    # diverge from even-odd semantics (fuzz-found on invalid inputs) —
+    # such polygons go straight to the arrangement
+    holes_contained = all(
+        _vertices_in_ring(h, outer).all() for h in rings[1:]
+    ) if len(rings) > 1 else True
+
+    polys = None
+    if holes_contained:
+        polys = _wa_polygon(rings, minx, miny, maxx, maxy)
     if polys is not None and _corners_consistent(polys, outer, minx, miny,
                                                  maxx, maxy):
         return polys
@@ -351,7 +375,7 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy,
         # only simple rings may take the cheap path
         from .repair import ring_self_intersects
 
-        if ring_self_intersects(outer):
+        if not holes_contained or ring_self_intersects(outer):
             try:
                 from .arrangement import clip_polygon_arrangement
 
