@@ -174,21 +174,14 @@ def cmd_spatialize(argv):
     ray.shutdown()
 
 
-def cmd_serve(argv):
-    """Static viewer + tile server (role parity with the reference's
-    viewer/: a small page rendering the engine's z/x/y MVT output).
-    Gzipped tiles (tiler -compress) are served with Content-Encoding."""
-    import functools
+def make_tile_server(tiles_dir, port: int = 0):
+    """Viewer + tile HTTP server bound to 127.0.0.1 (port 0 = ephemeral).
+    Returns the ThreadingHTTPServer; the caller runs serve_forever()."""
     import http.server
     import os as _os
 
-    p = argparse.ArgumentParser(prog="serve")
-    p.add_argument("-dir", dest="tiles", required=True,
-                   help="z/x/y tile tree (tiler -tiles-dir output)")
-    p.add_argument("-port", type=int, default=8439)
-    a = p.parse_args(argv)
     viewer_dir = _os.path.join(_os.path.dirname(__file__), "viewer")
-    tiles_dir = _os.path.abspath(a.tiles)
+    tiles_dir = _os.path.abspath(tiles_dir)
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, *args):
@@ -202,8 +195,15 @@ def cmd_serve(argv):
                 return
             if path.startswith("/tiles/"):
                 rel = _os.path.normpath(path[len("/tiles/"):])
-                full = _os.path.join(tiles_dir, rel)
-                if rel.startswith(".."):
+                # containment check: reject absolute paths (normpath keeps
+                # them absolute, so join() would discard tiles_dir) and any
+                # resolved path escaping tiles_dir via .. or symlinks
+                if _os.path.isabs(rel) or rel.startswith(".."):
+                    self._send(404, b"not found", "text/plain")
+                    return
+                full = _os.path.realpath(_os.path.join(tiles_dir, rel))
+                if _os.path.commonpath([full, _os.path.realpath(tiles_dir)]) \
+                        != _os.path.realpath(tiles_dir):
                     self._send(404, b"not found", "text/plain")
                     return
                 if not _os.path.isfile(full) and _os.path.isfile(full + ".gz"):
@@ -227,8 +227,20 @@ def cmd_serve(argv):
             self.end_headers()
             self.wfile.write(body)
 
-    srv = http.server.ThreadingHTTPServer(("127.0.0.1", a.port), Handler)
-    print(f"serving {tiles_dir} at http://127.0.0.1:{a.port}/")
+    return http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def cmd_serve(argv):
+    """Static viewer + tile server (role parity with the reference's
+    viewer/: a small page rendering the engine's z/x/y MVT output).
+    Gzipped tiles (tiler -compress) are served with Content-Encoding."""
+    p = argparse.ArgumentParser(prog="serve")
+    p.add_argument("-dir", dest="tiles", required=True,
+                   help="z/x/y tile tree (tiler -tiles-dir output)")
+    p.add_argument("-port", type=int, default=8439)
+    a = p.parse_args(argv)
+    srv = make_tile_server(a.tiles, a.port)
+    print(f"serving {a.tiles} at http://127.0.0.1:{srv.server_address[1]}/")
     srv.serve_forever()
 
 

@@ -373,7 +373,13 @@ def q_minhash_pairs(sf_dir: str):
 
     Oracled by EXACT all-pairs n-gram Jaccard (oracle/expected.py) — the
     LSH parameters give recall 1.0 on the fixed corpus; pytest plants
-    near-duplicates for the recall property itself."""
+    near-duplicates for the recall property itself.
+
+    Exactness scope: pair output is exhaustive only while every LSH band
+    bucket holds ≤ band_cap (512) docs — see lsh_candidate_pairs. A
+    skewed corpus (thousands of identical docs) keeps cluster
+    connectivity but may drop individual pairs; pass band_cap=None to
+    minhash_near_dup for exhaustive (O(B²)-in-bucket) output."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return text_stage.minhash_near_dup(docs, threshold=0.5)
 
@@ -443,6 +449,16 @@ def q_filter_corpus(sf_dir: str):
         side = t["_side"].to_numpy(zero_copy_only=False)
         kmask = side == 0
         kh = t["_h"].to_numpy(zero_copy_only=False)[kmask]
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "doc_len": pa.array([], pa.int64()),
+            "n_tokens_ws": pa.array([], pa.int64()),
+        })
+        if not len(kh):
+            # keeps and survivors share hash%P partitioning, so an empty
+            # keep side implies an empty survivor side — but don't let the
+            # eager kdoc[...] index below crash if that invariant breaks
+            return empty
         order = np.argsort(kh, kind="stable")
         kh_s = kh[order]
         kdoc = t["doc_id"].to_numpy(zero_copy_only=False)[kmask][order]

@@ -13,10 +13,27 @@ import pyarrow.compute as pc
 import ray
 
 
-def _to_matrix(col) -> np.ndarray:
-    arr = col.to_pylist()
-    m = np.asarray(arr, dtype=np.float32)
-    return m
+def _to_matrix(col, dtype=np.float32) -> np.ndarray:
+    """list<float> column → [n, dim] matrix without per-row Python boxing.
+
+    Arrow list values are one contiguous buffer; a uniform-length column
+    (every embedding column we produce) reshapes straight from that buffer.
+    Ragged columns fall back to the boxed path.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(flat, dtype=dtype).reshape(
+            len(col), col.type.list_size)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        lengths = col.value_lengths().to_numpy(zero_copy_only=False)
+        if len(lengths) and (lengths == lengths[0]).all() and lengths[0] > 0:
+            # flatten() respects any slice offset on the ListArray
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(flat, dtype=dtype).reshape(
+                len(col), int(lengths[0]))
+    return np.asarray(col.to_pylist(), dtype=dtype)
 
 
 def normalize(m: np.ndarray) -> np.ndarray:
@@ -193,6 +210,12 @@ def ivf_search(index_dir: str, query_ids, query_matrix, k: int = 10,
 
     paths = [f for j in probed
              for f in sorted(glob.glob(f"{index_dir}/partition={int(j)}/*.parquet"))]
+    if not paths:
+        # every probed list was empty → no candidates, not a crash
+        return rd.from_arrow(pa.table({"query_id": pa.array([], pa.int64()),
+                                       "vec_id": pa.array([], pa.int64()),
+                                       "score": pa.array([], pa.float64()),
+                                       "rank": pa.array([], pa.int64())}))
     ref = ray.put({"qids": np.asarray(query_ids), "qm": qm,
                    "probes": probes, "k": k})
 
@@ -277,12 +300,13 @@ def embedding_near_dup_pairs(emb, threshold: float = 0.4, round_dp: int = 3,
         out_a, out_b, out_c = [], [], []
         for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
             ta, tb = ray.get(refs[i]), ray.get(refs[j])
-            ia = np.asarray(ta["vec_id"].to_pylist(), dtype=np.int64)
-            ib = np.asarray(tb["vec_id"].to_pylist(), dtype=np.int64)
-            ma = normalize(np.asarray(ta["embedding"].to_pylist(),
-                                      dtype=np.float64))
-            mb = normalize(np.asarray(tb["embedding"].to_pylist(),
-                                      dtype=np.float64))
+            ia = ta["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = tb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # float64 math here: the parquet floats are exact float32 values,
+            # so widening after the zero-copy decode is bit-identical to the
+            # old boxed float64 path (the oracle rounds at round_dp anyway).
+            ma = normalize(_to_matrix(ta["embedding"], dtype=np.float64))
+            mb = normalize(_to_matrix(tb["embedding"], dtype=np.float64))
             scores = np.round(ma @ mb.T, round_dp)
             ai, bj = np.nonzero(scores >= threshold)
             a, b = ia[ai], ib[bj]

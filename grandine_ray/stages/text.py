@@ -282,7 +282,7 @@ def rolling_fingerprint(batch: pa.Table, window: int = 16) -> pa.Table:
 # --------------------------------------------------- distributed LSH dedup
 
 
-def lsh_candidate_pairs(bands, band_cap: int = 512):
+def lsh_candidate_pairs(bands, band_cap: int | None = 512):
     """(band_id, band_hash) buckets → distinct candidate pairs, distributed.
 
     In-band all-pairs is O(B²); a mega-bucket (e.g. millions of identical
@@ -292,6 +292,15 @@ def lsh_candidate_pairs(bands, band_cap: int = 512):
     mega-bucket connected (what dedup clustering needs) while the pair
     count stays O(B·band_cap). Buckets smaller than band_cap (the normal
     case) are exhaustive and unchanged.
+
+    EXACTNESS CONTRACT: pair *output* (minhash_near_dup) is exhaustive
+    only for buckets ≤ band_cap. In a capped bucket, only chunk-internal
+    and chain-link pairs are generated/verified, so a skewed corpus (one
+    band hash shared by > band_cap docs) may drop true near-dup pairs
+    from the pair list while cluster connectivity is preserved. Callers
+    needing exhaustive pairs on skewed data pass ``band_cap=None``
+    (uncapped, O(B²) in the bucket size) or cluster first and expand
+    pairs within clusters.
     """
     from ray.data.aggregate import Count
 
@@ -301,7 +310,8 @@ def lsh_candidate_pairs(bands, band_cap: int = 512):
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})
         a_l, b_l = [], []
-        chunks = [ids[i:i + band_cap] for i in range(0, len(ids), band_cap)]
+        cap = band_cap if band_cap is not None else len(ids)
+        chunks = [ids[i:i + cap] for i in range(0, len(ids), cap)]
         for ci, ch in enumerate(chunks):
             ii, jj = np.triu_indices(len(ch), k=1)
             a_l.append(ch[ii])
@@ -400,10 +410,12 @@ def verify_jaccard(cand, docs, threshold: float = 0.5,
     return j.map_batches(score, batch_format="pyarrow")
 
 
-def minhash_near_dup(docs, threshold: float = 0.5, band_cap: int = 512,
-                     num_partitions: int = 8):
+def minhash_near_dup(docs, threshold: float = 0.5,
+                     band_cap: int | None = 512, num_partitions: int = 8):
     """Full distributed MinHash+LSH near-dup pipeline:
     signatures → bands → capped in-band pairs → distinct → Jaccard verify.
+    band_cap=None disables the mega-bucket cap (exhaustive pairs; see the
+    exactness contract on lsh_candidate_pairs).
     """
     sigs = docs.map_batches(minhasher_batch, batch_format="pyarrow")
     bands = sigs.map_batches(
@@ -505,12 +517,22 @@ def dedup_clusters(pairs, num_partitions: int = 8, max_iters: int = 50):
                               pa.int64()),
         })
 
-    from ray.data.aggregate import Sum
-
     # labels only ever decrease (min over {self} ∪ neighbours), so the
     # label SUM strictly decreases on any change — convergence is one
-    # tiny aggregate per round, no old/new join needed
-    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    # tiny aggregate per round, no old/new join needed. Partial sums are
+    # emitted as decimal strings and combined as Python ints so the probe
+    # is exact at any id/count scale (an int64 Sum aggregate could wrap).
+    def _label_sum(lab) -> int:
+        def psum(b: pa.Table) -> pa.Table:
+            v = b["label"].to_numpy(zero_copy_only=False)
+            s = int(np.sum(v.astype(object))) if len(v) else 0
+            return pa.table({"s": pa.array([str(s)], pa.string())})
+
+        parts = lab.map_batches(psum, batch_format="pyarrow").take_all()
+        return sum(int(r["s"]) for r in parts)
+
+    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iters):
         unioned = labels.map_batches(label_side, batch_format="pyarrow") \
             .union(edges.map_batches(edge_side, batch_format="pyarrow"))
@@ -518,10 +540,15 @@ def dedup_clusters(pairs, num_partitions: int = 8, max_iters: int = 50):
             propagate, batch_format="pyarrow")
         labels = cand.groupby("doc_id").aggregate(
             Min("label", alias_name="label")).materialize()
-        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(cluster diameter exceeds max_iters); raise max_iters")
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b["doc_id"],

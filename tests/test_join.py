@@ -293,3 +293,48 @@ def test_ivf_search_prunes_io(tmp_path):
 
     out = ivf_search(idx_dir, [0, 300], qm, k=10, nprobe=2).take_all()
     assert len(out) == 20
+
+
+def test_to_matrix_zero_copy_equals_boxed():
+    """_to_matrix's flat-buffer reshape must equal the boxed to_pylist
+    path for list<float32>, fixed_size_list and a sliced chunked array."""
+    import pyarrow as pa
+
+    from grandine_ray.stages.ann import _to_matrix
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((50, 8)).astype(np.float32)
+    lst = pa.array(m.tolist(), pa.list_(pa.float32()))
+    assert np.array_equal(_to_matrix(lst), m)
+    fsl = pa.FixedSizeListArray.from_arrays(pa.array(m.ravel()), 8)
+    assert np.array_equal(_to_matrix(fsl), m)
+    chunked = pa.chunked_array([lst.slice(0, 20), lst.slice(20, 30)])
+    assert np.array_equal(_to_matrix(chunked), m)
+    sliced = lst.slice(5, 10)
+    assert np.array_equal(_to_matrix(sliced), m[5:15])
+    # float64 widening matches the old boxed float64 conversion exactly
+    assert np.array_equal(_to_matrix(lst, dtype=np.float64),
+                          np.asarray(m.tolist(), dtype=np.float64))
+    # ragged embeddings are invalid input (numpy refuses, as before)
+    ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32()))
+    with pytest.raises(ValueError):
+        _to_matrix(ragged)
+
+
+def test_ivf_search_all_probed_lists_empty(tmp_path, ray_session):
+    """Probing only empty lists must return an empty typed result, not
+    crash on read_parquet([]) (ADVICE r2)."""
+    import ray.data as rd
+
+    from grandine_ray.stages.ann import IVFIndex
+
+    idx_dir = tmp_path / "ivf_empty"
+    idx_dir.mkdir()
+    # hand-built index: 4 trained centroids, NO partition dirs at all
+    centroids = np.eye(4, 8, dtype=np.float32)
+    np.save(f"{idx_dir}/centroids.npy", centroids)
+    from grandine_ray.stages.ann import ivf_search
+
+    out = ivf_search(str(idx_dir), [0], np.ones((1, 8)), k=5, nprobe=2)
+    rows = out.take_all()
+    assert rows == []

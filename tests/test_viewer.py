@@ -68,3 +68,48 @@ def test_viewer_js_decoder_matches_python(tmp_path):
         assert js[name]["n"] == len(l["features"])
         assert {int(k): v for k, v in js[name]["types"].items()} == types
         assert js[name]["extent"] == l["extent"]
+
+
+def _serve(tmp_path):
+    import threading
+
+    from grandine_ray.cli import make_tile_server
+
+    tdir = tmp_path / "tiles" / "8" / "137"
+    tdir.mkdir(parents=True)
+    (tdir / "84.mvt").write_bytes(b"\x1a\x00tile")
+    srv = make_tile_server(str(tmp_path / "tiles"))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
+def test_serve_tile_and_traversal_rejected(tmp_path):
+    """GET /tiles/z/x/y.mvt serves; absolute and ..-escaping paths 404
+    (the handler must never read outside tiles_dir — ADVICE r2)."""
+    import http.client
+
+    srv, port = _serve(tmp_path)
+    try:
+        def get(path):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+            c.request("GET", path)
+            r = c.getresponse()
+            body = r.read()
+            c.close()
+            return r.status, body
+
+        st, body = get("/tiles/8/137/84.mvt")
+        assert st == 200 and body == b"\x1a\x00tile"
+        # absolute path: normpath('/etc/hostname') stays absolute and
+        # join() would discard tiles_dir entirely
+        st, _ = get("/tiles//etc/hostname")
+        assert st == 404
+        st, _ = get("/tiles/../../etc/hostname")
+        assert st == 404
+        st, _ = get("/tiles/8/../../../etc/hostname")
+        assert st == 404
+        st, body = get("/")
+        assert st == 200 and b"<html" in body.lower()
+    finally:
+        srv.shutdown()
