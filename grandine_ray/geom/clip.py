@@ -231,14 +231,43 @@ def _edge_intersect(p, q, edge, minx, miny, maxx, maxy):
     return np.array([px + t * (qx - px), maxy])
 
 
+def _no_cross_side(ring, minx, miny, maxx, maxy):
+    """For a ring the tracer found to have NO border crossings (and no
+    on-border vertices): the box interior lies entirely on one side of the
+    ring's region — any interior↔exterior path would cross the border.
+    Returns True (box inside the ring region), False (outside), or None
+    when a vertex sits strictly inside the box (only reachable through
+    corner-grazing degeneracies — the caller falls to the arrangement)."""
+    from .predicates import point_in_rings
+
+    inside_v = (
+        (ring[:, 0] > minx) & (ring[:, 0] < maxx)
+        & (ring[:, 1] > miny) & (ring[:, 1] < maxy)
+    )
+    if inside_v.any():
+        return None
+    return bool(point_in_rings((minx + maxx) / 2, (miny + maxy) / 2, [ring]))
+
+
 def _wa_polygon(rings, minx, miny, maxx, maxy):
     """Weiler–Atherton clip of outer + holes; None on degenerate input."""
-    from .polyclip import clip_ring_rect
+    from .polyclip import NO_CROSSINGS, clip_ring_rect
     from .predicates import point_in_rings
 
     wa = clip_ring_rect(rings[0], minx, miny, maxx, maxy)
     if wa is None:
         return None
+    rect_shell = False
+    if wa is NO_CROSSINGS:
+        side = _no_cross_side(rings[0], minx, miny, maxx, maxy)
+        if side is None:
+            return None
+        if not side:
+            return []  # box wholly outside the outer region
+        # box wholly inside the outer: shell is the full box rectangle
+        rect_shell = True
+        wa = [np.array([[minx, miny], [maxx, miny],
+                        [maxx, maxy], [minx, maxy]])]
     hole_parts: list[np.ndarray] = []
     for hole in rings[1:]:
         hb = (hole[:, 0].min(), hole[:, 1].min(),
@@ -247,16 +276,19 @@ def _wa_polygon(rings, minx, miny, maxx, maxy):
             continue  # hole entirely outside the box
         hw = clip_ring_rect(hole, minx, miny, maxx, maxy)
         if hw is None:
-            # no border crossing: either disjoint from the box (drop) or
-            # the hole swallows the whole box (empty result) — else a true
-            # degenerate (border-touching) configuration
-            from .predicates import point_in_rings, ring_intersects_rect
-
-            if not ring_intersects_rect(hole, minx, miny, maxx, maxy):
-                if point_in_rings((minx + maxx) / 2, (miny + maxy) / 2,
-                                  [hole]):
-                    return []
-                continue
+            return None  # degenerate (border-touching) configuration
+        if hw is NO_CROSSINGS:
+            side = _no_cross_side(hole, minx, miny, maxx, maxy)
+            if side is None:
+                return None
+            if side:
+                return []  # hole swallows the whole box
+            continue  # hole disjoint from the box
+        if rect_shell:
+            # the hole crosses the border while the synthesized rect shell
+            # runs ALONG it: the clipped hole part would share boundary
+            # with the shell — GEOS dissolves that into a single walked
+            # ring, which only the arrangement reproduces
             return None
         hole_parts.extend(hw)
     if not wa:
@@ -314,7 +346,8 @@ def _corners_consistent(polys, outer, minx, miny, maxx, maxy) -> bool:
 
 
 def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy,
-                 _allow_repair: bool = True) -> list[list[np.ndarray]]:
+                 _allow_repair: bool = True,
+                 _border_hit: bool | None = None) -> list[list[np.ndarray]]:
     """Polygon ∩ bbox → 0..n polygons (each a ring list).
 
     Shortcut paths follow polygon.go:26-40: a single-ring polygon whose
@@ -339,10 +372,22 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy,
 
     from .predicates import ring_intersects_rect
 
-    if len(rings) == 1 and not ring_intersects_rect(outer, minx, miny, maxx, maxy):
+    # _border_hit: caller-precomputed ring_intersects_rect verdict (the
+    # tiler's prepare stage classifies every candidate in one bulk numpy
+    # pass — rings_hit_rect_bulk — instead of per-call scans here)
+    if len(rings) == 1 and not (
+        _border_hit if _border_hit is not None
+        else ring_intersects_rect(outer, minx, miny, maxx, maxy)
+    ):
         if bbox_fully_in(clip_bb, poly_bb):
             return [[np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])]]
-        # fall through: disjoint or corner-overlap-only — S-H yields empty
+        # no border crossing and neither bbox contains the other: any path
+        # from inside the box to outside would cross the border, so the
+        # ring region cannot reach the box — the reference's GEOS
+        # Intersection (polygon.go:39 → clipToBBox) returns empty here;
+        # previously this fell through W-A → retry → arrangement to reach
+        # the same [] at ~1 ms per call
+        return []
 
     # general case: Weiler–Atherton-style multi-part tracer first (clean
     # component splitting, what GEOS produces for the reference); fall back

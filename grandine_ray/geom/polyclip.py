@@ -21,6 +21,13 @@ from __future__ import annotations
 
 import numpy as np
 
+#: sentinel: the ring never crosses the rect border (and is not fully
+#: inside it) — the box is wholly inside or wholly outside the ring's
+#: region; the caller decides with one containment test. Distinct from
+#: ``None`` (a genuinely degenerate configuration needing the exact
+#: arrangement fallback).
+NO_CROSSINGS = object()
+
 
 def _perimeter_pos(x: float, y: float, minx, miny, maxx, maxy) -> float:
     """Position along the rect perimeter, CCW from (minx,miny); -1 if off."""
@@ -147,7 +154,7 @@ def clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy):
             px_parts.append(po)
             py_parts.append(np.full(len(w), float(val)))
     if not seg_idx_parts:
-        return None  # fully outside or rect inside ring: caller shortcuts
+        return NO_CROSSINGS  # fully outside or rect inside ring
     seg_idx = np.concatenate(seg_idx_parts)
     ts = np.concatenate(t_parts)
     cxs = np.concatenate(px_parts)

@@ -328,6 +328,60 @@ def ring_intersects_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> bool:
     return False
 
 
+def rings_hit_rect_bulk(x1, y1, x2, y2, fid, nfeat,
+                        minx, miny, maxx, maxy) -> np.ndarray:
+    """Vectorized :func:`ring_intersects_rect` over MANY rings at once:
+    identical determinant + 8-decimal-rounding + segment/border-bbox
+    semantics, evaluated on flat segment arrays (one feature id per
+    segment) → bool[nfeat]. Used by the tiler's prepare stage to classify
+    every border-candidate polygon in one numpy pass instead of one
+    Python call per (feature, tile) pair.
+    """
+    x1 = np.asarray(x1, np.float64)
+    y1 = np.asarray(y1, np.float64)
+    x2 = np.asarray(x2, np.float64)
+    y2 = np.asarray(y2, np.float64)
+    a1 = y2 - y1
+    b1 = x1 - x2
+    c1 = a1 * x1 + b1 * y1
+    rx1 = rounded_coords(x1)
+    ry1 = rounded_coords(y1)
+    rx2 = rounded_coords(x2)
+    ry2 = rounded_coords(y2)
+    sminx = np.minimum(rx1, rx2)
+    smaxx = np.maximum(rx1, rx2)
+    sminy = np.minimum(ry1, ry2)
+    smaxy = np.maximum(ry1, ry2)
+    hit = np.zeros(len(x1), dtype=bool)
+    borders = (
+        (minx, miny, minx, maxy),
+        (minx, maxy, maxx, maxy),
+        (maxx, maxy, maxx, miny),
+        (maxx, miny, minx, miny),
+    )
+    for bx1, by1, bx2, by2 in borders:
+        a2 = by2 - by1
+        b2 = bx1 - bx2
+        c2 = a2 * bx1 + b2 * by1
+        det = a1 * b2 - a2 * b1
+        nz = det != 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ix = rounded_coords((b2 * c1 - b1 * c2) / det)
+            iy = rounded_coords((a1 * c2 - a2 * c1) / det)
+        rbminx = min(round(bx1, 8), round(bx2, 8))
+        rbmaxx = max(round(bx1, 8), round(bx2, 8))
+        rbminy = min(round(by1, 8), round(by2, 8))
+        rbmaxy = max(round(by1, 8), round(by2, 8))
+        hit |= (
+            nz
+            & (ix >= sminx) & (ix <= smaxx) & (iy >= sminy) & (iy <= smaxy)
+            & (ix >= rbminx) & (ix <= rbmaxx) & (iy >= rbminy) & (iy <= rbmaxy)
+        )
+    if not hit.any():
+        return np.zeros(nfeat, dtype=bool)
+    return np.bincount(np.asarray(fid)[hit], minlength=nfeat) > 0
+
+
 def valid_topology(rings) -> bool:
     """Ring self-intersection scan (polygon.go:74-107): a polygon is invalid
     if any two non-identical segments of a ring (incl. closing segments)

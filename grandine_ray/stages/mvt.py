@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..geom import clip as clipmod
+from ..geom import predicates as predmod
 from ..geom import wkb as wkbmod
 from ..geom.ops import proj_4326_to_3857
 from ..index import xyz
@@ -301,8 +302,11 @@ def project_to_tile(coords: np.ndarray, tp) -> np.ndarray:
 # ------------------------------------------------------------- tile assembly
 
 
-def _clip_feature(gtype: int, rings: list[np.ndarray], extent: int):
-    """Clip one tile-space geometry to [0,extent]² (codec.go:156-158)."""
+def _clip_feature(gtype: int, rings: list[np.ndarray], extent: int,
+                  border_hit: bool | None = None):
+    """Clip one tile-space geometry to [0,extent]² (codec.go:156-158).
+    ``border_hit`` forwards a precomputed ring_intersects_rect verdict
+    (bulk classification in TilespacePrepare) to skip the per-call scan."""
     if gtype == wkbmod.GEOM_POINT:
         p = rings[0][0]
         if 0 <= p[0] <= extent and 0 <= p[1] <= extent:
@@ -311,7 +315,8 @@ def _clip_feature(gtype: int, rings: list[np.ndarray], extent: int):
     if gtype == wkbmod.GEOM_LINESTRING:
         parts = clipmod.clip_line(rings[0], 0, 0, extent, extent)
         return [(gtype, [part]) for part in parts if len(part) >= 2]
-    polys = clipmod.clip_polygon(rings, 0, 0, extent, extent)
+    polys = clipmod.clip_polygon(rings, 0, 0, extent, extent,
+                                 _border_hit=border_hit)
     return [(gtype, pr) for pr in polys if pr]
 
 
@@ -855,6 +860,13 @@ class TilespacePrepare:
 
     def __init__(self, extent: int = EXTENT):
         self.extent = extent
+        e = float(extent)
+        # the full-tile rectangle clip result is the same bytes for every
+        # covered tile — encode it once (matches clip_polygon's rectangle
+        # branch: [[minx,miny],[maxx,miny],[maxx,maxy],[minx,maxy]])
+        self._rect_wkb = wkbmod.encode_polygon(
+            [np.array([[0.0, 0.0], [e, 0.0], [e, e], [0.0, e]])]
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -947,14 +959,56 @@ class TilespacePrepare:
                 tcoords[ring_off[r]:ring_off[r + 1]]
                 for r in range(geom_off[i], geom_off[i + 1])
             ]))
-        # border-crossing geometries: reference clip semantics per feature
-        cross = np.nonzero(~g_fully_in & ~g_outside & ~is_pt)[0]
+        # border-crossing geometries: reference clip semantics per feature.
+        # Single-ring polygons — the overwhelming majority at deep zooms —
+        # are pre-classified in ONE bulk numpy pass (identical math to
+        # clip_polygon's ring_intersects_rect shortcut, polygon.go:26-40):
+        # no-border-hit + bbox-covers-tile ⇒ the constant full-tile
+        # rectangle; no-border-hit + no containment ⇒ empty (GEOS
+        # semantics); only true border-crossers take the per-feature path.
+        cross_mask = ~g_fully_in & ~g_outside & ~is_pt
+        nrings = geom_off[1:] - geom_off[:-1]
+        sr_poly = cross_mask & (types == wkbmod.GEOM_POLYGON) & (nrings == 1)
+        sr_idx = np.nonzero(sr_poly)[0]
+        border_hit = np.zeros(len(sr_idx), dtype=bool)
+        if len(sr_idx):
+            r_starts = ring_off[geom_off[sr_idx]]
+            r_stops = ring_off[geom_off[sr_idx] + 1]
+            npt_r = r_stops - r_starts
+            pidx = wkbmod.expand_ranges(r_starts, r_stops)
+            fid = np.repeat(np.arange(len(sr_idx), dtype=np.int64), npt_r)
+            nxt = pidx + 1
+            ends = np.cumsum(npt_r) - 1
+            nxt[ends] = r_starts
+            border_hit = predmod.rings_hit_rect_bulk(
+                tcoords[pidx, 0], tcoords[pidx, 1],
+                tcoords[nxt, 0], tcoords[nxt, 1],
+                fid, len(sr_idx), 0.0, 0.0, ext, ext,
+            )
+            covered = (
+                (gminx[sr_idx] <= 0) & (gmaxx[sr_idx] >= ext)
+                & (gminy[sr_idx] <= 0) & (gmaxy[sr_idx] >= ext)
+            )
+            rect_sel = sr_idx[~border_hit & covered]
+            if len(rect_sel):
+                rect_wkb = self._rect_wkb
+                out_idx.extend(rect_sel.tolist())
+                out_part.extend([0] * len(rect_sel))
+                out_type.extend([wkbmod.GEOM_POLYGON] * len(rect_sel))
+                out_wkb.extend([rect_wkb] * len(rect_sel))
+            # ~border_hit & ~covered: disjoint — no output rows
+        hit_of = dict(zip(sr_idx.tolist(), border_hit.tolist()))
+        cross = np.nonzero(cross_mask)[0]
         for i in cross.tolist():
+            bh = hit_of.get(i)
+            if bh is False:
+                continue  # handled (rectangle) or dropped (disjoint) above
             rings = [
                 tcoords[ring_off[r]:ring_off[r + 1]]
                 for r in range(geom_off[i], geom_off[i + 1])
             ]
-            parts = _clip_feature(int(types[i]), rings, self.extent)
+            parts = _clip_feature(int(types[i]), rings, self.extent,
+                                  border_hit=bh)
             for p, (gtype, crings) in enumerate(parts):
                 out_idx.append(i)
                 out_part.append(p)

@@ -3,7 +3,7 @@ scanline rasterizer + explicit multi-component cases."""
 import numpy as np
 import pytest
 
-from grandine_ray.geom.polyclip import clip_ring_rect
+from grandine_ray.geom.polyclip import NO_CROSSINGS, clip_ring_rect
 from grandine_ray.stages.raster import rasterize_polygon
 
 
@@ -86,6 +86,15 @@ def test_random_concave_cross_validated():
         if parts is None:
             degenerate += 1
             continue
+        if parts is NO_CROSSINGS:
+            # resolve like clip._wa_polygon: box on one side of the region
+            from grandine_ray.geom.predicates import point_in_rings
+
+            if point_in_rings(bx + 20, by + 20, [ring]):
+                parts = [np.array([[bx, by], [bx + 40, by],
+                                   [bx + 40, by + 40], [bx, by + 40]])]
+            else:
+                parts = []
         checked += 1
         got = _mask(parts)
         exp = _mask([ring]) & _box_mask(bx, by, bx + 40, by + 40)
@@ -100,7 +109,7 @@ def test_fully_inside_outside():
     parts = clip_ring_rect(tri, 0, 0, 100, 100)
     assert len(parts) == 1 and np.array_equal(parts[0], tri)
     out = clip_ring_rect(tri, 50, 50, 90, 90)
-    assert out is None  # no crossings + not inside → caller shortcuts
+    assert out is NO_CROSSINGS  # no crossings + not inside → caller decides
 
 
 def test_clip_polygon_multipart_integration():
