@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v2"
+_VERSION = "v3"
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -177,11 +177,29 @@ def _hex_cell(lon, lat, res=9):
 # --------------------------------------------------------------- text maths
 
 
+# the engine's shingle/word hash spec (stages/text.py): seeded polynomial
+# hash over Unicode code points, H(s) = Σ_i (ord(s_i)+1)·B^i mod 2^64 —
+# reimplemented here as a plain per-character Python loop (the engine
+# computes it as one cumulative prefix pass; a factorization bug there
+# cannot cancel out against this scalar form)
+_PB = 0x9E3779B97F4A7C15
+_PMASK = (1 << 64) - 1
+
+
+def _poly(s: str) -> int:
+    h = 0
+    bp = 1
+    for c in s:
+        h = (h + (ord(c) + 1) * bp) & _PMASK
+        bp = (bp * _PB) & _PMASK
+    return h
+
+
 def _shingle_set(text, k=5):
     t = _WS.sub(" ", (text or "").lower()).strip()
     if len(t) < k:
-        return {_h8(t.encode("utf-8"))}
-    return {_h8(t[i:i + k].encode()) for i in range(len(t) - k + 1)}
+        return {_poly(t)}
+    return {_poly(t[i:i + k]) for i in range(len(t) - k + 1)}
 
 
 def _simhash(text):
@@ -190,7 +208,7 @@ def _simhash(text):
         return 0
     votes = [0] * 64
     for w in words:
-        h = _h8(w.encode())
+        h = _poly(w)
         for b in range(64):
             votes[b] += 1 if (h >> b) & 1 else -1
     out = 0

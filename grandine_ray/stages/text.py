@@ -121,24 +121,154 @@ class LangId:
 
 
 # ------------------------------------------------------------------ MinHash
+#
+# Shingle/word hashing is a seeded POLYNOMIAL hash over Unicode code
+# points, H(s) = Σ_i (ord(s_i)+1)·B^i (mod 2^64), B odd — not blake2b:
+# the prefix-sum factorization H(s[a:b]) = (A[b]−A[a])·B^−a (B is
+# invertible mod 2^64) lets ONE cumulative numpy pass over a batch's
+# concatenated code points produce every k-gram hash of every document
+# (classic Rabin–Karp rolling hash; same family as rolling_fingerprint
+# below). Deterministic across processes — no SipHash seeding issues.
+
+_POLY_B = 0x9E3779B97F4A7C15          # odd ⇒ invertible mod 2**64
+_POLY_BINV = pow(_POLY_B, -1, 1 << 64)
+_U64_MASK = (1 << 64) - 1
+
+
+def _poly_hash_str(s: str) -> int:
+    """Scalar reference of the batch hash (tests / tiny inputs)."""
+    h = 0
+    bp = 1
+    for c in s:
+        h = (h + (ord(c) + 1) * bp) & _U64_MASK
+        bp = (bp * _POLY_B) & _U64_MASK
+    return h
+
+
+_POW_BLOCK = 4096
+_POW_CACHE: dict = {}
+
+
+def _powers(base: int, m: int) -> np.ndarray:
+    """[base^0 … base^(m-1)] mod 2^64 — numpy cumprod over uint64 is a
+    slow scalar loop, so powers are built block-wise: one cached
+    _POW_BLOCK-long cumprod + an outer product with the cached
+    (base^block)^j ladder (one vectorized multiply over m elements)."""
+    blk = _POW_CACHE.get(base)
+    if blk is None:
+        b = np.empty(_POW_BLOCK, np.uint64)
+        b[0] = 1
+        np.cumprod(np.full(_POW_BLOCK - 1, base, np.uint64), out=b[1:])
+        step = int(b[-1]) * base & _U64_MASK  # base^block
+        blk = _POW_CACHE[base] = (b, step)
+    b, step = blk
+    if m <= _POW_BLOCK:
+        return b[:m]
+    n_blocks = -(-m // _POW_BLOCK)
+    ladder = np.empty(n_blocks, np.uint64)
+    ladder[0] = 1
+    if n_blocks > 1:
+        np.cumprod(np.full(n_blocks - 1, step, np.uint64), out=ladder[1:])
+    return (ladder[:, None] * b[None, :]).reshape(-1)[:m]
+
+
+def _poly_prefix(cp: np.ndarray):
+    """Prefix machinery over a concatenated code-point array: returns
+    (A, Binvpow) with A[j] = Σ_{i<j} (cp_i+1)·B^i and Binvpow[j] = B^−j,
+    all mod 2^64 (numpy uint64 wraparound)."""
+    total = len(cp)
+    A = np.zeros(total + 1, np.uint64)
+    if total:
+        np.cumsum((cp.astype(np.uint64) + np.uint64(1))
+                  * _powers(_POLY_B, total), out=A[1:])
+    return A, _powers(_POLY_BINV, total + 1)
+
+
+def _hash_slices(A, Binvpow, starts, stops):
+    """H of each [start, stop) slice via the prefix factorization."""
+    return (A[stops] - A[starts]) * Binvpow[starts]
+
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def _batch_shingle_hashes(texts, k: int = 5, unique: bool = True):
+    """All k-gram hashes of ALL docs in one vectorized pass.
+
+    Returns ``(hashes, offsets)``: per-doc shingle hashes concatenated in
+    doc order (doc i owns hashes[offsets[i]:offsets[i+1]]); sorted-unique
+    per doc when ``unique`` (set-semantics consumers: Jaccard), raw
+    in-text order otherwise (min-semantics consumers: MinHash — dup
+    shingles can't change a min, and skipping the sort is ~25 % of the
+    pass). Docs shorter than k contribute the single whole-string hash;
+    every doc contributes at least one hash (empty string hashes to 0).
+
+    The window hashes come from CONTIGUOUS prefix-array slices —
+    ``(A[k:] − A[:−k]) · B^−s`` over the whole concatenated corpus — with
+    windows straddling a doc boundary masked out afterwards; no gather in
+    the hot path.
+    """
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    cps = [_codepoints(_WS.sub(" ", (t or "").lower()).strip())
+           for t in texts]
+    lens = np.fromiter((len(c) for c in cps), np.int64, count=n)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    cp = np.concatenate(cps) if total else np.empty(0, np.uint32)
+    A, Binvpow = _poly_prefix(cp)
+    counts = np.where(lens >= k, lens - k + 1, 1)
+    n_win_all = max(total - k + 1, 0)
+    if n_win_all:
+        Hall = (A[k:] - A[:-k]) * Binvpow[:n_win_all]
+        # windows fully inside one doc: delta-mask over start positions
+        delta = np.zeros(n_win_all + 1, np.int32)
+        long_docs = np.nonzero(lens >= k)[0]
+        np.add.at(delta, offs[long_docs], 1)
+        np.add.at(delta, offs[long_docs] + counts[long_docs], -1)
+        valid = np.cumsum(delta[:-1]) > 0
+    short_docs = np.nonzero(lens < k)[0]
+    if len(short_docs) == 0 and n_win_all:
+        H = Hall[valid]
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    else:
+        # rare path: some docs are shorter than k — merge their single
+        # whole-string hash into doc order with one stable argsort
+        H_short = _hash_slices(A, Binvpow, offs[short_docs],
+                               offs[short_docs + 1])
+        H_long = Hall[valid] if n_win_all else np.empty(0, np.uint64)
+        long_docs = np.nonzero(lens >= k)[0]
+        d_all = np.concatenate([
+            np.repeat(long_docs, counts[long_docs]), short_docs])
+        H_all = np.concatenate([H_long, H_short])
+        order = np.argsort(d_all, kind="stable")
+        H = H_all[order]
+        doc_of = d_all[order]
+    out_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    if not unique:
+        return H, out_offs
+    # per-doc sorted unique: one lexsort over (doc, hash), adjacent dedup
+    order = np.lexsort((H, doc_of))
+    H = H[order]
+    doc_of = doc_of[order]
+    keep = np.ones(len(H), bool)
+    if len(H) > 1:
+        keep[1:] = (H[1:] != H[:-1]) | (doc_of[1:] != doc_of[:-1])
+    H = H[keep]
+    doc_of = doc_of[keep]
+    out_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(doc_of, minlength=n), out=out_offs[1:])
+    return H, out_offs
 
 
 def _shingles(text: str, k: int = 5) -> np.ndarray:
-    t = _WS.sub(" ", (text or "").lower()).strip()
-    if len(t) < k:
-        # blake2b, not hash(): SipHash is seeded per-process, so hash() would
-        # give the same short doc different signatures in different Ray workers
-        h = int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
-        return np.array([h], dtype=np.uint64)
-    views = [t[i:i + k] for i in range(len(t) - k + 1)]
-    return np.unique(
-        np.fromiter(
-            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                            "little") for s in views),
-            dtype=np.uint64, count=len(views),
-        )
-    )
+    """Sorted-unique k-gram hashes of one doc (scalar convenience)."""
+    h, _ = _batch_shingle_hashes([text], k)
+    return h
 
 
 class MinHasher:
@@ -156,14 +286,30 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text)
-        # (a*x + b) mod p per permutation — vectorized [n_sh, n_perm]
-        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % self.p
+        # (a*x + b) mod 2^64 per permutation (a odd ⇒ a bijection of the
+        # shingle-hash space — a valid minwise permutation family) —
+        # vectorized [n_sh, n_perm]
+        vals = sh[:, None] * self.a[None, :] + self.b[None, :]
         return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else \
-            np.empty((0, self.n_perm), dtype=np.uint64)
+        n = len(texts)
+        if not n:
+            sigs = np.empty((0, self.n_perm), dtype=np.uint64)
+        else:
+            # one vectorized shingle pass for the whole batch, then a
+            # per-permutation segmented min (reduceat over doc offsets) —
+            # no per-substring Python hashing anywhere. unique=False:
+            # duplicate shingles cannot change a min.
+            hashes, offs = _batch_shingle_hashes(texts, unique=False)
+            starts = offs[:-1]
+            sigs = np.empty((n, self.n_perm), dtype=np.uint64)
+            x = np.empty_like(hashes)
+            for j in range(self.n_perm):
+                np.multiply(hashes, self.a[j], out=x)
+                np.add(x, self.b[j], out=x)
+                sigs[:, j] = np.minimum.reduceat(x, starts)
         return batch.append_column(
             "minhash", pa.array(list(sigs), pa.list_(pa.uint64(), self.n_perm))
         )
@@ -194,34 +340,68 @@ def lsh_bands(batch: pa.Table, n_bands: int = 16, id_col: str = "doc_id") -> pa.
     )
 
 
-def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
-    sa = set(_shingles(text_a, k).tolist())
-    sb = set(_shingles(text_b, k).tolist())
-    if not sa and not sb:
+def _jaccard_sorted(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique hash arrays."""
+    if not len(sa) and not len(sb):
         return 1.0
-    return len(sa & sb) / len(sa | sb)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    h, offs = _batch_shingle_hashes([text_a, text_b], k)
+    return _jaccard_sorted(h[offs[0]:offs[1]], h[offs[1]:offs[2]])
 
 
 class SimHasher:
-    """64-bit SimHash over word features."""
+    """64-bit SimHash over word features, batch-vectorized: all words of
+    all docs are hashed in ONE polynomial-prefix pass, bit votes are
+    segmented sums (reduceat over doc word offsets)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        out = np.empty(len(texts), dtype=np.uint64)
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        cps: list[np.ndarray] = []
+        spans: list[tuple[int, int]] = []
+        counts = np.zeros(n, np.int64)
+        doc_off = 0
         for i, t in enumerate(texts):
-            words = _WORD.findall((t or "").lower())
-            if not words:
-                out[i] = 0
-                continue
-            hs = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                                "little") for w in words),
-                dtype=np.uint64, count=len(words),
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((v > 0)[::-1]).view(">u8")[0]
+            tl = (t or "").lower()
+            # word hashes come from the DOC's prefix array (span slices
+            # are position-independent under the B^−s factorization), so
+            # only match spans are collected — no per-word array churn
+            c = 0
+            for m in _WORD.finditer(tl):
+                spans.append((doc_off + m.start(), doc_off + m.end()))
+                c += 1
+            counts[i] = c
+            cps.append(_codepoints(tl))
+            doc_off += len(tl)
+        W = int(counts.sum())
+        if W:
+            sp = np.asarray(spans, np.int64)
+            cp = np.concatenate(cps)
+            A, Binvpow = _poly_prefix(cp)
+            hs = _hash_slices(A, Binvpow, sp[:, 0], sp[:, 1])
+            # per-bit popcounts: 64 × (shift + mask + FLAT reduceat over
+            # the contiguous word axis). Matrix forms (axis-aware
+            # reduceat, cumsum over [W,64]) measure 50–100× slower —
+            # numpy's axis machinery takes a generic inner loop; the flat
+            # contiguous reduceat is the fast path.
+            nz = np.nonzero(counts)[0]
+            seg_starts = np.zeros(n, np.int64)
+            np.cumsum(counts[:-1], out=seg_starts[1:])
+            s_nz = seg_starts[nz]
+            c_nz = counts[nz].astype(np.uint64)
+            sig_nz = np.zeros(len(nz), np.uint64)
+            one = np.uint64(1)
+            for b in range(64):
+                col = (hs >> np.uint64(b)) & one
+                pos = np.add.reduceat(col, s_nz)
+                sig_nz |= ((pos * np.uint64(2)) > c_nz).astype(np.uint64) \
+                    << np.uint64(b)
+            out[nz] = sig_nz
         return batch.append_column("simhash", pa.array(out, pa.uint64()))
 
 
@@ -402,7 +582,15 @@ def verify_jaccard(cand, docs, threshold: float = 0.5,
     def score(b: pa.Table) -> pa.Table:
         va = b["text_a"].to_pylist()
         vb = b["text_b"].to_pylist()
-        jac = np.round([jaccard(x, y) for x, y in zip(va, vb)], 4)
+        m = len(va)
+        # ONE vectorized shingle pass over both text columns; per-pair
+        # exact Jaccard on the sorted-unique hash slices
+        h, offs = _batch_shingle_hashes(va + vb)
+        jac = np.round([
+            _jaccard_sorted(h[offs[i]:offs[i + 1]],
+                            h[offs[m + i]:offs[m + i + 1]])
+            for i in range(m)
+        ], 4)
         out = pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
                         "jaccard": pa.array(jac, pa.float64())})
         return out.filter(pc.greater_equal(out["jaccard"], threshold))

@@ -58,6 +58,25 @@ def main():
     total_s = (out["extract_s"] + out["coverage_s"] + out["prepare_s"]
                + out["layer_encode_s"] + out["assemble_s"])
     out["rows_per_core_sec"] = round(total_rows / total_s, 1)
+
+    # text kernels (minhash signature / simhash) over the driver corpus
+    tdocs = pq.read_table("/root/testdata/sf0.1/documents.parquet") \
+        .select(["doc_id", "text"]).slice(0, 4000)
+    from grandine_ray.stages.text import MinHasher, SimHasher
+
+    nchars = sum(len(t) for t in tdocs["text"].to_pylist())
+    mh = MinHasher()
+    t0 = time.perf_counter()
+    mh(tdocs)
+    dt = time.perf_counter() - t0
+    out["minhash_s"] = round(dt, 3)
+    out["minhash_mchar_per_sec"] = round(nchars / dt / 1e6, 2)
+    sh = SimHasher()
+    t0 = time.perf_counter()
+    sh(tdocs)
+    dt = time.perf_counter() - t0
+    out["simhash_s"] = round(dt, 3)
+    out["simhash_docs_per_sec"] = round(tdocs.num_rows / dt, 1)
     print(json.dumps(out))
 
 
