@@ -116,14 +116,11 @@ def run_suite() -> dict:
     feats = rd.read_parquet(synth.docs_path(corpus)).map_batches(
         extract_features, batch_format="pyarrow"
     )
-    polys = feats.filter(expr="geom_type == 3").take_all()
-    poly_ids = [f"{r['doc_id']}#{r['span_idx']}" for r in polys]
-    poly_wkbs = [r["geom_wkb"] for r in polys]
+    polys = feats.filter(expr="geom_type == 3")
     pts = feats.filter(expr="geom_type == 1").materialize()
     n_pts = pts.count()
     t0 = time.perf_counter()
-    joined = join_stage.pip_join(pts, poly_ids, poly_wkbs,
-                                 concurrency=(1, max(2, ncpu)))
+    joined = join_stage.pip_join_auto(pts, polys)
     n_join = joined.count()
     wall = time.perf_counter() - t0
     queries["pip_join"] = round(wall, 3)
