@@ -4,11 +4,14 @@ No ``h3`` / ``s2sphere`` libraries exist in this sandbox, so these are
 engine-defined cell schemes built from public geometry only:
 
 * ``s2_cell_id`` — S2-*style*: unit-sphere face decomposition (6 cube
-  faces), the published S2 quadratic u/v→s/t projection, then a quadtree
-  index per face. Divergence from Google S2: cells are ordered by Morton
-  (Z-order) interleaving instead of the Hilbert curve — locality properties
-  are comparable for partitioning/join use, and the id remains hierarchical
-  (parent = child >> 2 after level adjustment).
+  faces), the published S2 quadratic u/v→s/t projection, then a
+  Hilbert-curve quadtree index per face (like real S2; the curve is the
+  standard public iterative xy2d construction, MSB-first, so the id is
+  prefix-hierarchical: parent = child >> 2 after level adjustment).
+  Remaining divergence from Google S2: the per-face curve orientation
+  seeding differs, so ids are not bit-compatible with s2geometry — but
+  locality (consecutive ids are grid-adjacent; tested vs Morton) and
+  hierarchy are the properties the join partitioner needs.
 * ``h3ish_cell_id`` — H3-*style*: hexagonal axial-coordinate binning on the
   web-mercator plane with aperture-4 resolution scaling. Divergence from
   Uber H3: planar hex grid (no icosahedron), so distortion grows toward the
@@ -64,18 +67,35 @@ def _uv_to_st(u: np.ndarray) -> np.ndarray:
     return np.where(u >= 0, r, 1.0 - r)
 
 
-def _morton_interleave(i: np.ndarray, j: np.ndarray, bits: int) -> np.ndarray:
-    out = np.zeros(len(i), dtype=np.uint64)
-    i = i.astype(np.uint64)
-    j = j.astype(np.uint64)
-    for b in range(bits):
-        out |= ((i >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
-        out |= ((j >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
-    return out
+def _hilbert_pos(i: np.ndarray, j: np.ndarray, bits: int) -> np.ndarray:
+    """Vectorized Hilbert-curve position of cell (i, j) on a 2^bits grid.
+
+    Standard iterative xy2d (public algorithm), MSB-first with the rotation
+    applied only to the low bits, which makes the position
+    prefix-hierarchical: pos(level k) == pos(level L) >> 2*(L-k) for the
+    ancestor cell (verified empirically in tests/test_cells.py).
+    """
+    i = i.astype(np.uint64).copy()
+    j = j.astype(np.uint64).copy()
+    d = np.zeros(len(i), dtype=np.uint64)
+    s = np.uint64(1) << np.uint64(bits - 1)
+    one = np.uint64(1)
+    while s > 0:
+        rx = ((i & s) > 0).astype(np.uint64)
+        ry = ((j & s) > 0).astype(np.uint64)
+        d += (s * s) * ((np.uint64(3) * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        swap = ry == 0
+        low = s - one
+        i_f = np.where(flip, low - (i & low), i & low)
+        j_f = np.where(flip, low - (j & low), j & low)
+        i, j = np.where(swap, j_f, i_f), np.where(swap, i_f, j_f)
+        s >>= one
+    return d
 
 
 def s2_cell_id(lon, lat, level: int = 12) -> np.ndarray:
-    """S2-style cell id: 3 face bits, 2*level Morton bits, 5 level bits."""
+    """S2-style cell id: 3 face bits, 2*level Hilbert bits, 5 level bits."""
     lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
     lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
     x, y, z = _lonlat_to_xyz(lon, lat)
@@ -85,7 +105,7 @@ def s2_cell_id(lon, lat, level: int = 12) -> np.ndarray:
     n = 1 << level
     i = np.clip((s * n).astype(np.int64), 0, n - 1)
     j = np.clip((t * n).astype(np.int64), 0, n - 1)
-    code = _morton_interleave(i, j, level)
+    code = _hilbert_pos(i, j, level)
     return (
         (face.astype(np.uint64) << np.uint64(2 * level + 5))
         | (code << np.uint64(5))
@@ -100,12 +120,12 @@ def s2_parent(cell: np.ndarray, level: int) -> np.ndarray:
     code = (cell >> np.uint64(5))
     face_shift = 2 * cur
     face = code >> face_shift.astype(np.uint64)
-    morton = code & ((np.uint64(1) << face_shift.astype(np.uint64)) - np.uint64(1))
+    pos = code & ((np.uint64(1) << face_shift.astype(np.uint64)) - np.uint64(1))
     drop = (2 * (cur - level)).astype(np.uint64)
-    new_morton = morton >> drop
+    new_pos = pos >> drop
     return (
         (face << np.uint64(2 * level + 5))
-        | (new_morton << np.uint64(5))
+        | (new_pos << np.uint64(5))
         | np.uint64(level)
     )
 

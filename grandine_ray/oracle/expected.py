@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v3"
+_VERSION = "v4"  # v4: S2 cells switched Morton -> Hilbert ordering
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -114,7 +114,7 @@ def _point_in_rings_evenodd(x, y, rings):
 
 
 def _s2_cell(lon, lat, level=12):
-    """Scalar S2-style cell id (public face/uv/st + Morton formulas)."""
+    """Scalar S2-style cell id (public face/uv/st + Hilbert xy2d formulas)."""
     phi = math.radians(lat)
     lam = math.radians(lon)
     x = math.cos(phi) * math.cos(lam)
@@ -147,10 +147,22 @@ def _s2_cell(lon, lat, level=12):
     n = 1 << level
     i = min(n - 1, max(0, int(st(u) * n)))
     j = min(n - 1, max(0, int(st(v) * n)))
+    # Hilbert xy2d, standard public iterative form (MSB-first).
     code = 0
-    for b in range(level):
-        code |= ((i >> b) & 1) << (2 * b + 1)
-        code |= ((j >> b) & 1) << (2 * b)
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (i & s) else 0
+        ry = 1 if (j & s) else 0
+        code += s * s * ((3 * rx) ^ ry)
+        low = s - 1
+        if ry == 0:
+            if rx == 1:
+                i, j = low - (j & low), low - (i & low)
+            else:
+                i, j = (j & low), (i & low)
+        else:
+            i, j = i & low, j & low
+        s >>= 1
     return (face << (2 * level + 5)) | (code << 5) | level
 
 

@@ -23,6 +23,34 @@ def test_s2_locality():
     assert ((p & np.uint64(31)) == 6).all()
 
 
+def test_s2_hilbert_curve_locality_beats_morton():
+    # The Hilbert position ordering must be a true space-filling curve:
+    # consecutive positions are grid-adjacent (step == 1), whereas Morton
+    # interleave jumps up to 2^bits-ish at quadrant seams.  This is the
+    # property the cell-range join partitioner relies on.
+    bits = 6
+    n = 1 << bits
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    d = cells._hilbert_pos(ii, jj, bits)
+    # bijective onto [0, n*n)
+    assert sorted(d.tolist()) == list(range(n * n))
+    order = np.argsort(d)
+    step = (np.abs(np.diff(ii[order].astype(np.int64)))
+            + np.abs(np.diff(jj[order].astype(np.int64))))
+    assert step.max() == 1  # Hilbert: every consecutive pair adjacent
+    # Morton comparison: interleave bits, sort, measure steps
+    mi, mj = ii.astype(np.uint64), jj.astype(np.uint64)
+    m = np.zeros(len(mi), dtype=np.uint64)
+    for b in range(bits):
+        m |= ((mi >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
+        m |= ((mj >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+    morder = np.argsort(m)
+    mstep = (np.abs(np.diff(ii[morder].astype(np.int64)))
+             + np.abs(np.diff(jj[morder].astype(np.int64))))
+    assert mstep.max() > 1 and mstep.mean() > step.mean()
+
+
 def test_s2_parent_hierarchy():
     lon = np.random.default_rng(0).uniform(-179, 179, 200)
     lat = np.random.default_rng(1).uniform(-85, 85, 200)
