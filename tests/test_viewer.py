@@ -70,6 +70,185 @@ def test_viewer_js_decoder_matches_python(tmp_path):
         assert js[name]["extent"] == l["extent"]
 
 
+_RENDER_HARNESS = r"""
+const fs = require("fs"), path = require("path");
+const html = fs.readFileSync(process.argv[2], "utf8");
+const src = html.match(/<script>([\s\S]*)<\/script>/)[1];
+const tilesDir = process.argv[3];
+let rec = [];
+const ctx2d = {};
+for (const m of ["fillRect","strokeRect","beginPath","moveTo","lineTo",
+                 "closePath","fill","stroke"])
+  ctx2d[m] = (...a) => rec.push([m, ...a]);
+for (const p of ["fillStyle","strokeStyle","lineWidth"]) {
+  let v;
+  Object.defineProperty(ctx2d, p, {
+    set(x) { v = x; rec.push(["set", p, x]); }, get() { return v; },
+  });
+}
+const canvasStub = { getContext: () => ctx2d, addEventListener: () => {}, _w: 0, _h: 0 };
+Object.defineProperty(canvasStub, "width",
+  { set(v) { canvasStub._w = v; rec = []; }, get() { return canvasStub._w; } });
+Object.defineProperty(canvasStub, "height",
+  { set(v) { canvasStub._h = v; }, get() { return canvasStub._h; } });
+const zStub = {};
+const document = { getElementById: id => (id === "map" ? canvasStub : zStub) };
+const window = { innerWidth: 512, innerHeight: 512, addEventListener: () => {} };
+const fetch = url => {
+  const f = path.join(tilesDir, url.replace(/^tiles\//, ""));
+  try {
+    const b = fs.readFileSync(f);
+    return Promise.resolve({ ok: true, arrayBuffer: () =>
+      Promise.resolve(b.buffer.slice(b.byteOffset, b.byteOffset + b.byteLength)) });
+  } catch (e) { return Promise.resolve({ ok: false }); }
+};
+eval(src);
+setTimeout(() => { console.log(JSON.stringify(rec)); }, 60);
+"""
+
+_COLORS = {
+    "water": "#3b6ea5", "transportation": "#c2703e", "building": "#8d6e63",
+    "poi": "#c9b458", "landuse": "#4c7a4c", "default": "#7a8699",
+}
+
+
+def _py_paths(geom):
+    """Mirror of the viewer's paths(): command stream → list of pixel paths."""
+    out, cur = [], None
+    for c, pts in mvt.decode_geometry_commands(list(geom)):
+        if c == 1:
+            for p in pts:
+                cur = [list(p)]
+                out.append(cur)
+        elif c == 2:
+            cur.extend(list(p) for p in pts)
+    return out
+
+
+def _expected_records(tiles):
+    """Independent Python re-derivation of the viewer's draw() output for a
+    512x512 viewport at z=2, origin (0,0).  The viewer's tile range is
+    floor-inclusive on both edges (x1 = min(n-1, floor((originX+w)/TILE))),
+    so a 512px viewport covers tiles (0..2, 0..2)."""
+    rec = [["set", "fillStyle", "#10141a"], ["fillRect", 0, 0, 512, 512]]
+    for ty in (0, 1, 2):
+        for tx in (0, 1, 2):
+            px, py = tx * 256, ty * 256
+            rec.append(["set", "strokeStyle", "#1d242e"])
+            rec.append(["strokeRect", px, py, 256, 256])
+            layers = tiles.get((tx, ty))
+            if layers is None:
+                continue
+            for name, lay in layers.items():
+                s = 256 / lay["extent"]
+                color = _COLORS.get(name, _COLORS["default"])
+                for ft in lay["features"]:
+                    ps = _py_paths(ft["geometry"])
+                    rec.append(["beginPath"])
+                    for p in ps:
+                        rec.append(["moveTo", px + p[0][0] * s, py + p[0][1] * s])
+                        for q in p[1:]:
+                            rec.append(["lineTo", px + q[0] * s, py + q[1] * s])
+                        if ft["type"] == 3:
+                            rec.append(["closePath"])
+                    if ft["type"] == 1:
+                        rec.append(["set", "fillStyle", color])
+                        for p in ps:
+                            rec.append(["fillRect", px + p[0][0] * s - 1.5,
+                                        py + p[0][1] * s - 1.5, 3, 3])
+                    elif ft["type"] == 3:
+                        rec.append(["set", "fillStyle", color + "55"])
+                        rec.append(["fill", "evenodd"])
+                        rec.append(["set", "strokeStyle", color])
+                        rec.append(["set", "lineWidth", 1])
+                        rec.append(["stroke"])
+                    else:
+                        rec.append(["set", "strokeStyle", color])
+                        rec.append(["set", "lineWidth", 1.2])
+                        rec.append(["stroke"])
+    return rec
+
+
+@pytest.mark.skipif(NODE is None, reason="no node runtime")
+def test_viewer_render_commands_and_pixels_match_python(tmp_path):
+    """Drive the viewer's REAL draw() under node (DOM/canvas/fetch stubbed,
+    fetch serving engine-encoded tiles) and require the recorded Canvas-2D
+    command stream to equal an independent Python re-derivation — then
+    rasterize both polygon fills and require identical pixel grids.  This is
+    the furthest render verification possible without a browser runtime
+    (no Chrome in this sandbox); geometry, scaling, y-orientation, styling
+    and even-odd fill rule are all pinned."""
+    from grandine_ray.stages.raster import rasterize_polygon
+
+    # z=2 tile (0,0): lon -180..-90, lat 66.5..85; tile (1,1): lon -90..0, 0..66.5
+    t00 = {
+        "water": [{"props": (), "type": 3,
+                   "rings": [np.array([[-140.0, 75.0], [-120.0, 75.0],
+                                       [-120.0, 80.0], [-140.0, 80.0]])]}],
+        "transportation": [{"props": (("class", "primary"),), "type": 2,
+                            "rings": [np.array([[-150.0, 70.0], [-130.0, 72.0],
+                                                [-110.0, 71.0]])]}],
+        "poi": [{"props": (), "type": 1,
+                 "rings": [np.array([[-135.0, 77.0]])]}],
+    }
+    t11 = {
+        # polygon with a hole → exercises the even-odd fill
+        "landuse": [{"props": (), "type": 3,
+                     "rings": [np.array([[-60.0, 20.0], [-30.0, 20.0],
+                                         [-30.0, 45.0], [-60.0, 45.0]]),
+                               np.array([[-50.0, 28.0], [-50.0, 38.0],
+                                         [-40.0, 38.0], [-40.0, 28.0]])]}],
+        "misc": [{"props": (), "type": 2,
+                  "rings": [np.array([[-80.0, 10.0], [-10.0, 55.0]])]}],
+    }
+    tdir = tmp_path / "2" / "0"
+    tdir.mkdir(parents=True)
+    (tdir / "0.mvt").write_bytes(mvt.encode_tile(2, 0, 0, t00))
+    tdir = tmp_path / "2" / "1"
+    tdir.mkdir(parents=True)
+    (tdir / "1.mvt").write_bytes(mvt.encode_tile(2, 1, 1, t11))
+    harness = tmp_path / "h.js"
+    harness.write_text(_RENDER_HARNESS)
+    out = subprocess.run(
+        [NODE, str(harness), "grandine_ray/viewer/index.html", str(tmp_path)],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    js_rec = json.loads(out.stdout)
+
+    decoded = {
+        (0, 0): mvt.decode_tile((tmp_path / "2" / "0" / "0.mvt").read_bytes()),
+        (1, 1): mvt.decode_tile((tmp_path / "2" / "1" / "1.mvt").read_bytes()),
+    }
+    expected = _expected_records(decoded)
+    assert js_rec == expected
+
+    # pixel stage: rasterize every polygon fill from BOTH command streams
+    def fill_grids(rec):
+        grids, rings, cur = [], [], None
+        for cmd in rec:
+            if cmd[0] == "beginPath":
+                rings, cur = [], None
+            elif cmd[0] == "moveTo":
+                cur = [cmd[1:]]
+                rings.append(cur)
+            elif cmd[0] == "lineTo":
+                cur.append(cmd[1:])
+            elif cmd[0] == "fill":
+                grids.append(rasterize_polygon(
+                    [np.asarray(r) for r in rings], size=256, extent=512.0))
+        return grids
+
+    g_js, g_py = fill_grids(js_rec), fill_grids(expected)
+    assert len(g_js) == len(g_py) == 2
+    for a, b in zip(g_js, g_py):
+        assert a.sum() > 0  # something actually painted
+        assert np.array_equal(a, b)
+    # the hole in the landuse polygon must be unpainted (even-odd)
+    hole = g_js[1]
+    assert hole.sum() < np.array(
+        [r for r in hole.shape]).prod()  # not fully filled
+
+
 def _serve(tmp_path):
     import threading
 
