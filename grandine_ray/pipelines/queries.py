@@ -654,6 +654,119 @@ def q_events_sessions(sf_dir: str, num_partitions: int = 32):
         .groupby("_part").map_groups(sessionize, batch_format="pyarrow")
 
 
+def q_events_asof(sf_dir: str):
+    """LEFT as-of join (clicks ← most recent prior view per user) — the
+    canonical time-series point-in-time join Ray Data lacks natively.
+    One hash shuffle on user_id + a block-vectorized merge pass per
+    partition (stages/join.py:asof_join); DuckDB ASOF LEFT JOIN oracle."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    views = ev.filter(expr="event_type == 'view'")
+    out = join_stage.asof_join(
+        clicks, views, by="user_id", on="ts",
+        left_cols=["event_id"], right_cols=["event_id", "value"])
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "view_event_id": pc.cast(b["right_event_id"], pa.int64()),
+            "view_value_milli": pc.cast(
+                pc.round(pc.multiply(b["right_value"], 1000)), pa.int64()),
+        })
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+TOPK_PER_LANG = 3
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (rank window): top 3 docs per language by
+    (n_chars DESC, doc_id ASC). Partial per-block top-k inside
+    map_batches (the combiner) before the tiny per-lang groupby — the
+    shuffle carries ≤ k rows per (lang, block)."""
+    K = TOPK_PER_LANG
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+
+    def topk(t: pa.Table, final: bool) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        _, lcode = np.unique(lang, return_inverse=True)
+        order = np.lexsort((did, -nc, lcode))
+        lc_s = lcode[order]
+        boundary = np.ones(len(lc_s), bool)
+        if len(lc_s) > 1:
+            boundary[1:] = lc_s[1:] != lc_s[:-1]
+        gid = np.cumsum(boundary) - 1
+        starts = np.zeros(gid[-1] + 1 if len(gid) else 0, np.int64)
+        if len(gid):
+            np.cumsum(np.bincount(gid)[:-1], out=starts[1:])
+        rank = np.arange(len(lc_s)) - starts[gid] if len(gid) else \
+            np.empty(0, np.int64)
+        keep = rank < K
+        sel = pa.array(order[keep])
+        cols = {
+            "lang": t["lang"].take(sel),
+            "doc_id": pc.cast(t["doc_id"].take(sel), pa.int64()),
+            "n_chars": pc.cast(t["n_chars"].take(sel), pa.int64()),
+        }
+        if final:
+            cols["rnk"] = pa.array(rank[keep] + 1, pa.int64())
+        return pa.table(cols)
+
+    partial = docs.map_batches(lambda b: topk(b, False),
+                               batch_format="pyarrow")
+    return partial.groupby("lang").map_groups(
+        lambda g: topk(g, True), batch_format="pyarrow")
+
+
+SAMPLE_RATE_BP = {"en": 1000}        # dominant language downsampled to 10 %
+SAMPLE_DEFAULT_BP = 5000             # others kept at 50 %
+
+
+def q_sample_corpus(sf_dir: str):
+    """Deterministic stratified sampling: per-language keep rates via a
+    Knuth multiplicative hash of doc_id — pure map-side filter, zero
+    shuffle, reproducible across engines (identical integer arithmetic
+    in numpy uint64 and DuckDB BIGINT)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((did * np.uint64(2654435761)) % np.uint64(4294967296)) \
+            % np.uint64(10000)
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        rate = np.full(len(lang), SAMPLE_DEFAULT_BP, np.uint64)
+        for lg, bp in SAMPLE_RATE_BP.items():
+            rate[lang == lg] = bp
+        keep = pa.array(h < rate)
+        out = b.filter(keep)
+        return pa.table({
+            "doc_id": pc.cast(out["doc_id"], pa.int64()),
+            "lang": out["lang"],
+            "n_chars": pc.cast(out["n_chars"], pa.int64()),
+        })
+
+    return docs.map_batches(sample, batch_format="pyarrow")
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT all-pairs n-gram Jaccard ≥ 0.5 — no sketches: the
+    prefix-filter inverted-index self-join (stages/text.py:
+    jaccard_near_dup_exact). Same ground truth as minhash_pairs but a
+    fundamentally different (exact) algorithm; the two queries
+    cross-validate each other."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text_stage.jaccard_near_dup_exact(docs, threshold=0.5)
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF-probed approximate ANN (scale path) — rows-only (approximate by
     design; recall vs brute force asserted in pytest)."""
@@ -802,6 +915,10 @@ QUERIES = {
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "sample_corpus": q_sample_corpus,
+    "jaccard_pairs": q_jaccard_pairs,
     "ann_ivf": q_ann_ivf,
     "embedding_dedup": q_embedding_dedup,
     "global_bbox": q_global_bbox,
@@ -952,6 +1069,32 @@ WITH w AS (
 SELECT event_type, CAST(window_start AS TIMESTAMP) AS window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM w GROUP BY event_type, window_start""",
+    "events_asof": """
+SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+       CAST(ROUND(v.value * 1000) AS BIGINT) AS view_value_milli
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts""",
+    "top_docs_per_lang": f"""
+SELECT lang, doc_id, n_chars, rnk FROM (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+  FROM documents)
+WHERE rnk <= {TOPK_PER_LANG}""",
+    "sample_corpus": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 10000
+      < CASE WHEN lang = 'en' THEN {SAMPLE_RATE_BP['en']}
+             ELSE {SAMPLE_DEFAULT_BP} END""",
+    # same independent ground truth as minhash_pairs: exact scalar
+    # all-pairs n-gram Jaccard (oracle/expected.py) — jaccard_pairs is the
+    # exact prefix-filter algorithm, so it must reproduce it identically
+    "jaccard_pairs":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/minhash_pairs.parquet')",
     "events_sessions": """
 WITH marked AS (
   SELECT user_id, ts, value,

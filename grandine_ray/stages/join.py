@@ -503,3 +503,85 @@ def bbox_join(features_ds, target_ids, target_bboxes, concurrency=(1, 4)):
         BBoxJoiner, fn_constructor_args=(ref,), batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------------- as-of join
+
+
+def asof_join(left_ds, right_ds, by: str, on: str,
+              left_cols: list[str], right_cols: list[str],
+              num_partitions: int = 32):
+    """Distributed LEFT as-of join: for every left row, attach the right
+    row with the greatest ``on`` value ≤ the left row's ``on``, within the
+    same ``by`` group (DuckDB ``ASOF LEFT JOIN`` semantics, inclusive).
+
+    Shape: ONE hash shuffle on ``by`` (both sides union-tagged, partition
+    = hash(by) % P), then a single block-vectorized merge pass per
+    partition — lexsort by (by, on, side) with right rows first at equal
+    ``on``, a running maximum of right-row indices, and a group-membership
+    check instead of explicit per-group resets (stale carries from the
+    previous ``by`` group are masked by one vectorized equality test).
+    No per-group Python, no driver materialization; right-side ties on
+    (by, on) resolve to the largest right ordinal (deterministic given
+    unique right keys).
+    """
+    P = num_partitions
+    lcols = [c for c in left_cols if c not in (by, on)]
+    rcols = [c for c in right_cols if c not in (by, on)]
+
+    def tag(side: int, carry: list[str], other: list[str], other_types):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            byv = b[by].to_numpy(zero_copy_only=False)
+            cols = {
+                by: b[by],
+                on: b[on],
+                "_side": pa.array(np.full(n, side, np.int8), pa.int8()),
+                "_part": pa.array((byv.astype(np.uint64) % np.uint64(P))
+                                  .astype(np.int32), pa.int32()),
+            }
+            for c in carry:
+                cols[f"_{side}_{c}"] = b[c]
+            for c in other:
+                cols[f"_{1 - side}_{c}"] = pa.nulls(n, other_types[c])
+            return pa.table(cols)
+        return fn
+
+    def _types(ds):
+        s = ds.schema()
+        return dict(zip(s.names, s.types))
+
+    lschema = _types(left_ds)
+    rschema = _types(right_ds)
+    unioned = left_ds.map_batches(
+        tag(1, lcols, rcols, rschema), batch_format="pyarrow"
+    ).union(right_ds.map_batches(
+        tag(0, rcols, lcols, lschema), batch_format="pyarrow"))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        byv = t[by].to_numpy(zero_copy_only=False)
+        onv = t[on].to_numpy(zero_copy_only=False)
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        n = len(byv)
+        order = np.lexsort((side, onv, byv))  # right(0) before left(1)
+        by_s, side_s = byv[order], side[order]
+        is_right = side_s == 0
+        mark = np.where(is_right, np.arange(n), -1)
+        last_right = np.maximum.accumulate(mark)
+        lrows = np.nonzero(~is_right)[0]
+        match = last_right[lrows]
+        ok = (match >= 0) & (by_s[np.maximum(match, 0)] == by_s[lrows])
+        lorig = order[lrows]
+        rorig = order[np.maximum(match, 0)]
+        lt = t.take(pa.array(lorig))
+        cols = {by: lt[by], on: lt[on]}
+        for c in lcols:
+            cols[c] = lt[f"_1_{c}"]
+        okpa = pa.array(ok)
+        for c in rcols:
+            matched = t[f"_0_{c}"].take(pa.array(rorig))
+            cols[f"right_{c}"] = pc.if_else(okpa, matched,
+                                            pa.nulls(len(ok), matched.type))
+        return pa.table(cols)
+
+    return unioned.groupby("_part").map_groups(resolve, batch_format="pyarrow")

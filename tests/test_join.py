@@ -371,3 +371,40 @@ def test_ivf_search_all_probed_lists_empty(tmp_path, ray_session):
     out = ivf_search(str(idx_dir), [0], np.ones((1, 8)), k=5, nprobe=2)
     rows = out.take_all()
     assert rows == []
+
+
+def test_asof_join_semantics(ray_session):
+    """LEFT as-of inclusive semantics: latest right.ts <= left.ts per key;
+    no prior right row -> nulls; equal timestamps match; stale rows from a
+    previous key must not leak across key boundaries."""
+    import pandas as pd
+    import ray.data as rd
+
+    from grandine_ray.stages.join import asof_join
+
+    left = pd.DataFrame({
+        "user_id": [1, 1, 2, 3, 3],
+        "ts": [10, 25, 5, 7, 8],
+        "event_id": [100, 101, 102, 103, 104],
+    })
+    right = pd.DataFrame({
+        "user_id": [1, 1, 2, 9],
+        "ts": [10, 20, 6, 1],
+        "event_id": [200, 201, 202, 203],
+        "value": [1.5, 2.5, 3.5, 9.9],
+    })
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        by="user_id", on="ts",
+        left_cols=["event_id"], right_cols=["event_id", "value"],
+        num_partitions=4,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # 100: ts=10 matches right ts=10 (inclusive); 101: ts=25 -> ts=20
+    # 102: ts=5 < all right ts for user 2 -> null (and user 9's ts=1 row
+    # must NOT leak); 103/104: user 3 has no right rows -> null
+    assert out["event_id"].tolist() == [100, 101, 102, 103, 104]
+    got = out["right_event_id"].tolist()
+    assert got[0] == 200 and got[1] == 201
+    assert pd.isna(got[2]) and pd.isna(got[3]) and pd.isna(got[4])
+    assert out["right_value"].tolist()[0] == 1.5
+    assert out["right_value"].tolist()[1] == 2.5

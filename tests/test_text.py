@@ -171,3 +171,56 @@ def test_dedup_clusters_known_graph(ray_session):
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_jaccard_exact_matches_bruteforce_both_paths(ray_session):
+    """The prefix-filter inverted-index join must reproduce brute-force
+    all-pairs n-gram Jaccard exactly, through BOTH verify paths
+    (broadcast signature payload and partitioned blob joins)."""
+    import ray.data as rd
+
+    base = "large scale training data pipelines need deduplication " * 6
+    texts = [
+        base,
+        base.replace("data", "info"),                  # near-dup of 0
+        base + " with an extra suffix sentence",       # near-dup of 0
+        "completely different content about tiles " * 6,
+        "another unrelated document on encoders " * 6,
+        "short",
+        "short",                                       # exact dup of 5
+    ]
+    ids = list(range(len(texts)))
+    # brute force ground truth
+    expected = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if text.jaccard(texts[i], texts[j]) >= 0.5:
+                expected.add((i, j))
+    assert (0, 1) in expected and (5, 6) in expected
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    for mode in ("broadcast", "partitioned"):
+        out = text.jaccard_near_dup_exact(
+            docs, threshold=0.5, num_partitions=4, force=mode)
+        got = {(r["doc_a"], r["doc_b"]) for r in out.take_all()}
+        assert got == expected, mode
+
+
+def test_jaccard_exact_jaccard_values_match_scalar(ray_session):
+    """Co-count/(|A|+|B|-co) from signature blobs must equal the scalar
+    jaccard() helper to 4 decimals."""
+    import ray.data as rd
+
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    b = a.replace("delta", "kappa")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([a, b], pa.string()),
+    }))
+    out = text.jaccard_near_dup_exact(docs, threshold=0.0).take_all()
+    pair = [r for r in out if r["doc_a"] == 1 and r["doc_b"] == 2]
+    assert len(pair) == 1
+    assert pair[0]["jaccard"] == round(text.jaccard(a, b), 4)
