@@ -892,6 +892,208 @@ def q_media_features(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+# ----------------------------------------- relational / statistics queries
+
+
+def q_token_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles (p25/p50/p75/p95) via a
+    value-count histogram shuffle (stages/stats.py) — the rows never move,
+    only the (lang, n_tokens, count) histogram does. Oracled by DuckDB
+    quantile_disc (same discrete-rank semantics, asserted in pytest)."""
+    from ..stages import stats as stats_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+    toks = docs.map_batches(text_stage.token_counter_batch,
+                            batch_format="pyarrow")
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"],
+            "n_tokens_ws": pc.cast(b["n_tokens_ws"], pa.int64()),
+        })
+
+    slimmed = toks.map_batches(slim, batch_format="pyarrow")
+    return stats_stage.group_quantiles(
+        slimmed, "lang", "n_tokens_ws",
+        [0.25, 0.5, 0.75, 0.95], ["p25", "p50", "p75", "p95"])
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact daily distinct-user counts: block-local pair dedup → one pair
+    shuffle → tiny per-day count (stages/stats.py). The HLL register path
+    (q_distinct_users_approx) is the one-pass scale alternative."""
+    from ..stages import stats as stats_stage
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        d = ts.astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({
+            "day": pa.array(d),
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+        })
+
+    return stats_stage.distinct_count_exact(
+        ev.map_batches(day, batch_format="pyarrow"), "day", "user_id")
+
+
+def q_distinct_users_approx(sf_dir: str):
+    """HyperLogLog daily distinct users (p=12, ~1.6% rel. error) — the
+    registers-only one-pass path; approximate by design, so rows-only at
+    the driver gate (accuracy asserted vs exact counts in pytest)."""
+    from ..stages import stats as stats_stage
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        d = ts.astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({
+            "day": pa.array(d),
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+        })
+
+    return stats_stage.distinct_count_hll(
+        ev.map_batches(day, batch_format="pyarrow"), "day", "user_id")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-table star join (lineitem ⋈ orders ⋈ customer ⋈ nation) with
+    per-block partial aggregation before EVERY shuffle: lineitem collapses
+    to (orderkey, cents) per block, the order join output collapses to
+    (custkey, cents) per block, and only the 25-row nation map is
+    broadcast. Revenue is integer cents (floor(x·100 + 0.5) per row, same
+    rule in the SQL) so the sum is order-independent and exact."""
+    from ..stages import relational
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok_s, cents_s = ok[order], cents[order]
+        starts = np.ones(len(ok_s), bool)
+        starts[1:] = ok_s[1:] != ok_s[:-1]
+        idx = np.nonzero(starts)[0]
+        return pa.table({
+            "okey": pa.array(ok_s[idx], pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents_s, idx), pa.int64()),
+        })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def ord_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": pc.cast(b["o_orderkey"], pa.int64()),
+            "custkey": pc.cast(b["o_custkey"], pa.int64()),
+        })
+
+    j1 = relational.hash_join_i64(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders.map_batches(ord_slim, batch_format="pyarrow"),
+        key="okey",
+        left_carry={"cents": pa.int64()},
+        right_carry={"custkey": pa.int64()})
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        ck = b["custkey"].to_numpy(zero_copy_only=False)
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck_s, cents_s = ck[order], cents[order]
+        starts = np.ones(len(ck_s), bool)
+        starts[1:] = ck_s[1:] != ck_s[:-1]
+        idx = np.nonzero(starts)[0]
+        return pa.table({
+            "custkey": pa.array(ck_s[idx], pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents_s, idx), pa.int64()),
+        })
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def cust_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+        })
+
+    j2 = relational.hash_join_i64(
+        j1.map_batches(cust_partial, batch_format="pyarrow"),
+        cust.map_batches(cust_slim, batch_format="pyarrow"),
+        key="custkey",
+        left_carry={"cents": pa.int64()},
+        right_carry={"nationkey": pa.int64()})
+
+    from ray.data.aggregate import Sum
+
+    agg = j2.groupby("nationkey").aggregate(Sum("cents",
+                                                alias_name="revenue_cents"))
+
+    # nation is a 25-row dimension: a genuine broadcast-small-side
+    import pyarrow.parquet as pq
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist()))
+
+    def name(b: pa.Table) -> pa.Table:
+        nk = b["nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([nmap[int(k)] for k in nk], pa.string()),
+            "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(name, batch_format="pyarrow")
+
+
+def q_events_intervals(sf_dir: str):
+    """Non-equi interval join (stages/relational.py): every event falling
+    inside any fixture interval ([anchor ts, +45 min), anchors = every
+    211th event). Bucketed band join — the shuffle key is the 30-min time
+    bucket; intervals replicate only to buckets they overlap."""
+    from ..stages import relational
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def mk_intervals(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        keep = (eid % 211) == 0
+        ts = b["ts"].to_numpy(zero_copy_only=False)[keep] \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "interval_id": pa.array(eid[keep], pa.int64()),
+            "t0": pa.array(ts, pa.int64()),
+            "t1": pa.array(ts + 45 * 60 * 1_000_000, pa.int64()),
+        })
+
+    intervals = ev.map_batches(mk_intervals, batch_format="pyarrow")
+    out = relational.interval_join(
+        ev, "ts",
+        {"event_id": pa.int64(), "user_id": pa.int64()},
+        intervals, "interval_id", "t0", "t1",
+        bucket_us=30 * 60 * 1_000_000)
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "interval_id": pc.cast(b["interval_id"], pa.int64()),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+        })
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_features": q_extract_features,
     "tile_coverage": q_tile_coverage,
@@ -925,6 +1127,11 @@ QUERIES = {
     "simplify": q_simplify,
     "raster_stats": q_raster_stats,
     "media_features": q_media_features,
+    "token_quantiles": q_token_quantiles,
+    "distinct_users": q_distinct_users,
+    "distinct_users_approx": q_distinct_users_approx,
+    "revenue_by_nation": q_revenue_by_nation,
+    "events_intervals": q_events_intervals,
 }
 
 
@@ -1274,4 +1481,39 @@ canon AS (
 )
 SELECT doc_id, doc_len, n_tokens_ws
 FROM canon WHERE doc_id = keep_doc""",
+    "token_quantiles": r"""
+WITH t AS (
+  SELECT lang,
+         CAST(CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+              AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(quantile_disc(n, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(n, 0.95) AS BIGINT) AS p95
+FROM t GROUP BY lang""",
+    "distinct_users": """
+SELECT date_trunc('day', ts) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1""",
+    "revenue_by_nation": """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+    "events_intervals": """
+WITH iv AS (
+  SELECT event_id AS interval_id, ts AS t0,
+         ts + INTERVAL 45 MINUTE AS t1
+  FROM events WHERE event_id % 211 = 0
+)
+SELECT iv.interval_id, e.event_id, CAST(e.user_id AS BIGINT) AS user_id
+FROM events e JOIN iv ON e.ts >= iv.t0 AND e.ts < iv.t1""",
 }

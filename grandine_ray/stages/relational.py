@@ -1,0 +1,196 @@
+"""General-purpose distributed joins over Ray Data datasets.
+
+``hash_join_i64`` is the repo's union + part-groupby + searchsorted
+equi-join (the pattern from pipelines/spatialize.py and
+stages/text.py:_attach_text) generalized to arbitrary carry columns:
+both sides are tagged with a hash partition (key % P) and a side marker,
+unioned into ONE shuffle, and each partition resolves matches with a
+single sort + searchsorted — no driver collection, no Ray
+``Dataset.join`` (whose 2.49 hash aggregator raises ArrowInvalid on
+empty left partitions and reserves num_partitions×num_cpus CPUs,
+deadlocking multi-join graphs — see CLAUDE.md round-2 pitfalls).
+
+``interval_join`` is the non-equi band join (event.ts ∈ [t0, t1)):
+intervals are replicated to every time bucket they overlap (clipped, so
+an output pair materializes in exactly one bucket) and events land in
+their own bucket; within a bucket the join is one sort of the event
+timestamps + two searchsorted probes per interval. Scale shape: the
+shuffle key is the time bucket — pick ``bucket_us`` near the median
+interval length so replication stays O(1) per interval; skewed hot
+buckets shard further by the interval id hash if needed.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _np(col):
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _ts_us(col) -> np.ndarray:
+    v = _np(col)
+    if v.dtype.kind == "M":
+        return v.astype("datetime64[us]").astype(np.int64)
+    return v.astype(np.int64)
+
+
+# ------------------------------------------------------------ hash join
+
+
+def hash_join_i64(left, right, key: str,
+                  left_carry: dict[str, pa.DataType],
+                  right_carry: dict[str, pa.DataType],
+                  P: int = 32, how: str = "inner"):
+    """Distributed equi-join on an int64 key.
+
+    ``right`` must have UNIQUE keys (dimension-side contract — asserted
+    per partition). Carry dicts give the attached column types so no
+    schema inference ever executes a dataset. Returns columns
+    ``[key] + left_carry + right_carry``; ``how="left"`` keeps unmatched
+    left rows with nulls in the right carry.
+    """
+    all_carry = list(left_carry) + list(right_carry)
+    types = {**left_carry, **right_carry}
+
+    def tag(side: int, own: dict[str, pa.DataType]):
+        def fn(b: pa.Table) -> pa.Table:
+            k = _np(b[key]).astype(np.int64)
+            n = len(k)
+            cols = {"_key": pa.array(k, pa.int64())}
+            for c in all_carry:
+                cols[c] = (b[c] if c in own else pa.nulls(n, types[c]))
+            cols["_side"] = pa.array(np.full(n, side, np.int8), pa.int8())
+            cols["_part"] = pa.array((k % P).astype(np.int32), pa.int32())
+            return pa.table(cols)
+        return fn
+
+    unioned = left.map_batches(tag(0, left_carry), batch_format="pyarrow") \
+        .union(right.map_batches(tag(1, right_carry),
+                                 batch_format="pyarrow"))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        side = _np(t["_side"])
+        keys = _np(t["_key"])
+        lmask = side == 0
+        lk = keys[lmask]
+        rk = keys[~lmask]
+        order = np.argsort(rk, kind="stable")
+        rk_s = rk[order]
+        if len(rk_s) > 1 and np.any(rk_s[1:] == rk_s[:-1]):
+            raise ValueError("hash_join_i64: right side keys not unique")
+        pos = np.searchsorted(rk_s, lk) if len(rk_s) else np.zeros(len(lk), np.int64)
+        safe = np.minimum(pos, max(len(rk_s) - 1, 0))
+        hit = (rk_s[safe] == lk) if len(rk_s) else np.zeros(len(lk), bool)
+        l_idx = np.nonzero(lmask)[0]
+        r_idx = np.nonzero(~lmask)[0]
+        if how == "inner":
+            out_l = l_idx[hit]
+            out_r = r_idx[order[safe[hit]]]
+            cols = {key: pa.array(lk[hit], pa.int64())}
+            take_l = pa.array(out_l)
+            take_r = pa.array(out_r)
+            for c in left_carry:
+                cols[c] = t[c].take(take_l)
+            for c in right_carry:
+                cols[c] = t[c].take(take_r)
+        else:  # left
+            cols = {key: pa.array(lk, pa.int64())}
+            take_l = pa.array(l_idx)
+            r_of = np.where(hit, r_idx[order[safe]] if len(rk_s)
+                            else 0, -1).astype(np.int64)
+            take_r = pa.array(np.where(r_of >= 0, r_of, 0))
+            for c in left_carry:
+                cols[c] = t[c].take(take_l)
+            for c in right_carry:
+                col = t[c].take(take_r)
+                cols[c] = pc.if_else(pa.array(hit), col,
+                                     pa.nulls(len(lk), types[c]))
+        return pa.table(cols)
+
+    return unioned.groupby("_part").map_groups(resolve,
+                                               batch_format="pyarrow")
+
+
+# --------------------------------------------------------- interval join
+
+
+def interval_join(left, ts_col: str, left_carry: dict[str, pa.DataType],
+                  intervals, id_col: str, t0_col: str, t1_col: str,
+                  bucket_us: int):
+    """Inner band join: one output row per (interval, left row) with
+    left.ts in [t0, t1). Timestamp columns may be timestamp[us] or int64
+    microseconds. Returns [id_col] + left_carry (+ ``ts_col``)."""
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b[ts_col])
+        n = len(ts)
+        cols = {
+            "_bucket": pa.array(ts // bucket_us, pa.int64()),
+            "_t0": pa.array(ts, pa.int64()),
+            "_t1": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "_side": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }
+        for c in left_carry:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        t0 = _ts_us(b[t0_col])
+        t1 = _ts_us(b[t1_col])
+        iid = _np(b[id_col]).astype(np.int64)
+        b0 = t0 // bucket_us
+        b1 = np.maximum((t1 - 1) // bucket_us, b0)
+        cnts = (b1 - b0 + 1).astype(np.int64)
+        total = int(cnts.sum())
+        offs = np.cumsum(cnts) - cnts
+        rel = np.arange(total, dtype=np.int64) - np.repeat(offs, cnts)
+        bucket = np.repeat(b0, cnts) + rel
+        # clip the interval to its bucket so each (interval, event) pair
+        # materializes in exactly one bucket (the event's own)
+        ct0 = np.maximum(np.repeat(t0, cnts), bucket * bucket_us)
+        ct1 = np.minimum(np.repeat(t1, cnts), (bucket + 1) * bucket_us)
+        cols = {
+            "_bucket": pa.array(bucket, pa.int64()),
+            "_t0": pa.array(ct0, pa.int64()),
+            "_t1": pa.array(ct1, pa.int64()),
+            "_id": pa.array(np.repeat(iid, cnts), pa.int64()),
+            "_side": pa.array(np.ones(total, np.int8), pa.int8()),
+        }
+        for c, typ in left_carry.items():
+            cols[c] = pa.nulls(total, typ)
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow"))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        side = _np(t["_side"])
+        ev = np.nonzero(side == 0)[0]
+        iv = np.nonzero(side == 1)[0]
+        ets = _np(t["_t0"])[ev]
+        order = np.argsort(ets, kind="stable")
+        ets_s = ets[order]
+        lo = np.searchsorted(ets_s, _np(t["_t0"])[iv], side="left")
+        hi = np.searchsorted(ets_s, _np(t["_t1"])[iv], side="left")
+        cnts = (hi - lo).astype(np.int64)
+        nz = cnts > 0
+        cnts = cnts[nz]
+        total = int(cnts.sum())
+        offs = np.cumsum(cnts) - cnts
+        rel = np.arange(total, dtype=np.int64) - np.repeat(offs, cnts)
+        ev_pos = np.repeat(lo[nz], cnts) + rel
+        take_ev = pa.array(ev[order[ev_pos]])
+        cols = {
+            id_col: pa.array(np.repeat(_np(t["_id"])[iv][nz], cnts),
+                             pa.int64()),
+        }
+        for c in left_carry:
+            cols[c] = t[c].take(take_ev)
+        return pa.table(cols)
+
+    return unioned.groupby("_bucket").map_groups(resolve,
+                                                 batch_format="pyarrow")

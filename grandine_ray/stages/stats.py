@@ -1,0 +1,194 @@
+"""Distributed statistics stages: exact group quantiles via value-count
+histograms, exact distinct counts, and a HyperLogLog sketch scale path.
+
+Scale shapes (the 100-TB contract):
+
+* ``group_quantiles``: the shuffle payload is the per-(group, value)
+  HISTOGRAM, never the rows — a per-batch ``np.unique`` pre-aggregate
+  collapses each block to its distinct (group, value) pairs before the
+  groupby, so the all-to-all moves O(groups × distinct-values) rows.
+  Exact for any discrete value column (token counts, lengths, ranks);
+  for continuous doubles quantize first or use a sketch.
+* ``distinct_count_exact``: classic two-stage — dedup shuffle on the
+  (group, value) pair (pre-deduped per block), then a tiny per-group
+  count. The first shuffle is the honest cost of exactness.
+* ``distinct_count_hll``: one pass, no pair shuffle — each block emits
+  per-group partial HLL registers (2^p bytes) and only registers merge
+  in the groupby. The documented approximate path when the pair shuffle
+  is too expensive (billions of distinct values per group).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# --------------------------------------------------------------- quantiles
+
+
+def _pair_counts(batch: pa.Table, group_col: str, value_col: str) -> pa.Table:
+    """Per-block (group, value, n) partial histogram (np.unique combiner)."""
+    g = batch[group_col]
+    v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # dictionary-encode the group column so the unique pass is numeric
+    enc = pc.dictionary_encode(g.combine_chunks()
+                               if isinstance(g, pa.ChunkedArray) else g)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (codes << np.int64(44)) | (v & np.int64((1 << 44) - 1))
+    uniq, counts = np.unique(key, return_counts=True)
+    u_codes = (uniq >> np.int64(44)).astype(np.int64)
+    u_vals = (uniq & np.int64((1 << 44) - 1)).astype(np.int64)
+    return pa.table({
+        group_col: enc.dictionary.take(pa.array(u_codes, pa.int64())),
+        value_col: pa.array(u_vals, pa.int64()),
+        "n": pa.array(counts.astype(np.int64), pa.int64()),
+    })
+
+
+def quantile_disc_sorted(values: np.ndarray, weights: np.ndarray,
+                         q: float) -> int:
+    """DuckDB ``quantile_disc`` semantics over a weighted sorted histogram:
+    the element at 1-based rank ``ceil(q·n)`` (clamped to [1, n])."""
+    n = int(weights.sum())
+    rank = min(max(int(np.ceil(q * n)), 1), n)
+    cum = np.cumsum(weights)
+    return int(values[np.searchsorted(cum, rank, side="left")])
+
+
+def group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
+                    out_names: list[str]):
+    """Exact discrete quantiles of ``value_col`` per ``group_col``.
+
+    Values must be non-negative integers < 2^44 (token counts, lengths).
+    Returns one row per group: (group_col, n_rows, *out_names).
+    """
+    from ray.data.aggregate import Sum
+
+    hist = ds.map_batches(
+        lambda b: _pair_counts(b, group_col, value_col),
+        batch_format="pyarrow",
+    ).groupby([group_col, value_col]).aggregate(Sum("n", alias_name="n"))
+
+    def final(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        w = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cols = {
+            group_col: t[group_col].slice(0, 1),
+            "n_rows": pa.array([int(w.sum())], pa.int64()),
+        }
+        for q, name in zip(qs, out_names):
+            cols[name] = pa.array([quantile_disc_sorted(v, w, q)], pa.int64())
+        return pa.table(cols)
+
+    return hist.groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- distinct count
+
+
+def distinct_count_exact(ds, group_col: str, value_col: str,
+                         out_name: str = "n_distinct"):
+    """Exact COUNT(DISTINCT value) per group: per-block pair dedup →
+    pair-dedup shuffle → tiny per-group count."""
+    from ray.data.aggregate import Count
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      value_col: batch[value_col]})
+        # block-local dedup before the shuffle (the combiner)
+        return t.group_by([group_col, value_col]).aggregate([])
+
+    uniq = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby([group_col, value_col]).aggregate(Count(alias_name="_n"))
+    agg = uniq.groupby(group_col).aggregate(Count(alias_name=out_name))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({group_col: b[group_col],
+                         out_name: pc.cast(b[out_name], pa.int64())})
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(int(np.log2(m)), 0.7213 / (1 + 1.079 / m))
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — deterministic 64-bit avalanche."""
+    x = x.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """HLL registers (uint8[2^p]) for one block of int64 values."""
+    m = 1 << p
+    h = _mix64(values.astype(np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # rank = leading zeros of the remaining 64-p bits, + 1
+    rank = np.zeros(len(h), np.uint8)
+    bits = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = bits < (np.uint64(1) << np.uint64(64 - shift))
+        rank[mask] += shift
+        bits[mask] <<= np.uint64(shift)
+    rank += 1
+    regs = np.zeros(m, np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimate with the small-range linear-counting fix."""
+    m = len(regs)
+    est = _hll_alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def distinct_count_hll(ds, group_col: str, value_col: str, p: int = 12,
+                       out_name: str = "n_distinct_est"):
+    """Approximate COUNT(DISTINCT) per group — one pass, registers-only
+    shuffle (each block contributes one 2^p-byte register row per group
+    it has seen; the groupby merges registers with element-wise max)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        enc = pc.dictionary_encode(g.combine_chunks()
+                                   if isinstance(g, pa.ChunkedArray) else g)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, regs = [], []
+        for c in np.unique(codes):
+            keys.append(int(c))
+            regs.append(hll_partial(v[codes == c], p).tobytes())
+        return pa.table({
+            group_col: enc.dictionary.take(pa.array(keys, pa.int64())),
+            "_regs": pa.array(regs, pa.binary()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        blobs = t["_regs"].to_pylist()
+        regs = np.frombuffer(b"".join(blobs), np.uint8).reshape(len(blobs), -1)
+        merged = regs.max(axis=0)
+        return pa.table({
+            group_col: t[group_col].slice(0, 1),
+            out_name: pa.array([int(round(hll_estimate(merged)))], pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(merge, batch_format="pyarrow")

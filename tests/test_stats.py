@@ -1,0 +1,144 @@
+"""Statistics stages: exact group quantiles (DuckDB quantile_disc
+semantics), exact + HLL distinct counts, generic hash join, interval join."""
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from grandine_ray.stages import relational
+from grandine_ray.stages import stats
+
+
+# ------------------------------------------------ quantile_disc semantics
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 10, 97])
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.75, 0.95, 1.0])
+def test_quantile_disc_matches_duckdb(n, q):
+    rng = np.random.default_rng(n * 1000 + int(q * 100))
+    vals = rng.integers(0, 20, n).astype(np.int64)
+    got = stats.quantile_disc_sorted(*_hist(vals), q)
+    want = duckdb.sql(
+        f"SELECT quantile_disc(x, {q}) FROM (SELECT UNNEST({vals.tolist()}) x)"
+    ).fetchone()[0]
+    assert got == want
+
+
+def _hist(vals):
+    u, c = np.unique(vals, return_counts=True)
+    return u, c
+
+
+def test_group_quantiles_dataset(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    g = rng.choice(["a", "b", "c"], 5000)
+    v = rng.integers(0, 300, 5000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(8)
+    out = stats.group_quantiles(ds, "g", "v", [0.5, 0.9], ["p50", "p90"])
+    got = {r["g"]: (r["n_rows"], r["p50"], r["p90"]) for r in out.take_all()}
+    for grp in "abc":
+        sel = np.sort(v[g == grp])
+        n = len(sel)
+        exp = tuple(int(sel[min(max(int(np.ceil(q * n)), 1), n) - 1])
+                    for q in (0.5, 0.9))
+        assert got[grp] == (n, *exp)
+
+
+# ------------------------------------------------------- distinct counts
+
+
+def test_distinct_exact_and_hll(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    g = rng.choice(["x", "y"], 20000)
+    v = rng.integers(0, 2500, 20000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(6)
+    exact = {r["g"]: r["n_distinct"]
+             for r in stats.distinct_count_exact(ds, "g", "v").take_all()}
+    truth = {grp: len(np.unique(v[g == grp])) for grp in "xy"}
+    assert exact == truth
+    est = {r["g"]: r["n_distinct_est"]
+           for r in stats.distinct_count_hll(ds, "g", "v").take_all()}
+    for grp in "xy":
+        assert abs(est[grp] - truth[grp]) / truth[grp] < 0.06
+
+
+def test_hll_merge_equals_single_pass():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 10**12, 5000)
+    b = rng.integers(0, 10**12, 5000)
+    merged = np.maximum(stats.hll_partial(a), stats.hll_partial(b))
+    single = stats.hll_partial(np.concatenate([a, b]))
+    assert np.array_equal(merged, single)
+
+
+# ------------------------------------------------------------- hash join
+
+
+def _join_fixture():
+    rng = np.random.default_rng(5)
+    lk = rng.integers(0, 50, 400).astype(np.int64)
+    lval = rng.integers(0, 1000, 400).astype(np.int64)
+    rk = np.unique(rng.integers(0, 60, 45)).astype(np.int64)
+    rval = (rk * 7 + 1).astype(np.int64)
+    return lk, lval, rk, rval
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hash_join_vs_duckdb(ray_session, how):
+    import ray.data as rd
+
+    lk, lval, rk, rval = _join_fixture()
+    left = rd.from_arrow(pa.table({"k": lk, "lv": lval})).repartition(4)
+    right = rd.from_arrow(pa.table({"k": rk, "rv": rval})).repartition(3)
+    out = relational.hash_join_i64(
+        left, right, "k", {"lv": pa.int64()}, {"rv": pa.int64()},
+        P=7, how=how).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    con = duckdb.connect()
+    con.register("l", pa.table({"k": lk, "lv": lval}))
+    con.register("r", pa.table({"k": rk, "rv": rval}))
+    kw = "JOIN" if how == "inner" else "LEFT JOIN"
+    want = sorted(con.execute(
+        f"SELECT l.k, lv, rv FROM l {kw} r ON l.k = r.k").fetchall())
+    assert got == want
+
+
+def test_hash_join_rejects_dup_right(ray_session):
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({"k": [1], "lv": [0]}))
+    right = rd.from_arrow(pa.table({"k": [1, 1], "rv": [2, 3]}))
+    with pytest.raises(Exception, match="not unique"):
+        relational.hash_join_i64(
+            left, right, "k", {"lv": pa.int64()}, {"rv": pa.int64()},
+            P=2).take_all()
+
+
+# --------------------------------------------------------- interval join
+
+
+@pytest.mark.parametrize("bucket_us", [500, 1700, 10_000])
+def test_interval_join_bruteforce(ray_session, bucket_us):
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    ts = np.sort(rng.integers(0, 100_000, 800)).astype(np.int64)
+    eid = np.arange(800, dtype=np.int64)
+    t0 = rng.integers(0, 100_000, 30).astype(np.int64)
+    ln = rng.integers(1, 9_000, 30).astype(np.int64)
+    t1 = t0 + ln
+    iid = np.arange(30, dtype=np.int64)
+    left = rd.from_arrow(pa.table({"ts": ts, "event_id": eid})).repartition(5)
+    iv = rd.from_arrow(pa.table({"iid": iid, "t0": t0, "t1": t1}))
+    out = relational.interval_join(
+        left, "ts", {"event_id": pa.int64()},
+        iv, "iid", "t0", "t1", bucket_us=bucket_us).take_all()
+    got = sorted((r["iid"], r["event_id"]) for r in out)
+    want = sorted((int(i), int(e))
+                  for i in iid for e in eid
+                  if t0[i] <= ts[e] < t1[i])
+    assert got == want
