@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v4"  # v4: S2 cells switched Morton -> Hilbert ordering
+_VERSION = "v5"  # v5: +decontaminate / pack_sequences / gopher_quality
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -422,6 +422,102 @@ def expected_media_features(corpus_dir) -> pa.Table:
     })
 
 
+def _word_ngrams(text: str, n: int) -> set:
+    words = _WS.sub(" ", (text or "").lower()).strip().split(" ")
+    if words == [""]:
+        words = []
+    return {tuple(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+
+def expected_decontaminate(docs_parquet, n=4, mod=23) -> pa.Table:
+    """String-tuple-set decontamination ground truth: benchmark docs are
+    doc_id % mod == 0; a training doc's n_hits is the size of the
+    intersection of its DISTINCT word-n-gram set with the union of all
+    benchmark docs' n-grams. Only contaminated docs appear."""
+    ids, texts = _doc_texts(docs_parquet)
+    bench = set()
+    for i, t in zip(ids, texts):
+        if i % mod == 0:
+            bench |= _word_ngrams(t, n)
+    d_l, h_l = [], []
+    for i, t in zip(ids, texts):
+        if i % mod == 0:
+            continue
+        hits = len(_word_ngrams(t, n) & bench)
+        if hits:
+            d_l.append(i)
+            h_l.append(hits)
+    return pa.table({
+        "doc_id": pa.array(d_l, pa.int64()),
+        "n_hits": pa.array(h_l, pa.int64()),
+    })
+
+
+def expected_pack_sequences(docs_parquet, budget=256, shard=100) -> pa.Table:
+    """Pure-Python greedy first-fit-in-order packer, restarted at fixed
+    shard boundaries (doc_id // shard); oversized docs get their own
+    pack; pack_id = shard_index * 1e6 + local pack ordinal."""
+    ids, texts = _doc_texts(docs_parquet)
+    toks = {i: (len(t.split()) if t.strip() else 0)
+            for i, t in zip(ids, texts)}
+    rows = []
+    by_shard: dict = {}
+    for i in sorted(ids):
+        by_shard.setdefault(i // shard, []).append(i)
+    for sh, members in sorted(by_shard.items()):
+        local = 0
+        acc = 0
+        pos = 0
+        for i in members:
+            t = toks[i]
+            if pos > 0 and acc + t > budget:
+                local += 1
+                acc, pos = 0, 0
+            rows.append((i, sh * 1_000_000 + local, pos, t))
+            acc += t
+            pos += 1
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "pack_id": pa.array([r[1] for r in rows], pa.int64()),
+        "pack_pos": pa.array([r[2] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def expected_gopher_quality(docs_parquet) -> pa.Table:
+    """collections.Counter reimplementation of the repetition signals:
+    n_words, floor(unique/total * 1e6 + 0.5), floor(top-2-gram/total
+    2-grams * 1e6 + 0.5), and the keep verdict (>=15 words, unique frac
+    >= 0.30, top-2-gram frac <= 0.20)."""
+    from collections import Counter
+
+    ids, texts = _doc_texts(docs_parquet)
+    d_l, w_l, u_l, t_l, k_l = [], [], [], [], []
+    for i, t in zip(ids, texts):
+        words = _WS.sub(" ", (t or "").lower()).strip().split(" ")
+        if words == [""]:
+            words = []
+        n = len(words)
+        uniq = len(set(words))
+        grams = [tuple(words[j:j + 2]) for j in range(n - 1)]
+        top = max(Counter(grams).values()) if grams else 0
+        um = math.floor(uniq / n * 1e6 + 0.5) if n else 0
+        tm = math.floor(top / len(grams) * 1e6 + 0.5) if grams else 0
+        keep = int(n >= 15 and um >= 300_000 and tm <= 200_000)
+        d_l.append(i)
+        w_l.append(n)
+        u_l.append(um)
+        t_l.append(tm)
+        k_l.append(keep)
+    return pa.table({
+        "doc_id": pa.array(d_l, pa.int64()),
+        "n_words": pa.array(w_l, pa.int64()),
+        "uniq_word_micro": pa.array(u_l, pa.int64()),
+        "top2gram_micro": pa.array(t_l, pa.int64()),
+        "keep": pa.array(k_l, pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "simplify": ("corpus", expected_simplify),
@@ -430,6 +526,9 @@ GENERATORS = {
     "simhash": ("docs", expected_simhash),
     "fingerprint": ("docs", expected_fingerprint),
     "minhash_pairs": ("docs", expected_minhash_pairs),
+    "decontaminate": ("docs", expected_decontaminate),
+    "pack_sequences": ("docs", expected_pack_sequences),
+    "gopher_quality": ("docs", expected_gopher_quality),
 }
 
 

@@ -892,6 +892,76 @@ def q_media_features(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+# --------------------------------------------------- corpus-hygiene queries
+
+
+DECON_NGRAM = 4
+DECON_BENCH_MOD = 23
+PACK_BUDGET = 256
+PACK_SHARD = 100
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/corpus.py): flag every training
+    doc sharing a word-4-gram with the benchmark subset (doc_id % 23 == 0
+    — the stand-in for an eval set). Benchmark n-gram hashes are reduced
+    on a worker from block refs and broadcast; the corpus streams through
+    one searchsorted membership scan (no shuffle). Oracled by an
+    independent scalar string-tuple-set implementation."""
+    from ..stages import corpus as corpus_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bench_side(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % DECON_BENCH_MOD == 0))
+
+    def train_side(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % DECON_BENCH_MOD != 0))
+
+    bench = docs.map_batches(bench_side, batch_format="pyarrow")
+    train = docs.map_batches(train_side, batch_format="pyarrow")
+    return corpus_stage.decontaminate(train, bench, n=DECON_NGRAM)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing into 256-token bins, restarted at fixed
+    100-doc_id shard boundaries so packing is deterministic and every
+    shard packs in parallel (the per-shard loop is per PACK via
+    searchsorted over the cumulative token sum, not per doc)."""
+    from ..stages import corpus as corpus_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = docs.map_batches(text_stage.token_counter_batch,
+                            batch_format="pyarrow")
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(b["n_tokens_ws"], pa.int64()),
+        })
+
+    return corpus_stage.pack_sequences(
+        toks.map_batches(slim, batch_format="pyarrow"),
+        budget=PACK_BUDGET, shard_size=PACK_SHARD)
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition/quality signals per doc (word count,
+    unique-word fraction, top-2-gram fraction — integer micro-units) and
+    the keep verdict. One vectorized prefix-hash pass per batch; oracled
+    by an independent scalar Counter implementation."""
+    from ..stages import corpus as corpus_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(corpus_stage.gopher_stats,
+                            batch_format="pyarrow")
+
+
 # ----------------------------------------- relational / statistics queries
 
 
@@ -1132,6 +1202,9 @@ QUERIES = {
     "distinct_users_approx": q_distinct_users_approx,
     "revenue_by_nation": q_revenue_by_nation,
     "events_intervals": q_events_intervals,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
+    "gopher_quality": q_gopher_quality,
 }
 
 
@@ -1516,4 +1589,13 @@ WITH iv AS (
 )
 SELECT iv.interval_id, e.event_id, CAST(e.user_id AS BIGINT) AS user_id
 FROM events e JOIN iv ON e.ts >= iv.t0 AND e.ts < iv.t1""",
+    # independent scalar ground truths (oracle/expected.py): string-tuple
+    # n-gram sets for decontamination, a pure-Python greedy packer, and a
+    # collections.Counter reimplementation of the repetition signals
+    "decontaminate":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/decontaminate.parquet')",
+    "pack_sequences":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/pack_sequences.parquet')",
+    "gopher_quality":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/gopher_quality.parquet')",
 }
