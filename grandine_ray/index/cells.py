@@ -183,3 +183,43 @@ def h3ish_neighbors(cell: np.ndarray) -> np.ndarray:
         | ((nq + (1 << 27)).astype(np.uint64) << np.uint64(28))
         | (nr + (1 << 27)).astype(np.uint64)
     )
+
+
+# -------------------------------------------------------------- geohash
+
+GEOHASH_B32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz",
+                            dtype=np.uint8)
+
+
+def geohash_encode(lon, lat, precision: int = 7) -> np.ndarray:
+    """Standard geohash base-32 strings, fully vectorized.
+
+    Quantizes lon/lat to ceil/floor(5p/2) bits, interleaves MSB-first
+    starting with longitude (the published geohash bit order), and maps
+    each 5-bit group through the geohash alphabet. Returns an ``S{p}``
+    byte-string array (ASCII). Matches the classic interval-halving
+    encoder bit for bit (pinned in tests against known vectors and the
+    scalar oracle implementation)."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    nbits = 5 * precision
+    bl = (nbits + 1) // 2          # lon bits (first + every other)
+    bt = nbits // 2                # lat bits
+    x = np.floor((lon + 180.0) / 360.0 * (1 << bl)).astype(np.uint64)
+    y = np.floor((lat + 90.0) / 180.0 * (1 << bt)).astype(np.uint64)
+    x = np.minimum(x, np.uint64((1 << bl) - 1))
+    y = np.minimum(y, np.uint64((1 << bt) - 1))
+    v = np.zeros(len(x), np.uint64)
+    for i in range(nbits):
+        # bit i (0 = MSB of the hash): even → lon, odd → lat
+        if i % 2 == 0:
+            src, sb = x, bl - 1 - i // 2
+        else:
+            src, sb = y, bt - 1 - i // 2
+        bit = (src >> np.uint64(sb)) & np.uint64(1)
+        v |= bit << np.uint64(nbits - 1 - i)
+    codes = np.empty((len(x), precision), np.uint8)
+    for c in range(precision):
+        idx = (v >> np.uint64(5 * (precision - 1 - c))) & np.uint64(31)
+        codes[:, c] = GEOHASH_B32[idx.astype(np.int64)]
+    return codes.reshape(-1).view(f"S{precision}")

@@ -422,6 +422,58 @@ def expected_media_features(corpus_dir) -> pa.Table:
     })
 
 
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_scalar(lon: float, lat: float, precision: int) -> str:
+    """Classic interval-halving geohash encoder (independent of the
+    engine's quantize-and-interleave formulation)."""
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    bits = []
+    even = True
+    while len(bits) < 5 * precision:
+        if even:
+            mid = (lo_x + hi_x) / 2
+            if lon >= mid:
+                bits.append(1)
+                lo_x = mid
+            else:
+                bits.append(0)
+                hi_x = mid
+        else:
+            mid = (lo_y + hi_y) / 2
+            if lat >= mid:
+                bits.append(1)
+                lo_y = mid
+            else:
+                bits.append(0)
+                hi_y = mid
+        even = not even
+    out = []
+    for c in range(precision):
+        v = 0
+        for b in bits[5 * c:5 * c + 5]:
+            v = v * 2 + b
+        out.append(_GEOHASH_B32[v])
+    return "".join(out)
+
+
+def expected_geohash_cells(corpus_dir) -> pa.Table:
+    doc, span, gh = [], [], []
+    for d, s, gt, rings in _geom_rows(corpus_dir):
+        if gt != 1:
+            continue
+        lon, lat = rings[0][0]
+        doc.append(d)
+        span.append(s)
+        gh.append(_geohash_scalar(lon, lat, 7))
+    return pa.table({
+        "doc_id": pa.array(doc, pa.string()),
+        "span_idx": pa.array(span, pa.int64()),
+        "geohash": pa.array(gh, pa.string()),
+    })
+
+
 def _word_ngrams(text: str, n: int) -> set:
     words = _WS.sub(" ", (text or "").lower()).strip().split(" ")
     if words == [""]:
@@ -529,6 +581,7 @@ GENERATORS = {
     "decontaminate": ("docs", expected_decontaminate),
     "pack_sequences": ("docs", expected_pack_sequences),
     "gopher_quality": ("docs", expected_gopher_quality),
+    "geohash_cells": ("corpus", expected_geohash_cells),
 }
 
 

@@ -962,6 +962,43 @@ def q_gopher_quality(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Per-doc top-3 terms by tf·idf (idf = ln(N/df)). Pass 1 reduces the
+    corpus to its VOCABULARY (distinct (term, doc) postings → per-term
+    df, broadcast as a sorted hash payload built on a worker from block
+    refs); pass 2 streams, scoring and ranking per doc with integer
+    micro-unit scores so the rank order is exact across engines. Full
+    SQL parity (DuckDB regexp_split + window rank)."""
+    from ..stages import corpus as corpus_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = docs.count()
+    return corpus_stage.tfidf_top_terms(docs, n_docs=n_docs, k=3)
+
+
+def q_geohash_cells(sf_dir: str):
+    """Geohash (precision 7) of every point feature — the third cell
+    index family next to S2/H3 (NORTH-RULE EXT). Oracled by an
+    independent scalar interval-halving encoder over the ground-truth
+    vertex table."""
+    from ..index.cells import geohash_encode
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lon = batch["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = batch["bbox_miny"].to_numpy(zero_copy_only=False)
+        gh = geohash_encode(lon, lat, precision=7)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "span_idx": pc.cast(batch["span_idx"], pa.int64()),
+            "geohash": pa.array([g.decode() for g in gh], pa.string()),
+        })
+
+    return pts.map_batches(cells, batch_format="pyarrow")
+
+
 # ----------------------------------------- relational / statistics queries
 
 
@@ -1205,6 +1242,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "gopher_quality": q_gopher_quality,
+    "tfidf_terms": q_tfidf_terms,
+    "geohash_cells": q_geohash_cells,
 }
 
 
@@ -1598,4 +1637,27 @@ FROM events e JOIN iv ON e.ts >= iv.t0 AND e.ts < iv.t1""",
         "SELECT * FROM read_parquet('/tmp/graft_expected/pack_sequences.parquet')",
     "gopher_quality":
         "SELECT * FROM read_parquet('/tmp/graft_expected/gopher_quality.parquet')",
+    "tfidf_terms": r"""
+WITH words AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS term
+  FROM documents WHERE TRIM(text) <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(FLOOR(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) * 1000000
+                    + 0.5) AS BIGINT) AS score_micro
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+       score_micro, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micro DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= 3""",
+    "geohash_cells":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/geohash_cells.parquet')",
 }

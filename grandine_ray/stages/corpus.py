@@ -169,6 +169,154 @@ def pack_sequences(docs, budget: int, shard_size: int,
         .groupby("_shard").map_groups(pack, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- TF-IDF
+
+
+def _df_payload_task(*blocks) -> dict:
+    tables = [b for b in blocks if b.num_rows]
+    if not tables:
+        return {"h": np.empty(0, np.int64), "df": np.empty(0, np.int64)}
+    t = pa.concat_tables(tables)
+    h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    return {"h": h[order], "df": df[order]}
+
+
+_DF_PAYLOADS: dict = {}
+
+
+def _cached_df(ref) -> dict:
+    key = ref.hex()
+    if key not in _DF_PAYLOADS:
+        _DF_PAYLOADS[key] = ray.get(ref)
+    return _DF_PAYLOADS[key]
+
+
+def _batch_terms(b: pa.Table, text_col: str):
+    """Arrow-kernel tokenization: lowercase + whitespace split. Returns
+    (flat term StringArray, doc_of int64, batch dictionary codes int64,
+    dictionary StringArray) with empty-string terms dropped."""
+    lower = pc.utf8_lower(b[text_col])
+    if isinstance(lower, pa.ChunkedArray):
+        lower = lower.combine_chunks()
+    words = pc.utf8_split_whitespace(lower)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(words)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    doc_of = doc_of[nonempty]
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, doc_of, codes, enc.dictionary
+
+
+def _term_hashes(dictionary: pa.Array) -> np.ndarray:
+    """Polynomial hash of each dictionary term (one vectorized pass —
+    each term is a single word, so the 1-gram hash IS the term hash)."""
+    terms = dictionary.to_pylist()
+    H, doc_of = batch_word_ngram_hashes(terms, 1)
+    out = np.zeros(len(terms), np.uint64)
+    out[doc_of] = H
+    return out
+
+
+def tfidf_top_terms(docs, n_docs: int, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Per-doc top-``k`` terms by tf·idf, idf = ln(N/df).
+
+    Two passes over the corpus: (1) distinct (term, doc) postings →
+    per-term document frequency (a term-keyed groupby whose output is
+    the VOCABULARY, orders of magnitude smaller than the corpus),
+    reduced to a sorted (hash, df) payload on a worker from block refs
+    and broadcast; (2) a streaming map_batches computing per-doc term
+    frequencies via Arrow dictionary encoding + one numeric lexsort,
+    then the top-k rank with ties broken by term (scores are integer
+    micro-units so ranking is exact across engines). At web scale the
+    broadcast payload is the deduplicated vocabulary (~1e8 terms × 16 B
+    — ray.put once per job); beyond that, swap the broadcast for a
+    term-hash partitioned join (hash_join_i64)."""
+    from ray.data.aggregate import Count
+
+    def postings(b: pa.Table) -> pa.Table:
+        _, doc_of, codes, dictionary = _batch_terms(b, text_col)
+        th = _term_hashes(dictionary)
+        key = th[codes] ^ _mix_doc(doc_of)
+        _, first = np.unique(key, return_index=True)
+        # int64 view: Ray's aggregate materializes group keys as Python
+        # ints and overflows on uint64 > 2^63 — same bits, safe compare
+        return pa.table({"h": pa.array(th[codes[first]].view(np.int64),
+                                       pa.int64())})
+
+    def _mix_doc(doc_of: np.ndarray) -> np.ndarray:
+        # distinct (term, doc) within a batch: mix the doc ordinal into
+        # the key space (docs are whole rows, so batch-distinct pairs
+        # are globally distinct)
+        d = doc_of.astype(np.uint64)
+        d = (d + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        return d ^ (d >> np.uint64(29))
+
+    df_ds = docs.map_batches(postings, batch_format="pyarrow") \
+        .groupby("h").aggregate(Count(alias_name="df"))
+    blocks = df_ds.materialize().get_internal_block_refs()
+    fn = ray.remote(num_cpus=1)(_df_payload_task)
+    df_ref = fn.remote(*blocks)
+
+    def score(b: pa.Table) -> pa.Table:
+        payload = _cached_df(df_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        _, doc_of, codes, dictionary = _batch_terms(b, text_col)
+        if len(codes) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "score_micro": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            })
+        # per-(doc, code) term frequencies: one numeric lexsort
+        order = np.lexsort((codes, doc_of))
+        d_s, c_s = doc_of[order], codes[order]
+        new = np.ones(len(d_s), bool)
+        new[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.nonzero(new)[0]
+        tf = np.diff(np.append(starts, len(d_s))).astype(np.int64)
+        rd_doc = d_s[starts]
+        rd_code = c_s[starts]
+        th = _term_hashes(dictionary)
+        pos = np.searchsorted(payload["h"], th[rd_code].view(np.int64))
+        pos = np.minimum(pos, max(len(payload["h"]) - 1, 0))
+        df = payload["df"][pos]
+        score_micro = np.floor(
+            tf * np.log(n_docs / df.astype(np.float64)) * 1e6 + 0.5
+        ).astype(np.int64)
+        # lexicographic rank of each dictionary term (numeric sort key)
+        terms_py = dictionary.to_pylist()
+        trank = np.empty(len(terms_py), np.int64)
+        trank[np.argsort(np.asarray(terms_py, dtype=object))] = \
+            np.arange(len(terms_py))
+        sel = np.lexsort((trank[rd_code], -score_micro, rd_doc))
+        d_sel = rd_doc[sel]
+        seg = np.ones(len(sel), bool)
+        seg[1:] = d_sel[1:] != d_sel[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(seg, np.arange(len(sel)), 0))
+        rnk = (np.arange(len(sel)) - seg_start + 1).astype(np.int64)
+        keep = rnk <= k
+        sk = sel[keep]
+        return pa.table({
+            id_col: pa.array(ids[rd_doc[sk]], pa.int64()),
+            "term": dictionary.take(pa.array(rd_code[sk])),
+            "tf": pa.array(tf[sk], pa.int64()),
+            "score_micro": pa.array(score_micro[sk], pa.int64()),
+            "rnk": pa.array(rnk[keep], pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # --------------------------------------------------- Gopher-ish signals
 
 

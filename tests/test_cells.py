@@ -87,3 +87,36 @@ def test_h3ish_locality_and_resolution():
     assert c_fine[0] == c_fine[1]
     c_coarse = cells.h3ish_cell_id(np.array([13.4]), np.array([52.5]), res=3)
     assert (c_coarse >> np.uint64(56))[0] == 3
+
+
+def test_geohash_known_vectors():
+    import numpy as np
+
+    from grandine_ray.index.cells import geohash_encode
+
+    assert geohash_encode([10.40744], [57.64911], 7)[0] == b"u4pruyd"
+    assert geohash_encode([-5.6], [42.6], 5)[0] == b"ezs42"
+    assert geohash_encode([0.0], [0.0], 4)[0] == b"s000"
+    got = geohash_encode([180.0, -180.0], [90.0, -90.0], 4)
+    assert list(got) == [b"zzzz", b"0000"]
+
+
+def test_geohash_scalar_parity_and_prefix_locality():
+    import numpy as np
+
+    from grandine_ray.index.cells import geohash_encode
+    from grandine_ray.oracle.expected import _geohash_scalar
+
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    got = geohash_encode(lon, lat, 8)
+    for i in range(500):
+        assert got[i].decode() == _geohash_scalar(lon[i], lat[i], 8)
+    # prefix property: truncating the hash = encoding at lower precision
+    got5 = geohash_encode(lon, lat, 5)
+    assert all(g8[:5] == g5 for g8, g5 in zip(got, got5))
+    # locality: nearby points share long prefixes
+    a = geohash_encode([13.0], [52.0], 9)[0]
+    b = geohash_encode([13.0 + 1e-7], [52.0 + 1e-7], 9)[0]
+    assert a[:6] == b[:6]

@@ -136,3 +136,33 @@ def test_gopher_stats_scalar_parity():
         assert out["top2gram_micro"][i].as_py() == tm
         keep = int(n >= 15 and um >= 300_000 and tm <= 200_000)
         assert out["keep"][i].as_py() == keep
+
+
+def test_tfidf_top_terms_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(8)
+    vocab = [f"w{i:02d}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 40)))
+             for _ in range(150)]
+    ids = np.arange(150, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts})) \
+        .repartition(5)
+    out = corpus.tfidf_top_terms(ds, n_docs=150, k=3).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["rnk"], r["term"], r["tf"], r["score_micro"]))
+    df = Counter()
+    for t in texts:
+        df.update(set(t.split()))
+    for i, t in enumerate(texts):
+        tf = Counter(t.split())
+        scored = sorted(
+            ((-math.floor(c * math.log(150 / df[w]) * 1e6 + 0.5), w, c)
+             for w, c in tf.items()))
+        want = [(j + 1, w, c, -s) for j, (s, w, c) in enumerate(scored[:3])]
+        assert sorted(got[int(i)]) == want, i
