@@ -962,6 +962,157 @@ def q_gopher_quality(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def q_span_stats(sf_dir: str):
+    """Per-document span statistics over the INTERLEAVED corpus schema
+    (doc_id, spans: list<struct<kind, text, media_ref, offset>>) — the
+    BASELINE.json input_hint shape exercised directly: span counts per
+    kind, text-span character volume, max offset. One Arrow
+    list-flatten + bincount pass per batch; SQL parity via DuckDB
+    recursive UNNEST of the struct list."""
+    docs = _docs_ds(sf_dir)
+
+    def stats(b: pa.Table) -> pa.Table:
+        spans = b["spans"].combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = len(lens)
+        flat = pc.list_flatten(spans)
+        kind = flat.field("kind")
+        doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+        n_spans = lens
+        def kcount(k):
+            mask = pc.equal(kind, k).to_numpy(zero_copy_only=False)
+            return np.bincount(doc_of[mask], minlength=m).astype(np.int64)
+        n_geom = kcount("geom")
+        n_text = kcount("text")
+        n_media = kcount("media")
+        tmask = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(flat.field("text")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        text_chars = np.bincount(
+            doc_of[tmask], weights=tlen[tmask], minlength=m).astype(np.int64)
+        off = flat.field("offset").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        max_off = np.full(m, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(max_off, doc_of, off)
+        nz = n_spans > 0
+        sel = pa.array(np.nonzero(nz)[0])
+        return pa.table({
+            "doc_id": b["doc_id"].take(sel),
+            "n_spans": pa.array(n_spans[nz], pa.int64()),
+            "n_geom": pa.array(n_geom[nz], pa.int64()),
+            "n_text": pa.array(n_text[nz], pa.int64()),
+            "n_media": pa.array(n_media[nz], pa.int64()),
+            "text_chars": pa.array(text_chars[nz], pa.int64()),
+            "max_offset": pa.array(max_off[nz], pa.int64()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def q_zscore_events(sf_dir: str):
+    """Per-event-type first/second moments (count, mean, population std)
+    as one streaming pass of per-block partials (n, Σv, Σv²) + a tiny
+    groupby — statistics reported in integer micro-units with the same
+    floor(x·1e6 + 0.5) rule as the SQL side."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        enc = pc.dictionary_encode(et.combine_chunks()
+                                   if isinstance(et, pa.ChunkedArray) else et)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        k = int(codes.max()) + 1 if len(codes) else 0
+        n = np.bincount(codes, minlength=k)
+        s = np.bincount(codes, weights=v, minlength=k)
+        ss = np.bincount(codes, weights=v * v, minlength=k)
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "s": pa.array(s, pa.float64()),
+            "ss": pa.array(ss, pa.float64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"))
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        ss = b["ss"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = np.maximum(ss / n - mean * mean, 0.0)
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_events": pc.cast(b["n"], pa.int64()),
+            "mean_micro": pa.array(
+                np.floor(mean * 1e6 + 0.5).astype(np.int64), pa.int64()),
+            "std_micro": pa.array(
+                np.floor(np.sqrt(var) * 1e6 + 0.5).astype(np.int64),
+                pa.int64()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SAMPLE_K = 5
+
+
+def q_sample_fixed_k(sf_dir: str):
+    """Deterministic k-per-group sample (uniform without replacement):
+    keep the k docs with the smallest Knuth multiplicative hash per
+    language. Per-block partial top-k combiner before the tiny groupby —
+    the shuffle carries ≤ k rows per (lang, block). Shuffle-free
+    equivalent of per-group reservoir sampling."""
+    K = SAMPLE_K
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    def hashes(did: np.ndarray) -> np.ndarray:
+        return (did.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+
+    def topk(t: pa.Table, final: bool) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hashes(did).astype(np.int64)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        _, lcode = np.unique(lang, return_inverse=True)
+        order = np.lexsort((did, h, lcode))
+        lc_s = lcode[order]
+        boundary = np.ones(len(lc_s), bool)
+        if len(lc_s) > 1:
+            boundary[1:] = lc_s[1:] != lc_s[:-1]
+        gid = np.cumsum(boundary) - 1
+        starts = np.zeros(gid[-1] + 1 if len(gid) else 0, np.int64)
+        if len(gid):
+            np.cumsum(np.bincount(gid)[:-1], out=starts[1:])
+        rank = np.arange(len(lc_s)) - starts[gid] if len(gid) else \
+            np.empty(0, np.int64)
+        keep = rank < K
+        sel = pa.array(order[keep])
+        cols = {
+            "lang": t["lang"].take(sel),
+            "doc_id": pc.cast(t["doc_id"].take(sel), pa.int64()),
+        }
+        if final:
+            cols["h"] = pa.array(h[order[keep]], pa.int64())
+            cols["rnk"] = pa.array(rank[keep] + 1, pa.int64())
+        return pa.table(cols)
+
+    partial = docs.map_batches(lambda b: topk(b, False),
+                               batch_format="pyarrow")
+    return partial.groupby("lang").map_groups(
+        lambda g: topk(g, True), batch_format="pyarrow")
+
+
 def q_tfidf_terms(sf_dir: str):
     """Per-doc top-3 terms by tf·idf (idf = ln(N/df)). Pass 1 reduces the
     corpus to its VOCABULARY (distinct (term, doc) postings → per-term
@@ -1244,6 +1395,9 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "tfidf_terms": q_tfidf_terms,
     "geohash_cells": q_geohash_cells,
+    "span_stats": q_span_stats,
+    "zscore_events": q_zscore_events,
+    "sample_fixed_k": q_sample_fixed_k,
 }
 
 
@@ -1660,4 +1814,34 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
 WHERE rnk <= 3""",
     "geohash_cells":
         "SELECT * FROM read_parquet('/tmp/graft_expected/geohash_cells.parquet')",
+    "span_stats": f"""
+WITH s AS (
+  SELECT doc_id, UNNEST(spans, recursive := true)
+  FROM read_parquet('{ORACLE_CORPUS}/documents.parquet')
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE kind = 'geom') AS BIGINT) AS n_geom,
+       CAST(COUNT(*) FILTER (WHERE kind = 'text') AS BIGINT) AS n_text,
+       CAST(COUNT(*) FILTER (WHERE kind = 'media') AS BIGINT) AS n_media,
+       CAST(COALESCE(SUM(LENGTH(text)) FILTER (WHERE kind = 'text'), 0)
+            AS BIGINT) AS text_chars,
+       CAST(MAX("offset") AS BIGINT) AS max_offset
+FROM s GROUP BY doc_id""",
+    "zscore_events": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(AVG(value) * 1000000 + 0.5) AS BIGINT) AS mean_micro,
+       CAST(FLOOR(stddev_pop(value) * 1000000 + 0.5) AS BIGINT) AS std_micro
+FROM events GROUP BY event_type""",
+    "sample_fixed_k": f"""
+SELECT lang, doc_id, h, rnk FROM (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+         AS BIGINT) AS rnk
+  FROM documents)
+WHERE rnk <= {SAMPLE_K}""",
 }
