@@ -1113,6 +1113,17 @@ def q_sample_fixed_k(sf_dir: str):
         lambda g: topk(g, True), batch_format="pyarrow")
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (the k-means / IVF-training step as
+    a streaming aggregate): per-block (label, n, Σvec) partials with the
+    vector sum carried as ONE binary column (list<float> shuffle
+    re-serialization pitfall avoided), merged per label. Long-form
+    output, element-wise SQL AVG parity in integer micro-units."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+    return ann_stage.label_centroids(emb)
+
+
 def q_tfidf_terms(sf_dir: str):
     """Per-doc top-3 terms by tf·idf (idf = ln(N/df)). Pass 1 reduces the
     corpus to its VOCABULARY (distinct (term, doc) postings → per-term
@@ -1398,6 +1409,7 @@ QUERIES = {
     "span_stats": q_span_stats,
     "zscore_events": q_zscore_events,
     "sample_fixed_k": q_sample_fixed_k,
+    "label_centroids": q_label_centroids,
 }
 
 
@@ -1844,4 +1856,13 @@ SELECT lang, doc_id, h, rnk FROM (
          AS BIGINT) AS rnk
   FROM documents)
 WHERE rnk <= {SAMPLE_K}""",
+    "label_centroids": """
+WITH dims AS (SELECT UNNEST(generate_series(1, 64)) AS i)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(i - 1 AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(AVG(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5)
+            AS BIGINT) AS centroid_micro
+FROM embeddings CROSS JOIN dims
+GROUP BY label, i""",
 }

@@ -362,3 +362,55 @@ class HyperplaneLSH:
         return batch.append_column(
             "ann_bucket", pa.array(self.bucket_of(m), pa.uint64())
         )
+
+
+# --------------------------------------------------------- vector aggregates
+
+
+def label_centroids(emb_ds, label_col: str = "label",
+                    vec_col: str = "embedding"):
+    """Per-label centroid of an embedding column — the k-means /
+    IVF-training building block as a streaming aggregate.
+
+    Per-block partials are (label, n, Σvec) with the vector sum carried
+    as ONE binary column (float64 bytes) — list<float> columns
+    re-serialize their whole value buffer in shuffles (CLAUDE.md round-1
+    pitfall), a single binary cell does not. The groupby then merges
+    k×d numbers per label, never rows. Output is long-form
+    (label, dim, n, centroid_micro) with centroid values in integer
+    micro-units (floor(x·1e6 + 0.5)), matching the SQL oracle's
+    element-wise AVG exactly.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        M = _to_matrix(b[vec_col], dtype=np.float64)
+        lab = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), M.shape[1]), np.float64)
+        np.add.at(sums, inv, M)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "vsum": pa.array([s.tobytes() for s in sums], pa.binary()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        blobs = t["vsum"].to_pylist()
+        mat = np.frombuffer(b"".join(blobs), np.float64) \
+            .reshape(len(blobs), -1)
+        total = mat.sum(axis=0)
+        n = int(t["n"].to_numpy(zero_copy_only=False).sum())
+        d = mat.shape[1]
+        mean = total / n
+        return pa.table({
+            "label": pa.array(
+                np.full(d, t["label"][0].as_py(), np.int64), pa.int64()),
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "n": pa.array(np.full(d, n, np.int64), pa.int64()),
+            "centroid_micro": pa.array(
+                np.floor(mean * 1e6 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return emb_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("label").map_groups(merge, batch_format="pyarrow")

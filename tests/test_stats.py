@@ -142,3 +142,30 @@ def test_interval_join_bruteforce(ray_session, bucket_us):
                   for i in iid for e in eid
                   if t0[i] <= ts[e] < t1[i])
     assert got == want
+
+
+def test_label_centroids_bruteforce(ray_session):
+    import ray.data as rd
+
+    from grandine_ray.stages.ann import label_centroids
+
+    rng = np.random.default_rng(21)
+    lab = rng.integers(0, 4, 300).astype(np.int64)
+    vecs = rng.normal(0, 1, (300, 8)).astype(np.float32)
+    tbl = pa.table({
+        "label": lab,
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(5)
+    out = label_centroids(ds).take_all()
+    got = {(r["label"], r["dim"]): (r["n"], r["centroid_micro"])
+           for r in out}
+    assert len(got) == 4 * 8
+    for l in range(4):
+        sel = vecs[lab == l].astype(np.float64)
+        for d in range(8):
+            mean = sel[:, d].sum() / len(sel)
+            want = int(np.floor(mean * 1e6 + 0.5))
+            n, cm = got[(l, d)]
+            assert n == len(sel)
+            assert abs(cm - want) <= 1  # summation-order ulp at the grid edge
