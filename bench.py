@@ -178,6 +178,31 @@ def run_suite() -> dict:
     scored.count()
     queries["text"] = round(time.perf_counter() - t0, 3)
 
+    # ---- corpus hygiene (round-3 ops: tfidf, decontaminate, gopher) ------
+    from grandine_ray.stages import corpus as corpus_stage
+
+    docs2 = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    n_corpus_docs = docs2.count()
+    t0 = time.perf_counter()
+    corpus_stage.tfidf_top_terms(docs2, n_docs=n_corpus_docs, k=3).count()
+
+    def bench_side(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % 23 == 0))
+
+    def train_side(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % 23 != 0))
+
+    corpus_stage.decontaminate(
+        docs2.map_batches(train_side, batch_format="pyarrow"),
+        docs2.map_batches(bench_side, batch_format="pyarrow"), n=4).count()
+    docs2.map_batches(corpus_stage.gopher_stats,
+                      batch_format="pyarrow").count()
+    queries["corpus"] = round(time.perf_counter() - t0, 3)
+    extras["corpus_docs"] = int(n_corpus_docs)
+
     total = round(sum(queries.values()), 3)
     # machine-state probe: single-core numpy-sort time (this VM's delivered
     # compute fluctuates ±2× between runs; lets BENCH numbers be read in
