@@ -222,10 +222,28 @@ def run_suite() -> dict:
         "sf": sf_dir,
         "num_cpus": ncpu,
         "machine_probe_sec": probe,
+        # multi-core delivered-compute probe: the single-core probe MISSES
+        # this VM's multi-core throttle phases (r3 measured agg throughput
+        # 2.4 vs 6.5-8.8 for the same probe across phases — a 3x swing
+        # that turned the 40 s tiler into 171-225 s with a HEALTHY
+        # single-core probe). Aggregate numpy-sort throughput of ncpu
+        # parallel processes; r2/r3 quiet-phase reference ~6.5-8.8 at 32.
+        "machine_agg_throughput": _agg_probe(ncpu),
         **extras,
     }
     ray.shutdown()
     return result
+
+
+def _agg_probe(n: int) -> float:
+    code = ("import numpy as np, time; a=np.random.rand(3_000_000); "
+            "t0=time.time()\n"
+            "for _ in range(20): b=np.sort(a)\n"
+            "print('%.3f' % (time.time()-t0))")
+    procs = [subprocess.Popen([sys.executable, "-c", code],
+                              stdout=subprocess.PIPE) for _ in range(n)]
+    times = [float(p.communicate()[0]) for p in procs]
+    return round(sum(20.0 / t for t in times), 2)
 
 
 def cpu_ceiling(lo: int, hi: int) -> dict:
