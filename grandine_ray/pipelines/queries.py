@@ -1113,6 +1113,38 @@ def q_sample_fixed_k(sf_dir: str):
         lambda g: topk(g, True), batch_format="pyarrow")
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus-wide top-20 terms by raw frequency — exact: per-block
+    (term, count) partials (Arrow dictionary encode + bincount) → a
+    vocabulary-sized groupby → global top-k sort+limit. The Misra-Gries
+    sketch (stages/stats.py heavy_hitters_mg, pytest error bounds) is
+    the one-pass scale path when even the vocabulary shuffle is too
+    wide."""
+    from ..stages.corpus import _batch_terms
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, _, codes, dictionary = _batch_terms(b, "text")
+        cnt = np.bincount(codes, minlength=len(dictionary))
+        return pa.table({
+            "term": dictionary,
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({"term": b["term"],
+                         "n": pc.cast(b["n"], pa.int64())})
+
+    return agg.map_batches(widen, batch_format="pyarrow") \
+        .sort(["n", "term"], descending=[True, False]).limit(20)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroids (the k-means / IVF-training step as
     a streaming aggregate): per-block (label, n, Σvec) partials with the
@@ -1410,6 +1442,7 @@ QUERIES = {
     "zscore_events": q_zscore_events,
     "sample_fixed_k": q_sample_fixed_k,
     "label_centroids": q_label_centroids,
+    "vocab_topk": q_vocab_topk,
 }
 
 
@@ -1865,4 +1898,12 @@ SELECT CAST(label AS BIGINT) AS label,
             AS BIGINT) AS centroid_micro
 FROM embeddings CROSS JOIN dims
 GROUP BY label, i""",
+    "vocab_topk": r"""
+WITH words AS (
+  SELECT UNNEST(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS term
+  FROM documents WHERE TRIM(text) <> ''
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM words GROUP BY term
+ORDER BY n DESC, term LIMIT 20""",
 }

@@ -192,3 +192,69 @@ def distinct_count_hll(ds, group_col: str, value_col: str, p: int = 12,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(group_col).map_groups(merge, batch_format="pyarrow")
+
+
+# -------------------------------------------------- heavy hitters (MG)
+
+
+def mg_compress(counts: dict, k: int) -> dict:
+    """Misra-Gries compression: keep at most k counters by subtracting
+    the (k+1)-th largest count from everyone (the mergeable-summaries
+    formulation — Agarwal et al., PODS'12). Estimates are true-count
+    minus at most n/(k+1) and never above the true count."""
+    if len(counts) <= k:
+        return dict(counts)
+    vals = sorted(counts.values(), reverse=True)
+    thresh = vals[k]
+    return {key: c - thresh for key, c in counts.items() if c > thresh}
+
+
+def mg_merge(a: dict, b: dict, k: int) -> dict:
+    out = dict(a)
+    for key, c in b.items():
+        out[key] = out.get(key, 0) + c
+    return mg_compress(out, k)
+
+
+def heavy_hitters_mg(ds, value_col: str, k: int = 64):
+    """Approximate top-frequency items in ONE streaming pass: each block
+    reduces to an exact local count dict compressed to k counters
+    (a valid MG summary of the block), and summaries merge pairwise in a
+    tiny final reduce. Per-item error ≤ n/(k+1); every item with true
+    count > n/(k+1) is guaranteed present. The sketch path for when the
+    exact groupby's shuffle (one row per distinct item) is too wide."""
+    import pyarrow.compute as _pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[value_col]
+        enc = _pc.dictionary_encode(col.combine_chunks()
+                                    if isinstance(col, pa.ChunkedArray)
+                                    else col)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        local = mg_compress(
+            {enc.dictionary[i].as_py(): int(c)
+             for i, c in enumerate(cnt) if c}, k)
+        return pa.table({
+            "item": pa.array(list(local), pa.string()),
+            "est": pa.array(list(local.values()), pa.int64()),
+            "_one": pa.array(np.zeros(len(local), np.int8), pa.int8()),
+        })
+
+    def reduce_all(t: pa.Table) -> pa.Table:
+        merged: dict = {}
+        items = t["item"].to_pylist()
+        ests = t["est"].to_numpy(zero_copy_only=False)
+        # summing all summaries then compressing once = pairwise merges
+        # (compression commutes with addition in the error bound)
+        for it, e in zip(items, ests):
+            merged[it] = merged.get(it, 0) + int(e)
+        merged = mg_compress(merged, k)
+        order = sorted(merged, key=lambda x: (-merged[x], x))
+        return pa.table({
+            "item": pa.array(order, pa.string()),
+            "est": pa.array([merged[o] for o in order], pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_one").map_groups(reduce_all, batch_format="pyarrow")

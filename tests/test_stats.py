@@ -169,3 +169,36 @@ def test_label_centroids_bruteforce(ray_session):
             n, cm = got[(l, d)]
             assert n == len(sel)
             assert abs(cm - want) <= 1  # summation-order ulp at the grid edge
+
+
+def test_misra_gries_bounds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    # zipf-ish: item i has weight ~ 1/(i+1)
+    ranks = rng.zipf(1.3, 30000)
+    items = np.array([f"t{min(int(r), 500)}" for r in ranks])
+    ds = rd.from_arrow(pa.table({"item": items})).repartition(8)
+    out = stats.heavy_hitters_mg(ds, "item", k=32).take_all()
+    est = {r["item"]: r["est"] for r in out}
+    assert len(est) <= 32
+    vals, cnts = np.unique(items, return_counts=True)
+    true = dict(zip(vals.tolist(), cnts.tolist()))
+    n = len(items)
+    err = n // (32 + 1)
+    for it, e in est.items():
+        assert true[it] - err * 3 <= e <= true[it]   # merged-summary bound
+    # every truly heavy item must be present
+    for it, c in true.items():
+        if c > 3 * err:
+            assert it in est, (it, c)
+
+
+def test_mg_merge_properties():
+    a = {"x": 10, "y": 4, "z": 2}
+    b = {"x": 3, "w": 9, "y": 1}
+    m = stats.mg_merge(a, b, k=2)
+    assert len(m) <= 2
+    assert m["x"] <= 13 and m.get("w", 0) <= 9
+    full = stats.mg_compress({"x": 13, "y": 5, "z": 2, "w": 9}, 2)
+    assert m == full
