@@ -570,6 +570,46 @@ def expected_gopher_quality(docs_parquet) -> pa.Table:
     })
 
 
+def expected_corpus_build(docs_parquet, budget=256, shard=100) -> pa.Table:
+    """Scalar ground truth for the full corpus-build chain: C4-style
+    thresholds (>= 10 whitespace tokens, >= 50 chars), exact-dedup
+    canonical keep (min doc_id per identical text among survivors),
+    then the greedy per-shard packer over the kept docs."""
+    ids, texts = _doc_texts(docs_parquet)
+    toks, lens = {}, {}
+    for i, t in zip(ids, texts):
+        s = t.strip()
+        toks[i] = len(_WS.split(s)) if s else 0
+        lens[i] = len(t)
+    surv = [i for i, t in zip(ids, texts)
+            if toks[i] >= 10 and lens[i] >= 50]
+    canon: dict = {}
+    by_id = dict(zip(ids, texts))
+    for i in sorted(surv):
+        canon.setdefault(by_id[i], i)
+    kept = sorted(canon.values())
+    rows = []
+    by_shard: dict = {}
+    for i in kept:
+        by_shard.setdefault(i // shard, []).append(i)
+    for sh, members in sorted(by_shard.items()):
+        local, acc, pos = 0, 0, 0
+        for i in members:
+            t = toks[i]
+            if pos > 0 and acc + t > budget:
+                local += 1
+                acc, pos = 0, 0
+            rows.append((i, sh * 1_000_000 + local, pos, t))
+            acc += t
+            pos += 1
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "pack_id": pa.array([r[1] for r in rows], pa.int64()),
+        "pack_pos": pa.array([r[2] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "simplify": ("corpus", expected_simplify),
@@ -582,6 +622,7 @@ GENERATORS = {
     "pack_sequences": ("docs", expected_pack_sequences),
     "gopher_quality": ("docs", expected_gopher_quality),
     "geohash_cells": ("corpus", expected_geohash_cells),
+    "corpus_build": ("docs", expected_corpus_build),
 }
 
 

@@ -420,26 +420,25 @@ def q_filter_corpus(sf_dir: str):
     P = 8
 
     def surv_side(b: pa.Table) -> pa.Table:
-        h = b["content_hash"].to_numpy(zero_copy_only=False)
+        h = b["content_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "_h": b["content_hash"],
+            "_h": pa.array(h, pa.int64()),
             "doc_id": b["doc_id"],
             "doc_len": b["doc_len"],
             "n_tokens_ws": b["n_tokens_ws"],
             "_side": pa.array(np.ones(len(h), np.int8), pa.int8()),
-            "_part": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+            "_part": pa.array((h % P).astype(np.int32), pa.int32()),
         })
 
     def keep_side(b: pa.Table) -> pa.Table:
-        # the groupby key may arrive as Python ints > int64 — rebuild uint64
-        h = np.asarray(b["content_hash"].to_pylist(), dtype=np.uint64)
+        h = b["content_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "_h": pa.array(h, pa.uint64()),
+            "_h": pa.array(h, pa.int64()),
             "doc_id": pc.cast(b["keep_doc"], pa.int64()),
             "doc_len": pa.array(np.zeros(len(h), np.int64), pa.int64()),
             "n_tokens_ws": pa.array(np.zeros(len(h), np.int64), pa.int64()),
             "_side": pa.array(np.zeros(len(h), np.int8), pa.int8()),
-            "_part": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+            "_part": pa.array((h % P).astype(np.int32), pa.int32()),
         })
 
     unioned = surviving.map_batches(surv_side, batch_format="pyarrow").union(
@@ -1113,6 +1112,28 @@ def q_sample_fixed_k(sf_dir: str):
         lambda g: topk(g, True), batch_format="pyarrow")
 
 
+def q_corpus_build(sf_dir: str):
+    """The end-to-end pretraining-corpus build: C4-style threshold
+    filter + exact-dedup canonical keep (the filter_corpus pipeline)
+    composed with greedy sequence packing — the full
+    read → filter → dedup → pack chain a training run would consume,
+    streaming throughout. Oracled by an independent scalar
+    implementation of the whole chain (oracle/expected.py)."""
+    from ..stages import corpus as corpus_stage
+
+    surv = q_filter_corpus(sf_dir)
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(b["n_tokens_ws"], pa.int64()),
+        })
+
+    return corpus_stage.pack_sequences(
+        surv.map_batches(slim, batch_format="pyarrow"),
+        budget=PACK_BUDGET, shard_size=PACK_SHARD)
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus-wide top-20 terms by raw frequency — exact: per-block
     (term, count) partials (Arrow dictionary encode + bincount) → a
@@ -1443,6 +1464,7 @@ QUERIES = {
     "sample_fixed_k": q_sample_fixed_k,
     "label_centroids": q_label_centroids,
     "vocab_topk": q_vocab_topk,
+    "corpus_build": q_corpus_build,
 }
 
 
@@ -1906,4 +1928,6 @@ WITH words AS (
 SELECT term, CAST(COUNT(*) AS BIGINT) AS n
 FROM words GROUP BY term
 ORDER BY n DESC, term LIMIT 20""",
+    "corpus_build":
+        "SELECT * FROM read_parquet('/tmp/graft_expected/corpus_build.parquet')",
 }

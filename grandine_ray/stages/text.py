@@ -36,7 +36,12 @@ _LANG_PROFILES = {
 
 
 def content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Add a stable 64-bit content hash column (exact-dedup key)."""
+    """Add a stable 64-bit content hash column (exact-dedup key).
+
+    Emitted as int64 (same bits as the blake2b uint64): Ray's groupby
+    materializes group keys as Python ints, and values > 2^63 overflow
+    the Arrow int64 rebuild, silently demoting downstream blocks to
+    pickled object arrays (r3 pitfall, CLAUDE.md)."""
     texts = batch[col].to_pylist()
     hashes = np.fromiter(
         (int.from_bytes(hashlib.blake2b(
@@ -45,7 +50,8 @@ def content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
         dtype=np.uint64,
         count=len(texts),
     )
-    return batch.append_column("content_hash", pa.array(hashes, pa.uint64()))
+    return batch.append_column("content_hash",
+                               pa.array(hashes.view(np.int64), pa.int64()))
 
 
 class TokenCounter:
