@@ -1134,6 +1134,36 @@ def q_corpus_build(sf_dir: str):
         budget=PACK_BUDGET, shard_size=PACK_SHARD)
 
 
+BM25_QUERIES = [
+    ("q0", ["spark", "join"]),
+    ("q1", ["window", "batch", "stream"]),
+    ("q2", ["hash", "sort"]),
+]
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 retrieval (k1=1.2, b=0.75, Lucene idf) for fixture term
+    queries: one df pass (broadcast vocabulary payload) + one streaming
+    scoring scan with per-block top-10 partials. Full SQL parity — the
+    scoring expression mirrors the oracle token for token so both
+    engines produce identical doubles before micro-flooring."""
+    from ..stages import corpus as corpus_stage
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tok(b: pa.Table) -> pa.Table:
+        _, _, codes, _ = _batch_terms(b, "text")
+        return pa.table({"n": pa.array([len(codes)], pa.int64())})
+
+    total_tokens = int(docs.map_batches(tok, batch_format="pyarrow")
+                       .sum("n"))
+    return corpus_stage.bm25_search(docs, BM25_QUERIES, n_docs=n_docs,
+                                    total_tokens=total_tokens, k=10)
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus-wide top-20 terms by raw frequency — exact: per-block
     (term, count) partials (Arrow dictionary encode + bincount) → a
@@ -1465,6 +1495,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "vocab_topk": q_vocab_topk,
     "corpus_build": q_corpus_build,
+    "bm25_search": q_bm25_search,
 }
 
 
@@ -1930,4 +1961,40 @@ FROM words GROUP BY term
 ORDER BY n DESC, term LIMIT 20""",
     "corpus_build":
         "SELECT * FROM read_parquet('/tmp/graft_expected/corpus_build.parquet')",
+    "bm25_search": (r"""
+WITH words AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS term
+  FROM documents WHERE TRIM(text) <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+n AS (SELECT COUNT(*) AS n FROM documents),
+tot AS (SELECT COUNT(*) AS t FROM words),
+q(query_id, term) AS (VALUES """ + ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    ) + r"""),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM words GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM words GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(LN((n.n - df.df + 0.5) / (df.df + 0.5) + 1) * tf.tf
+             * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                               / (CAST(tot.t AS DOUBLE) / n.n)))) AS s
+  FROM q JOIN tf ON q.term = tf.term
+         JOIN df ON q.term = df.term
+         JOIN dl ON tf.doc_id = dl.doc_id
+         CROSS JOIN n CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS score_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY FLOOR(s * 1000000 + 0.5) DESC, doc_id) AS rnk
+      FROM scored)
+WHERE rnk <= 10"""),
 }

@@ -317,6 +317,124 @@ def tfidf_top_terms(docs, n_docs: int, k: int = 3, id_col: str = "doc_id",
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------ BM25
+
+
+def bm25_search(docs, queries: list[tuple[str, list[str]]], n_docs: int,
+                total_tokens: int, k: int = 10, k1: float = 1.2,
+                b: float = 0.75, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """BM25 retrieval over the corpus for a fixed set of term queries.
+
+    One df pass (same broadcast vocabulary payload as tfidf_top_terms),
+    then a single streaming scoring scan: every score input (tf, dl,
+    df, avgdl) is per-doc or broadcast, so each block emits its local
+    top-k per query and a tiny per-query groupby finishes the ranking.
+    idf is the Robertson/Lucene form ln((N − df + ½)/(df + ½) + 1)
+    (always positive). Scores ship as integer micro-units; ranking ties
+    break on doc_id. The arithmetic expression mirrors the SQL oracle
+    token for token so both engines compute identical doubles.
+    """
+    from ray.data.aggregate import Count
+
+    qterms = sorted({t for _, terms in queries for t in terms})
+    qt_hash, qt_doc = batch_word_ngram_hashes(qterms, 1)
+    th_of_term = np.zeros(len(qterms), np.uint64)
+    th_of_term[qt_doc] = qt_hash
+    term_index = {t: i for i, t in enumerate(qterms)}
+    avgdl = total_tokens / n_docs
+
+    def postings(bt: pa.Table) -> pa.Table:
+        _, doc_of, codes, dictionary = _batch_terms(bt, text_col)
+        th = _term_hashes(dictionary)
+        key = th[codes] ^ _mix(doc_of)
+        _, first = np.unique(key, return_index=True)
+        return pa.table({"h": pa.array(th[codes[first]].view(np.int64),
+                                       pa.int64())})
+
+    def _mix(doc_of: np.ndarray) -> np.ndarray:
+        d = doc_of.astype(np.uint64)
+        d = (d + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        return d ^ (d >> np.uint64(29))
+
+    df_ds = docs.map_batches(postings, batch_format="pyarrow") \
+        .groupby("h").aggregate(Count(alias_name="df"))
+    blocks = df_ds.materialize().get_internal_block_refs()
+    fn = ray.remote(num_cpus=1)(_df_payload_task)
+    df_ref = fn.remote(*blocks)
+
+    def score(bt: pa.Table, final: bool = False) -> pa.Table:
+        payload = _cached_df(df_ref)
+        ids = bt[id_col].to_numpy(zero_copy_only=False)
+        _, doc_of, codes, dictionary = _batch_terms(bt, text_col)
+        m = len(ids)
+        empty = pa.table({
+            "query_id": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64()),
+        })
+        if len(codes) == 0:
+            return empty.append_column(
+                "rnk", pa.array([], pa.int64())) if final else empty
+        dl = np.bincount(doc_of, minlength=m).astype(np.float64)
+        th = _term_hashes(dictionary)
+        # tf of each fixture term per doc
+        tf = np.zeros((len(qterms), m), np.float64)
+        for t, ti in term_index.items():
+            dmask = th[codes] == th_of_term[ti]
+            if dmask.any():
+                tf[ti] = np.bincount(doc_of[dmask], minlength=m)
+        # df of each fixture term (global payload)
+        dfv = np.zeros(len(qterms), np.float64)
+        pos = np.searchsorted(payload["h"],
+                              th_of_term.view(np.int64))
+        pos = np.minimum(pos, max(len(payload["h"]) - 1, 0))
+        hit = (payload["h"][pos] == th_of_term.view(np.int64)) \
+            if len(payload["h"]) else np.zeros(len(qterms), bool)
+        dfv[hit] = payload["df"][pos[hit]]
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1)
+        norm = 1 - b + b * dl / avgdl          # [m]
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in queries:
+            s = np.zeros(m, np.float64)
+            present = np.zeros(m, bool)
+            for t in terms:
+                ti = term_index[t]
+                s += idf[ti] * tf[ti] * (k1 + 1) / (tf[ti] + k1 * norm)
+                present |= tf[ti] > 0
+            sm = np.floor(s * 1e6 + 0.5).astype(np.int64)
+            cand = np.nonzero(present)[0]
+            order = np.lexsort((ids[cand], -sm[cand]))[:k]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qid, object))
+            out_d.append(ids[sel])
+            out_s.append(sm[sel])
+        t = pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.string()),
+            id_col: pa.array(np.concatenate(out_d).astype(np.int64),
+                             pa.int64()),
+            "score_micro": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+        return t
+
+    def finish(t: pa.Table) -> pa.Table:
+        sm = t["score_micro"].to_numpy(zero_copy_only=False)
+        did = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -sm))[:k]
+        sel = pa.array(order)
+        return pa.table({
+            "query_id": t["query_id"].take(sel),
+            id_col: t[id_col].take(sel),
+            "score_micro": t["score_micro"].take(sel),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64),
+                            pa.int64()),
+        })
+
+    partial = docs.map_batches(score, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(finish,
+                                                  batch_format="pyarrow")
+
+
 # --------------------------------------------------- Gopher-ish signals
 
 

@@ -166,3 +166,48 @@ def test_tfidf_top_terms_bruteforce(ray_session):
              for w, c in tf.items()))
         want = [(j + 1, w, c, -s) for j, (s, w, c) in enumerate(scored[:3])]
         assert sorted(got[int(i)]) == want, i
+
+
+def test_bm25_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(33)
+    vocab = [f"w{i:02d}" for i in range(20)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 30)))
+             for _ in range(120)]
+    ids = np.arange(120, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts})) \
+        .repartition(4)
+    queries = [("a", ["w00", "w07"]), ("b", ["w15"])]
+    total = sum(len(t.split()) for t in texts)
+    out = corpus.bm25_search(ds, queries, n_docs=120, total_tokens=total,
+                             k=5).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["doc_id"], r["score_micro"]))
+    # scalar reference
+    N, avgdl = 120, total / 120
+    df = Counter()
+    for t in texts:
+        df.update(set(t.split()))
+    k1, b = 1.2, 0.75
+    for qid, terms in queries:
+        scored = []
+        for i, t in enumerate(texts):
+            tf = Counter(t.split())
+            if not any(tf[w] for w in terms):
+                continue
+            s = 0.0
+            dl = len(t.split())
+            for w in terms:
+                idf = math.log((N - df[w] + 0.5) / (df[w] + 0.5) + 1)
+                s += idf * tf[w] * (k1 + 1) / (
+                    tf[w] + k1 * (1 - b + b * dl / avgdl))
+            scored.append((-math.floor(s * 1e6 + 0.5), i))
+        scored.sort()
+        want = [(j + 1, i, -s) for j, (s, i) in enumerate(scored[:5])]
+        assert sorted(got[qid]) == want, qid
