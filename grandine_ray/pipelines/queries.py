@@ -1408,6 +1408,46 @@ def q_revenue_by_nation(sf_dir: str):
     return agg.map_batches(name, batch_format="pyarrow")
 
 
+INACTIVE_MIN_PRICE = 450_000.0
+
+
+def q_inactive_customers(sf_dir: str):
+    """Distributed ANTI join: customers with no high-value order (the
+    NOT-EXISTS membership filter) via hash_join_i64(how='anti') — one
+    union shuffle, searchsorted membership per partition; the right
+    side is predicate-filtered at the read and pre-deduped per block so
+    the shuffle carries distinct custkeys only."""
+    from ..stages import relational
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+
+    def cust_slim(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "acctbal_cents": pa.array(
+                np.floor(bal * 100 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def ord_keys(b: pa.Table) -> pa.Table:
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        ck = np.unique(ck[price > INACTIVE_MIN_PRICE])
+        return pa.table({"custkey": pa.array(ck.astype(np.int64),
+                                             pa.int64())})
+
+    return relational.hash_join_i64(
+        cust.map_batches(cust_slim, batch_format="pyarrow"),
+        orders.map_batches(ord_keys, batch_format="pyarrow"),
+        key="custkey",
+        left_carry={"acctbal_cents": pa.int64()},
+        right_carry={}, how="anti")
+
+
 def q_events_intervals(sf_dir: str):
     """Non-equi interval join (stages/relational.py): every event falling
     inside any fixture interval ([anchor ts, +45 min), anchors = every
@@ -1496,6 +1536,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "corpus_build": q_corpus_build,
     "bm25_search": q_bm25_search,
+    "inactive_customers": q_inactive_customers,
 }
 
 
@@ -1997,4 +2038,11 @@ FROM (SELECT *, ROW_NUMBER() OVER (
         ORDER BY FLOOR(s * 1000000 + 0.5) DESC, doc_id) AS rnk
       FROM scored)
 WHERE rnk <= 10"""),
+    "inactive_customers": """
+SELECT CAST(c_custkey AS BIGINT) AS custkey,
+       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > 450000.0)""",
 }

@@ -47,11 +47,15 @@ def hash_join_i64(left, right, key: str,
     """Distributed equi-join on an int64 key.
 
     ``right`` must have UNIQUE keys (dimension-side contract — asserted
-    per partition). Carry dicts give the attached column types so no
-    schema inference ever executes a dataset. Returns columns
-    ``[key] + left_carry + right_carry``; ``how="left"`` keeps unmatched
-    left rows with nulls in the right carry.
+    per partition) for ``inner``/``left``. Carry dicts give the attached
+    column types so no schema inference ever executes a dataset. Returns
+    columns ``[key] + left_carry + right_carry``; ``how="left"`` keeps
+    unmatched left rows with nulls in the right carry. ``how="semi"`` /
+    ``"anti"`` are membership filters (right keys may repeat; right
+    carry must be empty; only left columns return).
     """
+    if how in ("semi", "anti") and right_carry:
+        raise ValueError("semi/anti join carries no right columns")
     all_carry = list(left_carry) + list(right_carry)
     types = {**left_carry, **right_carry}
 
@@ -79,14 +83,21 @@ def hash_join_i64(left, right, key: str,
         rk = keys[~lmask]
         order = np.argsort(rk, kind="stable")
         rk_s = rk[order]
-        if len(rk_s) > 1 and np.any(rk_s[1:] == rk_s[:-1]):
+        if how in ("inner", "left") and len(rk_s) > 1 \
+                and np.any(rk_s[1:] == rk_s[:-1]):
             raise ValueError("hash_join_i64: right side keys not unique")
         pos = np.searchsorted(rk_s, lk) if len(rk_s) else np.zeros(len(lk), np.int64)
         safe = np.minimum(pos, max(len(rk_s) - 1, 0))
         hit = (rk_s[safe] == lk) if len(rk_s) else np.zeros(len(lk), bool)
         l_idx = np.nonzero(lmask)[0]
         r_idx = np.nonzero(~lmask)[0]
-        if how == "inner":
+        if how in ("semi", "anti"):
+            sel = hit if how == "semi" else ~hit
+            cols = {key: pa.array(lk[sel], pa.int64())}
+            take_l = pa.array(l_idx[sel])
+            for c in left_carry:
+                cols[c] = t[c].take(take_l)
+        elif how == "inner":
             out_l = l_idx[hit]
             out_r = r_idx[order[safe[hit]]]
             cols = {key: pa.array(lk[hit], pa.int64())}

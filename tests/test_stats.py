@@ -202,3 +202,25 @@ def test_mg_merge_properties():
     assert m["x"] <= 13 and m.get("w", 0) <= 9
     full = stats.mg_compress({"x": 13, "y": 5, "z": 2, "w": 9}, 2)
     assert m == full
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_hash_join_semi_anti(ray_session, how):
+    import duckdb
+    import ray.data as rd
+
+    lk, lval, rk, _ = _join_fixture()
+    rk_dup = np.concatenate([rk, rk[:10]])  # membership: dups allowed
+    left = rd.from_arrow(pa.table({"k": lk, "lv": lval})).repartition(4)
+    right = rd.from_arrow(pa.table({"k": rk_dup})).repartition(3)
+    out = relational.hash_join_i64(
+        left, right, "k", {"lv": pa.int64()}, {}, P=5, how=how).take_all()
+    got = sorted((r["k"], r["lv"]) for r in out)
+    con = duckdb.connect()
+    con.register("l", pa.table({"k": lk, "lv": lval}))
+    con.register("r", pa.table({"k": rk_dup}))
+    op = "" if how == "semi" else "NOT"
+    want = sorted(con.execute(
+        f"SELECT k, lv FROM l WHERE {op} EXISTS "
+        f"(SELECT 1 FROM r WHERE r.k = l.k)").fetchall())
+    assert got == want
