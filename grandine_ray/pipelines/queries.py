@@ -1408,6 +1408,109 @@ def q_revenue_by_nation(sf_dir: str):
     return agg.map_batches(name, batch_format="pyarrow")
 
 
+def q_events_rollup(sf_dir: str):
+    """Multi-granularity aggregate in ONE shuffle (GROUP BY ROLLUP):
+    each row flat-maps to its three grouping levels — (type, day),
+    (type, ALL), (ALL, ALL) — with sentinel keys, pre-aggregated inside
+    the block before a single groupby; sentinels become NULLs at the
+    end to match the SQL ROLLUP output."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    SENT_T = "\x00ALL"
+    SENT_D = np.datetime64(0, "us")          # 1970 — outside the data
+
+    def levels(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype("datetime64[us]")
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        n = len(ts)
+        et3 = np.concatenate([et, et, np.full(n, SENT_T, object)])
+        day3 = np.concatenate([day, np.full(n, SENT_D, "datetime64[us]"),
+                               np.full(n, SENT_D, "datetime64[us]")])
+        t = pa.table({
+            "event_type": pa.array(et3, pa.string()),
+            "day": pa.array(day3),
+        })
+        # block-local combine before the shuffle
+        return t.group_by(["event_type", "day"]).aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "day", "n"])
+
+    from ray.data.aggregate import Sum
+
+    agg = ev.map_batches(levels, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(Sum("n", alias_name="n"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        day = b["day"]
+        et_null = pc.if_else(pc.equal(et, SENT_T),
+                             pa.nulls(len(b), pa.string()), et)
+        day_null = pc.if_else(
+            pc.equal(day, pa.scalar(SENT_D.item(), pa.timestamp("us"))),
+            pa.nulls(len(b), pa.timestamp("us")),
+            pc.cast(day, pa.timestamp("us")))
+        return pa.table({
+            "event_type": et_null,
+            "day": day_null,
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+FUNNEL_WINDOW_US = 10 * 60 * 1_000_000
+
+
+def q_events_funnel(sf_dir: str, num_partitions: int = 32):
+    """Sequential-pattern conversion count: per user, clicks preceded by
+    a view within 10 minutes. One user-hash shuffle; within each
+    partition both event streams sort once by (user, ts) and every
+    click resolves with two searchsorted probes against its user's view
+    segment (dense-user << 42 | relative-ts composite key — no per-user
+    Python loop)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    P = num_partitions
+
+    def addpart(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "view") | (et == "click")
+        t = b.filter(pa.array(keep))
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": t["ts"],
+            "event_type": t["event_type"],
+            "_part": pa.array((u % P).astype(np.int32), pa.int32()),
+        })
+
+    def funnel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        _, du = np.unique(u, return_inverse=True)
+        rel = ts - ts.min()
+        key = (du.astype(np.int64) << np.int64(42)) | rel
+        vmask = et == "view"
+        cmask = et == "click"
+        vk = np.sort(key[vmask])
+        ck = key[cmask]
+        # (c.ts - W, c.ts] — strict lower bound, inclusive upper
+        lo = np.searchsorted(vk, ck - FUNNEL_WINDOW_US, side="right")
+        hi = np.searchsorted(vk, ck, side="right")
+        conv = hi > lo
+        cu = u[cmask][conv]
+        uu, counts = np.unique(cu, return_counts=True)
+        return pa.table({
+            "user_id": pa.array(uu, pa.int64()),
+            "n_conv": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(funnel, batch_format="pyarrow")
+
+
 INACTIVE_MIN_PRICE = 450_000.0
 
 
@@ -1537,6 +1640,8 @@ QUERIES = {
     "corpus_build": q_corpus_build,
     "bm25_search": q_bm25_search,
     "inactive_customers": q_inactive_customers,
+    "events_rollup": q_events_rollup,
+    "events_funnel": q_events_funnel,
 }
 
 
@@ -2045,4 +2150,17 @@ FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_totalprice > 450000.0)""",
+    "events_rollup": """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY ROLLUP(event_type, day)""",
+    "events_funnel": """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_conv FROM (
+  SELECT c.event_id, c.user_id
+  FROM events c
+  WHERE c.event_type = 'click' AND EXISTS (
+    SELECT 1 FROM events v
+    WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 10 MINUTE)
+) GROUP BY user_id""",
 }
