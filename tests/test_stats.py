@@ -224,3 +224,71 @@ def test_hash_join_semi_anti(ray_session, how):
         f"SELECT k, lv FROM l WHERE {op} EXISTS "
         f"(SELECT 1 FROM r WHERE r.k = l.k)").fetchall())
     assert got == want
+
+
+# ------------------------------------------------------ property tests
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_interval_join_kernel_property(data):
+    """Partition-level kernel property: bucket-replicated interval join
+    equals brute force for random intervals/timestamps/bucket widths
+    (pure-numpy mirror of relational.interval_join's tag+resolve maths,
+    so hypothesis can drive it without a Ray round trip per example)."""
+    rng_seed = data.draw(st.integers(0, 2**31 - 1))
+    bucket = data.draw(st.sampled_from([7, 50, 333, 1000]))
+    rng = np.random.default_rng(rng_seed)
+    n_ev = int(rng.integers(1, 120))
+    n_iv = int(rng.integers(1, 25))
+    ts = rng.integers(0, 2000, n_ev).astype(np.int64)
+    t0 = rng.integers(-50, 2000, n_iv).astype(np.int64)
+    t1 = t0 + rng.integers(1, 400, n_iv).astype(np.int64)
+    got = set()
+    # replicate intervals to buckets, join per bucket (the kernel)
+    for i in range(n_iv):
+        b0, b1 = t0[i] // bucket, max((t1[i] - 1) // bucket, t0[i] // bucket)
+        for b in range(b0, b1 + 1):
+            ct0 = max(t0[i], b * bucket)
+            ct1 = min(t1[i], (b + 1) * bucket)
+            for e in range(n_ev):
+                if ts[e] // bucket == b and ct0 <= ts[e] < ct1:
+                    got.add((i, e))
+    want = {(i, e) for i in range(n_iv) for e in range(n_ev)
+            if t0[i] <= ts[e] < t1[i]}
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=60),
+       st.integers(8, 300))
+def test_pack_greedy_kernel_property(tokens, budget):
+    """The per-PACK searchsorted loop in pack_sequences equals the
+    doc-by-doc greedy walk for arbitrary token sequences."""
+    toks = np.asarray(tokens, np.int64)
+    cs = np.cumsum(toks)
+    n = len(toks)
+    pack_id = np.empty(n, np.int64)
+    start, local = 0, 0
+    while start < n:
+        base = cs[start - 1] if start else 0
+        end = int(np.searchsorted(cs, base + budget, side="right"))
+        if end == start:
+            end = start + 1
+        pack_id[start:end] = local
+        local += 1
+        start = end
+    # scalar greedy reference
+    ref = []
+    acc, pos, cur = 0, 0, 0
+    for t in tokens:
+        if pos > 0 and acc + t > budget:
+            cur += 1
+            acc, pos = 0, 0
+        ref.append(cur)
+        acc += t
+        pos += 1
+    assert pack_id.tolist() == ref
