@@ -1313,6 +1313,22 @@ def q_distinct_users_approx(sf_dir: str):
         ev.map_batches(day, batch_format="pyarrow"), "day", "user_id")
 
 
+def q_value_quantiles_approx(sf_dir: str):
+    """t-digest quantiles of the CONTINUOUS events.value column per
+    event type (stages/stats.py group_quantiles_tdigest): ≤4δ centroids
+    per (block, group) shuffle, one re-clustering merge per group.
+    Approximate by design (rank error ~0.1%, bounds in pytest), so
+    rows-only at the driver gate — the continuous-domain sibling of the
+    exact token_quantiles histogram."""
+    from ..stages import stats as stats_stage
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return stats_stage.group_quantiles_tdigest(
+        ev, "event_type", "value",
+        [0.25, 0.5, 0.75, 0.99], ["p25", "p50", "p75", "p99"])
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Multi-table star join (lineitem ⋈ orders ⋈ customer ⋈ nation) with
     per-block partial aggregation before EVERY shuffle: lineitem collapses
@@ -1642,6 +1658,7 @@ QUERIES = {
     "inactive_customers": q_inactive_customers,
     "events_rollup": q_events_rollup,
     "events_funnel": q_events_funnel,
+    "value_quantiles_approx": q_value_quantiles_approx,
 }
 
 

@@ -258,3 +258,107 @@ def heavy_hitters_mg(ds, value_col: str, k: int = 64):
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("_one").map_groups(reduce_all, batch_format="pyarrow")
+
+
+# ------------------------------------------------- t-digest (quantiles)
+
+
+def tdigest_build(means: np.ndarray, weights: np.ndarray,
+                  delta: int = 100) -> tuple[np.ndarray, np.ndarray]:
+    """Merge weighted points into t-digest centroids (Dunning's merging
+    variant with the k1 scale function k(q) = δ/2π·asin(2q−1)): clusters
+    stay small near the tails, so tail quantiles stay sharp. Input need
+    not be sorted; output centroids are sorted by mean. Deterministic."""
+    order = np.argsort(means, kind="stable")
+    m = means[order].astype(np.float64)
+    w = weights[order].astype(np.float64)
+    total = w.sum()
+    if total == 0:
+        return np.empty(0, np.float64), np.empty(0, np.float64)
+
+    def k(q):
+        return delta / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+
+    out_m, out_w = [], []
+    cur_m, cur_w = m[0], w[0]
+    q_left = 0.0
+    for i in range(1, len(m)):
+        q_right = q_left + (cur_w + w[i]) / total
+        if k(q_right) - k(q_left) <= 1.0:
+            cur_m += (m[i] - cur_m) * (w[i] / (cur_w + w[i]))
+            cur_w += w[i]
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q_left += cur_w / total
+            cur_m, cur_w = m[i], w[i]
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def tdigest_quantile(means: np.ndarray, weights: np.ndarray,
+                     q: float) -> float:
+    """Interpolated quantile from sorted centroids (midpoint rule)."""
+    if len(means) == 0:
+        return float("nan")
+    if len(means) == 1:
+        return float(means[0])
+    total = weights.sum()
+    target = q * total
+    cum = np.cumsum(weights) - weights / 2          # centroid midpoints
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(cum, target)) - 1
+    f = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(means[i] + f * (means[i + 1] - means[i]))
+
+
+def group_quantiles_tdigest(ds, group_col: str, value_col: str,
+                            qs: list[float], out_names: list[str],
+                            delta: int = 200):
+    """Approximate per-group quantiles of a CONTINUOUS column in one
+    pass: each block reduces to ≤δ centroids per group (a binary blob),
+    the groupby merges centroid sets by re-clustering — constant
+    shuffle bytes per (block, group) regardless of rows. The
+    approximate sibling of ``group_quantiles`` (exact, discrete)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        enc = pc.dictionary_encode(g.combine_chunks()
+                                   if isinstance(g, pa.ChunkedArray) else g)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keys, blobs = [], []
+        for c in np.unique(codes):
+            sel = v[codes == c]
+            # partial digests stay 4x finer; only the final merge
+            # compresses to delta (one merge level, not a merge tower,
+            # so the rank-error bound stays near the single-pass one)
+            m, w = tdigest_build(sel, np.ones(len(sel)), 4 * delta)
+            keys.append(int(c))
+            blobs.append(np.concatenate([m, w]).tobytes())
+        return pa.table({
+            group_col: enc.dictionary.take(pa.array(keys, pa.int64())),
+            "_td": pa.array(blobs, pa.binary()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        ms, ws = [], []
+        for blob in t["_td"].to_pylist():
+            arr = np.frombuffer(blob, np.float64)
+            h = len(arr) // 2
+            ms.append(arr[:h])
+            ws.append(arr[h:])
+        m, w = tdigest_build(np.concatenate(ms), np.concatenate(ws), delta)
+        cols = {group_col: t[group_col].slice(0, 1),
+                "n_rows": pa.array([int(round(w.sum()))], pa.int64())}
+        for q, name in zip(qs, out_names):
+            cols[name] = pa.array([tdigest_quantile(m, w, q)], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(merge, batch_format="pyarrow")

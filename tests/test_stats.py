@@ -292,3 +292,36 @@ def test_pack_greedy_kernel_property(tokens, budget):
         acc += t
         pos += 1
     assert pack_id.tolist() == ref
+
+
+def test_tdigest_accuracy_and_merge(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    g = rng.choice(["a", "b"], 60000)
+    v = np.where(g == "a", rng.normal(100, 15, 60000),
+                 rng.lognormal(3, 1, 60000))
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(12)
+    out = stats.group_quantiles_tdigest(
+        ds, "g", "v", [0.01, 0.25, 0.5, 0.75, 0.99],
+        ["p01", "p25", "p50", "p75", "p99"])
+    got = {r["g"]: r for r in out.take_all()}
+    for grp in "ab":
+        sel = np.sort(v[g == grp])
+        n = len(sel)
+        assert got[grp]["n_rows"] == n
+        for q, name in [(0.01, "p01"), (0.25, "p25"), (0.5, "p50"),
+                        (0.75, "p75"), (0.99, "p99")]:
+            est = got[grp][name]
+            # rank error: where does the estimate land in the true CDF?
+            rank = np.searchsorted(sel, est) / n
+            assert abs(rank - q) < 0.02, (grp, q, est, rank)
+
+
+def test_tdigest_centroid_bound():
+    rng = np.random.default_rng(10)
+    m, w = stats.tdigest_build(rng.normal(0, 1, 50000), np.ones(50000),
+                               delta=100)
+    assert len(m) <= 200          # ~delta centroids after merge
+    assert np.all(np.diff(m) >= 0)
+    assert int(w.sum()) == 50000
