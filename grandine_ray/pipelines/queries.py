@@ -891,6 +891,95 @@ def q_media_features(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+def q_layer_stats(sf_dir: str):
+    """Per-layer geometry aggregates: feature counts by type, total
+    planar line length, total planar polygon area (shoelace with ring
+    wrap; holes signed by their winding). Per-feature values integer-ize
+    to nano-units BEFORE the layer sum, so the aggregate is exact and
+    order-independent on both engines. Fully vectorized: one next-vertex
+    gather + two reduceat passes per batch."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs_ds(sf_dir)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        kind = flat.field("kind")
+        mask = pc.equal(kind, "geom").to_numpy(zero_copy_only=False)
+        sel = np.nonzero(mask)[0]
+        hexes = flat.field("text").take(pa.array(sel)).to_pylist()
+        media = flat.field("media_ref").take(pa.array(sel)).to_pylist()
+        joined = bytes.fromhex("".join(hexes))
+        sizes = np.asarray([len(h) // 2 for h in hexes], np.int64)
+        ends = np.cumsum(sizes)
+        blobs = [joined[e - s:e] for s, e in zip(sizes, ends)]
+        gb = wkbmod.decode_wkb_batch(blobs)
+        layers = [m[6:] if m.startswith("layer:") else "default"
+                  for m in media]
+        x = gb.coords[:, 0]
+        y = gb.coords[:, 1]
+        N = len(x)
+        nxt = np.arange(1, N + 1, dtype=np.int64)
+        ring_start = gb.ring_offsets[:-1]
+        ring_end = gb.ring_offsets[1:]
+        if N:
+            nxt[ring_end - 1] = ring_start
+        cross = x * y[nxt % max(N, 1)] - x[nxt % max(N, 1)] * y \
+            if N else np.empty(0, np.float64)
+        dx = x[nxt % max(N, 1)] - x if N else np.empty(0, np.float64)
+        dy = y[nxt % max(N, 1)] - y if N else np.empty(0, np.float64)
+        seglen = np.sqrt(dx * dx + dy * dy)
+        if N:
+            seglen[ring_end - 1] = 0.0       # length never wraps
+        ring_cross = np.add.reduceat(cross, ring_start) \
+            if len(ring_start) else np.empty(0, np.float64)
+        ring_len = np.add.reduceat(seglen, ring_start) \
+            if len(ring_start) else np.empty(0, np.float64)
+        # single-point rings: reduceat over size-1 segments is the value
+        # itself, which is already the correct (zero-wrap) contribution
+        g_off = gb.geom_offsets
+        geom_cross = np.add.reduceat(ring_cross, g_off[:-1]) \
+            if len(g_off) > 1 else np.empty(0, np.float64)
+        geom_len = np.add.reduceat(ring_len, g_off[:-1]) \
+            if len(g_off) > 1 else np.empty(0, np.float64)
+        is_poly = gb.types == 3
+        is_line = gb.types == 2
+        area_micro = np.zeros(len(gb.types), np.int64)
+        len_micro = np.zeros(len(gb.types), np.int64)
+        area_micro[is_poly] = np.floor(
+            np.abs(geom_cross[is_poly]) / 2 * 1e6 + 0.5).astype(np.int64)
+        len_micro[is_line] = np.floor(
+            geom_len[is_line] * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "layer": pa.array(layers, pa.string()),
+            "n_points": pa.array((gb.types == 1).astype(np.int64)),
+            "n_lines": pa.array(is_line.astype(np.int64)),
+            "n_polys": pa.array(is_poly.astype(np.int64)),
+            "len_micro": pa.array(len_micro, pa.int64()),
+            "area_micro": pa.array(area_micro, pa.int64()),
+        })
+
+    agg = docs.map_batches(stats, batch_format="pyarrow") \
+        .groupby("layer").aggregate(
+            Sum("n_points", alias_name="n_points"),
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("n_polys", alias_name="n_polys"),
+            Sum("len_micro", alias_name="total_len_micro"),
+            Sum("area_micro", alias_name="total_area_micro"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        cols = {"layer": b["layer"]}
+        for c in ["n_points", "n_lines", "n_polys",
+                  "total_len_micro", "total_area_micro"]:
+            cols[c] = pc.cast(b[c], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
 # --------------------------------------------------- corpus-hygiene queries
 
 
@@ -1659,6 +1748,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_funnel": q_events_funnel,
     "value_quantiles_approx": q_value_quantiles_approx,
+    "layer_stats": q_layer_stats,
 }
 
 
@@ -2180,4 +2270,36 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_conv FROM (
     WHERE v.user_id = c.user_id AND v.event_type = 'view'
       AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 10 MINUTE)
 ) GROUP BY user_id""",
+    "layer_stats": f"""
+WITH v AS (
+  SELECT doc_id, span_idx, CAST(geom_type AS BIGINT) AS gt, layer,
+         UNNEST(xs) AS x, UNNEST(ys) AS y, UNNEST(ring_of) AS ring,
+         UNNEST(generate_series(1, len(xs))) AS pos
+  FROM {_GEOMS}
+),
+seg AS (
+  SELECT doc_id, span_idx, gt, layer, ring, x, y,
+         COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS wx,
+         COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS wy,
+         LEAD(x) OVER w AS nx, LEAD(y) OVER w AS ny
+  FROM v WINDOW w AS (PARTITION BY doc_id, span_idx, ring ORDER BY pos)
+),
+feat AS (
+  SELECT doc_id, span_idx, gt, layer,
+         CASE WHEN gt = 3 THEN CAST(FLOOR(ABS(SUM(x * wy - wx * y)) / 2
+                                          * 1000000 + 0.5) AS BIGINT)
+              ELSE 0 END AS area_micro,
+         CASE WHEN gt = 2 THEN CAST(FLOOR(COALESCE(
+                  SUM(SQRT((nx - x) * (nx - x) + (ny - y) * (ny - y))), 0)
+                  * 1000000 + 0.5) AS BIGINT)
+              ELSE 0 END AS len_micro
+  FROM seg GROUP BY doc_id, span_idx, gt, layer
+)
+SELECT layer,
+       CAST(SUM(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN gt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN gt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_polys,
+       CAST(SUM(len_micro) AS BIGINT) AS total_len_micro,
+       CAST(SUM(area_micro) AS BIGINT) AS total_area_micro
+FROM feat GROUP BY layer""",
 }
