@@ -1285,6 +1285,19 @@ def q_vocab_topk(sf_dir: str):
         .sort(["n", "term"], descending=[True, False]).limit(20)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the full embeddings table (k=10,
+    8 iterations): per iteration one streaming assignment pass emitting
+    per-block (cluster, n, Σvec, inertia) partials + a k-row merge; the
+    driver holds only the k×d centroid matrix. Iterative algorithm →
+    rows-only at the gate; pytest asserts monotone inertia and >0.98
+    purity on planted clusters."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    C, _hist = ann_stage.kmeans_fit(emb, k=10, iters=8)
+    return ann_stage.kmeans_assign(emb, C)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroids (the k-means / IVF-training step as
     a streaming aggregate): per-block (label, n, Σvec) partials with the
@@ -1749,6 +1762,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "value_quantiles_approx": q_value_quantiles_approx,
     "layer_stats": q_layer_stats,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 

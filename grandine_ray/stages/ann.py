@@ -414,3 +414,100 @@ def label_centroids(emb_ds, label_col: str = "label",
 
     return emb_ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("label").map_groups(merge, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- distributed k-means
+
+
+def kmeans_fit(emb_ds, k: int = 10, iters: int = 8,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed Lloyd iterations over the FULL dataset (the iterative
+    upgrade of IVFIndex.train's driver-side-sample k-means): per
+    iteration one streaming pass assigns every vector to its nearest
+    broadcast centroid and emits per-block partial (cluster, n, Σvec)
+    rows — vector sums as one binary blob — then a k-row groupby merge;
+    the driver holds only the k×d centroid matrix. Deterministic:
+    init = the k lowest-id vectors; empty clusters keep their previous
+    centroid. Returns (centroids [k,d], inertia history)."""
+    seed_rows = emb_ds.filter(expr=f"{id_col} < {k}").take_all()
+    seed_rows.sort(key=lambda r: r[id_col])
+    centroids = np.asarray([r[vec_col] for r in seed_rows], np.float64)
+    history = []
+
+    def make_partial(cref):
+        def partial(b: pa.Table) -> pa.Table:
+            C = ray.get(cref)                      # zero-copy per worker
+            M = _to_matrix(b[vec_col], dtype=np.float64)
+            # ||m - c||² = ||m||² - 2 m·c + ||c||²; argmin over c
+            d2 = (-2.0 * M @ C.T) + (C * C).sum(axis=1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            best = d2[np.arange(len(M)), assign] + (M * M).sum(axis=1)
+            uniq, inv = np.unique(assign, return_inverse=True)
+            sums = np.zeros((len(uniq), M.shape[1]), np.float64)
+            np.add.at(sums, inv, M)
+            n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "inertia": pa.array(
+                    np.bincount(inv, weights=best,
+                                minlength=len(uniq)), pa.float64()),
+                "vsum": pa.array([s.tobytes() for s in sums], pa.binary()),
+            })
+        return partial
+
+    def merge(t: pa.Table) -> pa.Table:
+        blobs = t["vsum"].to_pylist()
+        mat = np.frombuffer(b"".join(blobs), np.float64) \
+            .reshape(len(blobs), -1)
+        return pa.table({
+            "cluster": t["cluster"].slice(0, 1),
+            "n": pa.array([int(t["n"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64()),
+            "inertia": pa.array([float(t["inertia"].to_numpy(
+                zero_copy_only=False).sum())], pa.float64()),
+            "vsum": pa.array([mat.sum(axis=0).tobytes()], pa.binary()),
+        })
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        rows = emb_ds.map_batches(make_partial(cref),
+                                  batch_format="pyarrow") \
+            .groupby("cluster").map_groups(merge, batch_format="pyarrow") \
+            .take_all()                      # k rows — the model update
+        new_c = centroids.copy()
+        inertia = 0.0
+        for r in rows:
+            c = int(r["cluster"])
+            n = int(r["n"])
+            inertia += float(r["inertia"])
+            if n:
+                new_c[c] = np.frombuffer(r["vsum"], np.float64) / n
+        history.append(inertia)
+        if np.allclose(new_c, centroids):
+            centroids = new_c
+            break
+        centroids = new_c
+    return centroids, history
+
+
+def kmeans_assign(emb_ds, centroids: np.ndarray,
+                  vec_col: str = "embedding", id_col: str = "vec_id"):
+    """One streaming pass: (id, cluster, dist_micro) per vector."""
+    cref = ray.put(centroids)
+
+    def assign(b: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        M = _to_matrix(b[vec_col], dtype=np.float64)
+        d2 = (-2.0 * M @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = np.argmin(d2, axis=1)
+        best = np.sqrt(np.maximum(
+            d2[np.arange(len(M)), a] + (M * M).sum(axis=1), 0.0))
+        return pa.table({
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "dist_micro": pa.array(
+                np.floor(best * 1e6 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")

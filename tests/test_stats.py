@@ -325,3 +325,33 @@ def test_tdigest_centroid_bound():
     assert len(m) <= 200          # ~delta centroids after merge
     assert np.all(np.diff(m) >= 0)
     assert int(w.sum()) == 50000
+
+
+def test_kmeans_distributed(ray_session):
+    import ray.data as rd
+
+    from grandine_ray.stages.ann import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0, 10, (4, 6))
+    lab = rng.integers(0, 4, 2000)
+    vecs = centers[lab] + rng.normal(0, 0.5, (2000, 6))
+    tbl = pa.table({
+        "vec_id": np.arange(2000, dtype=np.int64),
+        "embedding": pa.array(list(vecs.astype(np.float32)),
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(6)
+    C, hist = kmeans_fit(ds, k=4, iters=10)
+    # inertia non-increasing across Lloyd iterations
+    assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
+    out = kmeans_assign(ds, C).take_all()
+    assign = {r["vec_id"]: r["cluster"] for r in out}
+    # cluster purity vs planted labels
+    from collections import Counter
+    purity = 0
+    for c in range(4):
+        members = [lab[i] for i in range(2000) if assign[i] == c]
+        if members:
+            purity += Counter(members).most_common(1)[0][1]
+    assert purity / 2000 > 0.98
