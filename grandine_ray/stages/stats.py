@@ -276,25 +276,19 @@ def tdigest_build(means: np.ndarray, weights: np.ndarray,
     if total == 0:
         return np.empty(0, np.float64), np.empty(0, np.float64)
 
-    def k(q):
-        return delta / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
-
-    out_m, out_w = [], []
-    cur_m, cur_w = m[0], w[0]
-    q_left = 0.0
-    for i in range(1, len(m)):
-        q_right = q_left + (cur_w + w[i]) / total
-        if k(q_right) - k(q_left) <= 1.0:
-            cur_m += (m[i] - cur_m) * (w[i] / (cur_w + w[i]))
-            cur_w += w[i]
-        else:
-            out_m.append(cur_m)
-            out_w.append(cur_w)
-            q_left += cur_w / total
-            cur_m, cur_w = m[i], w[i]
-    out_m.append(cur_m)
-    out_w.append(cur_w)
-    return np.asarray(out_m), np.asarray(out_w)
+    # vectorized band construction: point i (by its right-edge quantile)
+    # belongs to k-band floor(k(q_i) - k(0)); bands are contiguous spans
+    # of the sorted input, so one reduceat computes every centroid. Same
+    # k1 size bound as the sequential greedy merge, fully vectorized.
+    qe = np.cumsum(w) / total
+    ke = delta / (2 * np.pi) * np.arcsin(np.clip(2 * qe - 1, -1, 1))
+    cid = np.floor(ke + delta / 4.0).astype(np.int64)
+    starts = np.ones(len(cid), bool)
+    starts[1:] = cid[1:] != cid[:-1]
+    idx = np.nonzero(starts)[0]
+    ws = np.add.reduceat(w, idx)
+    ms = np.add.reduceat(m * w, idx) / ws
+    return ms, ws
 
 
 def tdigest_quantile(means: np.ndarray, weights: np.ndarray,

@@ -77,6 +77,39 @@ def main():
     dt = time.perf_counter() - t0
     out["simhash_s"] = round(dt, 3)
     out["simhash_docs_per_sec"] = round(tdocs.num_rows / dt, 1)
+
+    # round-3 kernels
+    import numpy as np
+
+    from grandine_ray.stages.corpus import (
+        batch_word_ngram_hashes, gopher_stats,
+    )
+    from grandine_ray.stages.stats import tdigest_build
+    from grandine_ray.index.cells import geohash_encode
+
+    texts = tdocs["text"].to_pylist()
+    t0 = time.perf_counter()
+    batch_word_ngram_hashes(texts, 4)
+    dt = time.perf_counter() - t0
+    out["word_4gram_s"] = round(dt, 3)
+    out["word_4gram_mchar_per_sec"] = round(nchars / dt / 1e6, 2)
+
+    t0 = time.perf_counter()
+    gopher_stats(tdocs)
+    out["gopher_s"] = round(time.perf_counter() - t0, 3)
+
+    vals = np.random.default_rng(0).normal(0, 1, 1_000_000)
+    t0 = time.perf_counter()
+    tdigest_build(vals, np.ones(len(vals)), 200)
+    dt = time.perf_counter() - t0
+    out["tdigest_mvals_per_sec"] = round(len(vals) / dt / 1e6, 2)
+
+    lon = np.random.default_rng(1).uniform(-180, 180, 1_000_000)
+    lat = np.random.default_rng(2).uniform(-90, 90, 1_000_000)
+    t0 = time.perf_counter()
+    geohash_encode(lon, lat, 7)
+    dt = time.perf_counter() - t0
+    out["geohash_mpts_per_sec"] = round(len(lon) / dt / 1e6, 2)
     print(json.dumps(out))
 
 
