@@ -355,3 +355,30 @@ def test_kmeans_distributed(ray_session):
         if members:
             purity += Counter(members).most_common(1)[0][1]
     assert purity / 2000 > 0.98
+
+
+def test_hash_join_negative_keys(ray_session):
+    """Pin int64-view hash keys (blake2b > 2^63 becomes negative):
+    partitioning and matching must work across the sign boundary."""
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(6)
+    lk = rng.integers(-2**62, 2**62, 300).astype(np.int64)
+    lk[:50] = lk[50:100]  # guarantee matches
+    rk = np.unique(lk[50:120])
+    left = rd.from_arrow(pa.table({"k": lk, "lv": np.arange(300,
+                                                            dtype=np.int64)}))
+    right = rd.from_arrow(pa.table({"k": rk,
+                                    "rv": rk * 2})).repartition(3)
+    out = relational.hash_join_i64(
+        left.repartition(4), right, "k",
+        {"lv": pa.int64()}, {"rv": pa.int64()}, P=7).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    con = duckdb.connect()
+    con.register("l", pa.table({"k": lk, "lv": np.arange(300,
+                                                         dtype=np.int64)}))
+    con.register("r", pa.table({"k": rk, "rv": rk * 2}))
+    want = sorted(con.execute(
+        "SELECT l.k, lv, rv FROM l JOIN r ON l.k = r.k").fetchall())
+    assert got == want
