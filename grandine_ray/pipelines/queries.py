@@ -1576,6 +1576,49 @@ def q_events_rollup(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+def q_events_lag(sf_dir: str, num_partitions: int = 32):
+    """LAG window function: each event's value delta vs the SAME user's
+    previous event (null for the first). One user-hash shuffle, one
+    lexsort per partition, a shifted-compare mask — the sessionize
+    pattern applied to the lead/lag family. Deltas integer-ized per row
+    (milli-units) on both engines."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    P = num_partitions
+
+    def addpart(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+
+    def lag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        # deterministic total order: LAG ties broken by event_id (the
+        # SQL ORDER BY ts, event_id)
+        order = np.lexsort((eid, ts, u))
+        u_s, v_s = u[order], v[order]
+        has_prev = np.zeros(len(u_s), bool)
+        has_prev[1:] = u_s[1:] == u_s[:-1]
+        delta = np.zeros(len(u_s), np.float64)
+        delta[1:] = v_s[1:] - v_s[:-1]
+        dm = np.floor(delta * 1000 + 0.5).astype(np.int64)
+        out = pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(u_s.astype(np.int64), pa.int64()),
+            "delta_milli": pc.if_else(
+                pa.array(has_prev), pa.array(dm, pa.int64()),
+                pa.nulls(len(u_s), pa.int64())),
+        })
+        return out
+
+    return ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(lag, batch_format="pyarrow")
+
+
 FUNNEL_WINDOW_US = 10 * 60 * 1_000_000
 
 
@@ -1763,6 +1806,7 @@ QUERIES = {
     "value_quantiles_approx": q_value_quantiles_approx,
     "layer_stats": q_layer_stats,
     "kmeans_clusters": q_kmeans_clusters,
+    "events_lag": q_events_lag,
 }
 
 
@@ -2284,6 +2328,12 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_conv FROM (
     WHERE v.user_id = c.user_id AND v.event_type = 'view'
       AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 10 MINUTE)
 ) GROUP BY user_id""",
+    "events_lag": """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(FLOOR((value - LAG(value) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id)) * 1000 + 0.5)
+            AS BIGINT) AS delta_milli
+FROM events""",
     "layer_stats": f"""
 WITH v AS (
   SELECT doc_id, span_idx, CAST(geom_type AS BIGINT) AS gt, layer,
