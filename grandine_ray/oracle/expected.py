@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v5"  # v5: +decontaminate / pack_sequences / gopher_quality
+_VERSION = "v6"  # v6: +geohash_cells, corpus_build (full r3 generator set)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
