@@ -2367,3 +2367,11 @@ SELECT layer,
        CAST(SUM(area_micro) AS BIGINT) AS total_area_micro
 FROM feat GROUP BY layer""",
 }
+
+
+# round-3 extension queries (TPC-H-style relational breadth + the window /
+# NTILE / interpolated-quantile / n-gram families) live in queries_ext.py
+from .queries_ext import QUERIES_EXT, ORACLE_SQL_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+ORACLE_SQL.update(ORACLE_SQL_EXT)

@@ -86,6 +86,65 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
     return hist.groupby(group_col).map_groups(final, batch_format="pyarrow")
 
 
+def quantile_cont_sorted_q4(values: np.ndarray, weights: np.ndarray,
+                            p4: int) -> int:
+    """Interpolated (type-7 / SQL quantile_cont) quantile at p = p4/4
+    over a weighted sorted histogram, returned ×4 as an exact integer:
+    h = (n-1)·p; out = 4·v[⌊h⌋] + frac4·(v[⌊h⌋+1] − v[⌊h⌋]) with
+    frac4 = 4·(h − ⌊h⌋) ∈ {0,1,2,3}. Quarter quantiles make every term
+    integral, so the result is bit-exact across engines."""
+    n = int(weights.sum())
+    cum = np.cumsum(weights)
+
+    def at(rank0: int) -> int:
+        return int(values[np.searchsorted(cum, rank0 + 1, side="left")])
+
+    h4 = (n - 1) * p4
+    lo = h4 // 4
+    frac4 = h4 % 4
+    v_lo = at(lo)
+    v_hi = at(min(lo + 1, n - 1)) if frac4 else v_lo
+    return 4 * v_lo + frac4 * (v_hi - v_lo)
+
+
+def group_quantiles_cont(ds, group_col: str, value_col: str,
+                         qs: list[float], out_names: list[str]):
+    """Exact INTERPOLATED quantiles (SQL quantile_cont) per group over
+    the same value-count histogram shuffle as ``group_quantiles``.
+    Quantiles must be quarters (p·4 integral) and values non-negative
+    integers < 2^44; outputs are the quantile ×4 as int64 (exact — the
+    dyadic interpolation weight keeps all arithmetic integral)."""
+    from ray.data.aggregate import Sum
+
+    p4s = []
+    for q in qs:
+        p4 = round(q * 4)
+        if abs(p4 - q * 4) > 1e-12:
+            raise ValueError(f"quantile {q} is not a quarter")
+        p4s.append(int(p4))
+
+    hist = ds.map_batches(
+        lambda b: _pair_counts(b, group_col, value_col),
+        batch_format="pyarrow",
+    ).groupby([group_col, value_col]).aggregate(Sum("n", alias_name="n"))
+
+    def final(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        w = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cols = {
+            group_col: t[group_col].slice(0, 1),
+            "n_rows": pa.array([int(w.sum())], pa.int64()),
+        }
+        for p4, name in zip(p4s, out_names):
+            cols[name] = pa.array([quantile_cont_sorted_q4(v, w, p4)],
+                                  pa.int64())
+        return pa.table(cols)
+
+    return hist.groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------- distinct count
 
 
