@@ -1,0 +1,531 @@
+"""Round-3 relational-depth queries: the TPC-H join family beyond the
+star join (shipping-priority top-k, returned-item customer revenue,
+large-volume orders, distinct-supplier counts) plus a correlated
+above-group-average filter.
+
+Shared scale contract (same as queries_ext.py): per-block partial
+aggregation before every shuffle, all joins via
+stages/relational.hash_join_i64 (union + part-groupby + searchsorted; no
+Ray Dataset.join), money integer-ized per row with floor(x*100 + 0.5) on
+BOTH engines, tiny dimensions (nation, 25 rows) broadcast as plain
+dicts. Distinct counts are global dedups on fused integer keys (never
+a driver-side set).
+
+Reference scope note: the reference engine (thomersch/grandine) has no
+relational layer; these extend the training-data-pipeline surface
+(SURVEY.md §2.7b) with DuckDB as the parity oracle.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .queries_ext import _cents, _group_sums, _np, _ts_us
+
+
+def _widen_i64(*names):
+    """Post-groupby batch fn casting every named column to int64 (Ray's
+    Sum can emit int32/float depending on input width)."""
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({n: pc.cast(b[n], pa.int64()) for n in names})
+    return fn
+
+
+# ---------------------------------------- TPC-H Q3: shipping priority
+
+
+Q3_CUTOFF = np.datetime64("1998-03-15", "us").astype(np.int64)
+Q3_SEGMENT = "BUILDING"
+
+
+def q_top_unshipped(sf_dir: str):
+    """Top-10 highest-revenue orders still unshipped at the cutoff
+    (TPC-H Q3 family): BUILDING-segment customers, orders placed before
+    the cutoff, revenue from lineitems shipped after it. Three
+    exchanges, all pre-collapsed: a semi join filters orders by the
+    customer segment (orders ship only (okey, od, priority)); lineitem
+    collapses per block to (okey, cents) before the revenue groupby;
+    the final join attaches order attrs to the per-order revenue rows
+    (one row per order, not per lineitem). The top-k sort sees only
+    per-order rows."""
+    from ray.data.aggregate import Sum
+    from ..stages import relational
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def cust_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["c_mktsegment"], Q3_SEGMENT))
+        return pa.table({"custkey": pc.cast(t["c_custkey"], pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def ord_slim(b: pa.Table) -> pa.Table:
+        od = _ts_us(b["o_orderdate"])
+        t = b.filter(pa.array(od < Q3_CUTOFF))
+        return pa.table({
+            "custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "okey": pc.cast(t["o_orderkey"], pa.int64()),
+            "od_us": pa.array(od[od < Q3_CUTOFF], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    seg_orders = relational.hash_join_i64(
+        orders.map_batches(ord_slim, batch_format="pyarrow"),
+        cust.map_batches(cust_keys, batch_format="pyarrow"),
+        key="custkey",
+        left_carry={"okey": pa.int64(), "od_us": pa.int64(),
+                    "o_orderpriority": pa.string()},
+        right_carry={}, how="semi")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        keep = _ts_us(b["l_shipdate"]) > Q3_CUTOFF
+        t = b.filter(pa.array(keep))
+        ok = _np(t["l_orderkey"]).astype(np.int64)
+        ep = _np(t["l_extendedprice"])
+        dc = _np(t["l_discount"])
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        keys, (sc,) = _group_sums(ok, cents)
+        return pa.table({"okey": pa.array(keys, pa.int64()),
+                         "cents": pa.array(sc, pa.int64())})
+
+    rev = li.map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("okey").aggregate(Sum("cents", alias_name="revenue_cents")) \
+        .map_batches(_widen_i64("okey", "revenue_cents"),
+                     batch_format="pyarrow")
+
+    joined = relational.hash_join_i64(
+        rev, seg_orders, key="okey",
+        left_carry={"revenue_cents": pa.int64()},
+        right_carry={"od_us": pa.int64(), "o_orderpriority": pa.string()})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b["okey"], pa.int64()),
+            "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+            "od_us": pc.cast(b["od_us"], pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    return joined.map_batches(rename, batch_format="pyarrow") \
+        .sort(["revenue_cents", "o_orderkey"],
+              descending=[True, False]).limit(10)
+
+
+# --------------------------------------- TPC-H Q10: returned items
+
+
+Q10_FROM = np.datetime64("1996-01-01", "us").astype(np.int64)
+Q10_TO = np.datetime64("1996-07-01", "us").astype(np.int64)
+
+
+def q_returned_items(sf_dir: str):
+    """Top-20 customers by revenue lost to returned items in a 6-month
+    order window (TPC-H Q10 family). lineitem keeps only R-flag rows and
+    collapses per block to (okey, cents); the order join (date-windowed,
+    unique okey) swaps the key to custkey; a second per-block collapse +
+    groupby yields one row per customer before the customer join; nation
+    (25 rows) is a broadcast dict. The sort ranks customers, not
+    lineitems."""
+    from ray.data.aggregate import Sum
+    from ..stages import relational
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        ok = _np(t["l_orderkey"]).astype(np.int64)
+        ep = _np(t["l_extendedprice"])
+        dc = _np(t["l_discount"])
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        keys, (sc,) = _group_sums(ok, cents)
+        return pa.table({"okey": pa.array(keys, pa.int64()),
+                         "cents": pa.array(sc, pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def ord_slim(b: pa.Table) -> pa.Table:
+        od = _ts_us(b["o_orderdate"])
+        keep = (od >= Q10_FROM) & (od < Q10_TO)
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "okey": pc.cast(t["o_orderkey"], pa.int64()),
+            "custkey": pc.cast(t["o_custkey"], pa.int64()),
+        })
+
+    j1 = relational.hash_join_i64(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders.map_batches(ord_slim, batch_format="pyarrow"),
+        key="okey",
+        left_carry={"cents": pa.int64()},
+        right_carry={"custkey": pa.int64()})
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        ck = _np(b["custkey"]).astype(np.int64)
+        cents = _np(b["cents"]).astype(np.int64)
+        keys, (sc,) = _group_sums(ck, cents)
+        return pa.table({"custkey": pa.array(keys, pa.int64()),
+                         "cents": pa.array(sc, pa.int64())})
+
+    rev = j1.map_batches(cust_partial, batch_format="pyarrow") \
+        .groupby("custkey") \
+        .aggregate(Sum("cents", alias_name="revenue_cents")) \
+        .map_batches(_widen_i64("custkey", "revenue_cents"),
+                     batch_format="pyarrow")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def cust_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "c_name": b["c_name"],
+            "nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+        })
+
+    j2 = relational.hash_join_i64(
+        rev, cust.map_batches(cust_slim, batch_format="pyarrow"),
+        key="custkey",
+        left_carry={"revenue_cents": pa.int64()},
+        right_carry={"c_name": pa.string(), "nationkey": pa.int64()})
+
+    import pyarrow.parquet as pq
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist()))
+
+    def final(b: pa.Table) -> pa.Table:
+        nk = _np(b["nationkey"])
+        return pa.table({
+            "c_custkey": pc.cast(b["custkey"], pa.int64()),
+            "c_name": b["c_name"],
+            "n_name": pa.array([nmap[int(k)] for k in nk], pa.string()),
+            "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+        })
+
+    return j2.map_batches(final, batch_format="pyarrow") \
+        .sort(["revenue_cents", "c_custkey"],
+              descending=[True, False]).limit(20)
+
+
+# ------------------------------------ TPC-H Q18: large-volume orders
+
+
+Q18_MIN_QTY = 250
+
+
+def q_big_orders(sf_dir: str):
+    """Large-volume orders (TPC-H Q18 family): orders whose total
+    lineitem quantity exceeds 250, with customer name and order totals.
+    The HAVING filter runs on the per-order aggregate (a tiny survivor
+    set), so both downstream joins move only qualifying orders."""
+    from ray.data.aggregate import Sum
+    from ..stages import relational
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ok = _np(b["l_orderkey"]).astype(np.int64)
+        qty = np.floor(_np(b["l_quantity"]) + 0.5).astype(np.int64)
+        keys, (sq,) = _group_sums(ok, qty)
+        return pa.table({"okey": pa.array(keys, pa.int64()),
+                         "qty": pa.array(sq, pa.int64())})
+
+    def keep_big(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["qty"], Q18_MIN_QTY))
+        return pa.table({"okey": pc.cast(t["okey"], pa.int64()),
+                         "sum_qty": pc.cast(t["qty"], pa.int64())})
+
+    big = li.map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("okey").aggregate(Sum("qty", alias_name="qty")) \
+        .map_batches(keep_big, batch_format="pyarrow")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+
+    def ord_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": pc.cast(b["o_orderkey"], pa.int64()),
+            "custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "od_us": pa.array(_ts_us(b["o_orderdate"]), pa.int64()),
+            "total_cents": pa.array(_cents(_np(b["o_totalprice"])),
+                                    pa.int64()),
+        })
+
+    j1 = relational.hash_join_i64(
+        big, orders.map_batches(ord_slim, batch_format="pyarrow"),
+        key="okey",
+        left_carry={"sum_qty": pa.int64()},
+        right_carry={"custkey": pa.int64(), "od_us": pa.int64(),
+                     "total_cents": pa.int64()})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+
+    def cust_slim(b: pa.Table) -> pa.Table:
+        return pa.table({"custkey": pc.cast(b["c_custkey"], pa.int64()),
+                         "c_name": b["c_name"]})
+
+    j2 = relational.hash_join_i64(
+        j1, cust.map_batches(cust_slim, batch_format="pyarrow"),
+        key="custkey",
+        left_carry={"okey": pa.int64(), "sum_qty": pa.int64(),
+                    "od_us": pa.int64(), "total_cents": pa.int64()},
+        right_carry={"c_name": pa.string()})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": b["c_name"],
+            "c_custkey": pc.cast(b["custkey"], pa.int64()),
+            "o_orderkey": pc.cast(b["okey"], pa.int64()),
+            "od_us": pc.cast(b["od_us"], pa.int64()),
+            "total_cents": pc.cast(b["total_cents"], pa.int64()),
+            "sum_qty": pc.cast(b["sum_qty"], pa.int64()),
+        })
+
+    return j2.map_batches(rename, batch_format="pyarrow") \
+        .sort(["sum_qty", "o_orderkey"], descending=[True, False])
+
+
+# --------------------------- TPC-H Q16 family: distinct suppliers/brand
+
+
+def q_brand_suppliers(sf_dir: str):
+    """COUNT(DISTINCT supplier) per part brand from lineitem (TPC-H Q16
+    family without partsupp). Two-level distributed distinct: (1) the
+    (partkey, suppkey) pair domain is deduped on a fused int64 key (pk
+    << 20 | sk — both keys < 2^20 at any TPC-H scale that fits int64
+    row ids) so the part join moves each pair once; (2) after the brand
+    attach, (brand, suppkey) dedups on a fused string key, and the final
+    count is a per-block bincount partial + brand groupby. Every shuffle
+    is bounded by the DISTINCT domain, never the fact-table row count."""
+    from ray.data.aggregate import Sum
+    from ..stages import relational
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pk = _np(b["l_partkey"]).astype(np.int64)
+        sk = _np(b["l_suppkey"]).astype(np.int64)
+        fused = np.unique((pk << np.int64(20)) | sk)
+        return pa.table({"pair": pa.array(fused, pa.int64()),
+                         "one": pa.array(np.ones(len(fused), np.int64),
+                                         pa.int64())})
+
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("one", alias_name="one"))
+
+    def unfuse(b: pa.Table) -> pa.Table:
+        fused = _np(b["pair"]).astype(np.int64)
+        return pa.table({
+            "partkey": pa.array(fused >> np.int64(20), pa.int64()),
+            "suppkey": pa.array(fused & np.int64((1 << 20) - 1),
+                                pa.int64()),
+        })
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+
+    def part_slim(b: pa.Table) -> pa.Table:
+        return pa.table({"partkey": pc.cast(b["p_partkey"], pa.int64()),
+                         "p_brand": b["p_brand"]})
+
+    joined = relational.hash_join_i64(
+        pairs.map_batches(unfuse, batch_format="pyarrow"),
+        part.map_batches(part_slim, batch_format="pyarrow"),
+        key="partkey",
+        left_carry={"suppkey": pa.int64()},
+        right_carry={"p_brand": pa.string()})
+
+    def bs_partial(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"].combine_chunks() if isinstance(
+            b["p_brand"], pa.ChunkedArray) else b["p_brand"]
+        sk = pc.cast(b["suppkey"], pa.string())
+        fused = pc.binary_join_element_wise(brand, sk, "|")
+        uniq = pc.unique(fused)
+        return pa.table({"bs": uniq,
+                         "one": pa.array(np.ones(len(uniq), np.int64),
+                                         pa.int64())})
+
+    bs = joined.map_batches(bs_partial, batch_format="pyarrow") \
+        .groupby("bs").aggregate(Sum("one", alias_name="one"))
+
+    def brand_partial(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["bs"], "|")
+        brand = pc.list_element(parts, 0)
+        brand = brand.combine_chunks() if isinstance(
+            brand, pa.ChunkedArray) else brand
+        enc = pc.dictionary_encode(brand)
+        codes = _np(enc.indices).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({
+            "p_brand": enc.dictionary,
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return bs.map_batches(brand_partial, batch_format="pyarrow") \
+        .groupby("p_brand") \
+        .aggregate(Sum("n", alias_name="supplier_cnt")) \
+        .map_batches(lambda b: pa.table({
+            "p_brand": b["p_brand"],
+            "supplier_cnt": pc.cast(b["supplier_cnt"], pa.int64())}),
+            batch_format="pyarrow")
+
+
+# -------------------------- correlated filter: above nation-average
+
+
+def q_above_avg_balance(sf_dir: str):
+    """Per-nation count and sum of customer balances strictly above the
+    nation's average balance — the correlated-subquery pattern
+    (customers vs their own group's aggregate). The group aggregate
+    (≤25 rows) comes from one pre-collapsed groupby; the comparison is
+    exact integer cross-multiplication (cents · n_group > sum_group, no
+    division), so both engines agree bit-for-bit even on negative
+    balances."""
+    from ray.data.aggregate import Sum
+    from ..stages import relational
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "cents": pa.array(_cents(_np(b["c_acctbal"])), pa.int64()),
+        })
+
+    slimmed = cust.map_batches(slim, batch_format="pyarrow")
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        nk = _np(b["nationkey"]).astype(np.int64)
+        cents = _np(b["cents"]).astype(np.int64)
+        ones = np.ones(len(nk), np.int64)
+        keys, (sc, n) = _group_sums(nk, cents, ones)
+        return pa.table({"nationkey": pa.array(keys, pa.int64()),
+                         "s": pa.array(sc, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    agg = slimmed.map_batches(nation_partial, batch_format="pyarrow") \
+        .groupby("nationkey").aggregate(Sum("s", alias_name="s"),
+                                        Sum("n", alias_name="n")) \
+        .map_batches(_widen_i64("nationkey", "s", "n"),
+                     batch_format="pyarrow")
+
+    joined = relational.hash_join_i64(
+        slimmed, agg, key="nationkey",
+        left_carry={"cents": pa.int64()},
+        right_carry={"s": pa.int64(), "n": pa.int64()})
+
+    def above_partial(b: pa.Table) -> pa.Table:
+        keep = _np(b["cents"]) * _np(b["n"]) > _np(b["s"])
+        t = b.filter(pa.array(keep))
+        nk = _np(t["nationkey"]).astype(np.int64)
+        cents = _np(t["cents"]).astype(np.int64)
+        ones = np.ones(len(nk), np.int64)
+        keys, (sc, n) = _group_sums(nk, cents, ones)
+        return pa.table({"nationkey": pa.array(keys, pa.int64()),
+                         "above_cents": pa.array(sc, pa.int64()),
+                         "n_above": pa.array(n, pa.int64())})
+
+    return joined.map_batches(above_partial, batch_format="pyarrow") \
+        .groupby("nationkey") \
+        .aggregate(Sum("n_above", alias_name="n_above"),
+                   Sum("above_cents", alias_name="above_cents")) \
+        .map_batches(_widen_i64("nationkey", "n_above", "above_cents"),
+                     batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- registry
+
+
+QUERIES_REL = {
+    "top_unshipped": q_top_unshipped,
+    "returned_items": q_returned_items,
+    "big_orders": q_big_orders,
+    "brand_suppliers": q_brand_suppliers,
+    "above_avg_balance": q_above_avg_balance,
+}
+
+
+ORACLE_SQL_REL = {
+    "top_unshipped": """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY l_orderkey)
+SELECT o_orderkey, revenue_cents,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS od_us, o_orderpriority
+FROM rev JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-03-15'
+  AND o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""",
+    "returned_items": """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name, n_name, revenue_cents
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+    "big_orders": """
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) > 250)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS od_us,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       sum_qty
+FROM q
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey""",
+    "brand_suppliers": """
+SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand""",
+    "above_avg_balance": """
+WITH c AS (SELECT c_nationkey,
+                  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           FROM customer),
+a AS (SELECT c_nationkey AS nk, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY c_nationkey)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       CAST(SUM(cents) AS BIGINT) AS above_cents
+FROM c JOIN a ON c_nationkey = nk
+WHERE cents * n > s
+GROUP BY c_nationkey""",
+}
