@@ -2373,8 +2373,11 @@ FROM feat GROUP BY layer""",
 # NTILE / interpolated-quantile / n-gram families) live in queries_ext.py
 from .queries_ext import QUERIES_EXT, ORACLE_SQL_EXT  # noqa: E402
 from .queries_rel import QUERIES_REL, ORACLE_SQL_REL  # noqa: E402
+from .queries_win import QUERIES_WIN, ORACLE_SQL_WIN  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE_SQL.update(ORACLE_SQL_EXT)
 QUERIES.update(QUERIES_REL)
 ORACLE_SQL.update(ORACLE_SQL_REL)
+QUERIES.update(QUERIES_WIN)
+ORACLE_SQL.update(ORACLE_SQL_WIN)
