@@ -2374,6 +2374,7 @@ FROM feat GROUP BY layer""",
 from .queries_ext import QUERIES_EXT, ORACLE_SQL_EXT  # noqa: E402
 from .queries_rel import QUERIES_REL, ORACLE_SQL_REL  # noqa: E402
 from .queries_win import QUERIES_WIN, ORACLE_SQL_WIN  # noqa: E402
+from .queries_cstats import QUERIES_CSTATS, ORACLE_SQL_CSTATS  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE_SQL.update(ORACLE_SQL_EXT)
@@ -2381,3 +2382,5 @@ QUERIES.update(QUERIES_REL)
 ORACLE_SQL.update(ORACLE_SQL_REL)
 QUERIES.update(QUERIES_WIN)
 ORACLE_SQL.update(ORACLE_SQL_WIN)
+QUERIES.update(QUERIES_CSTATS)
+ORACLE_SQL.update(ORACLE_SQL_CSTATS)

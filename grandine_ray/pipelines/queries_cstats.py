@@ -1,0 +1,375 @@
+"""Round-3 corpus-statistics queries: cross-source vocabulary overlap,
+stopword ratios, boilerplate-prefix duplicate detection, word-length
+distributions, value histograms, and semi-structured (JSON) property
+extraction — the corpus-profiling passes a training-data pipeline runs
+before filtering decisions.
+
+Scale contract: tokenization is the shared Arrow-kernel pass
+(stages/corpus._batch_terms — lowercase + whitespace split, zero Python
+loops); every shuffle moves VOCABULARY-sized partials (distinct
+(source, term) pairs, per-(lang, len) counts, histogram bins), never
+corpus rows. The only quadratic step — source pairs per term in
+source_overlap — is bounded by #sources² per term; a web-scale source
+domain would cap or MinHash it (documented on the query).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .queries_ext import _np
+
+STOPWORDS = ["the", "a"]
+PREFIX_K = 5
+HIST_BIN_MILLI = 50_000  # 50.0 value units per bin
+
+
+def _chunk(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _count_by_key(keys: pa.Array) -> pa.Table:
+    """Per-block partial: dictionary-encode a string key array and
+    bincount it. Returns (key, n)."""
+    enc = pc.dictionary_encode(_chunk(keys))
+    codes = _np(enc.indices).astype(np.int64)
+    cnt = np.bincount(codes, minlength=len(enc.dictionary))
+    return pa.table({"key": enc.dictionary,
+                     "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+# ------------------------------------- cross-source vocabulary overlap
+
+
+def q_source_overlap(sf_dir: str):
+    """Shared-vocabulary counts for every source pair: |vocab(a) ∩
+    vocab(b)|. Stage 1 dedups (source, term) on a fused string key (the
+    shuffle is the distinct domain, ≤ sources × vocab); stage 2 groups
+    by term and emits each term's source pairs (C(s,2) per term — at a
+    web-scale source domain, cap the per-term source list or switch to
+    per-source MinHash sketches); stage 3 sums pair counts. Exact for
+    bounded source domains."""
+    from ray.data.aggregate import Sum
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def st_partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, _, _ = _batch_terms(b, "text")
+        src_of = _chunk(b["source"]).take(pa.array(doc_of))
+        fused = pc.binary_join_element_wise(src_of, flat, "|")
+        uniq = pc.unique(fused)
+        return pa.table({"st": uniq,
+                         "one": pa.array(np.ones(len(uniq), np.int64),
+                                         pa.int64())})
+
+    st = docs.map_batches(st_partial, batch_format="pyarrow") \
+        .groupby("st").aggregate(Sum("one", alias_name="one"))
+
+    def to_ts(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["st"], "|")
+        return pa.table({"source": pc.list_element(parts, 0),
+                         "term": pc.list_element(parts, 1)})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        srcs = sorted(set(t["source"].to_pylist()))
+        i, j = np.triu_indices(len(srcs), k=1)
+        pair = [f"{srcs[a]}|{srcs[b]}" for a, b in zip(i, j)]
+        return pa.table({"pair": pa.array(pair, pa.string()),
+                         "n": pa.array(np.ones(len(pair), np.int64),
+                                       pa.int64())})
+
+    pr = st.map_batches(to_ts, batch_format="pyarrow") \
+        .groupby("term").map_groups(pairs, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("n", alias_name="n_common"))
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["pair"], "|")
+        return pa.table({
+            "src_a": pc.list_element(parts, 0),
+            "src_b": pc.list_element(parts, 1),
+            "n_common": pc.cast(b["n_common"], pa.int64()),
+        })
+
+    return pr.map_batches(split, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ stopword ratio
+
+
+def q_stopword_stats(sf_dir: str):
+    """Per-language stopword counts: documents, total tokens, stopword
+    tokens. One vocabulary-sized shuffle of per-block (lang, counts)
+    partials; the stopword test is one Arrow is_in over the flat term
+    array."""
+    from ray.data.aggregate import Sum
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, _, _ = _batch_terms(b, "text")
+        enc = pc.dictionary_encode(_chunk(b["lang"]))
+        dcodes = _np(enc.indices).astype(np.int64)
+        K = len(enc.dictionary)
+        tcodes = dcodes[doc_of]
+        stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": enc.dictionary,
+            "n_docs": pa.array(np.bincount(dcodes, minlength=K)
+                               .astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(np.bincount(tcodes, minlength=K)
+                                 .astype(np.int64), pa.int64()),
+            "n_stop": pa.array(np.bincount(tcodes, weights=stop,
+                                           minlength=K)
+                               .astype(np.int64), pa.int64()),
+        })
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            *(Sum(c, alias_name=c) for c in
+              ("n_docs", "n_tokens", "n_stop")))
+
+    def widen(b: pa.Table) -> pa.Table:
+        cols = {"lang": b["lang"]}
+        for c in ("n_docs", "n_tokens", "n_stop"):
+            cols[c] = pc.cast(b[c], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+# --------------------------------------- boilerplate-prefix duplicates
+
+
+def q_prefix_dups(sf_dir: str):
+    """Boilerplate detection: groups of documents sharing their first
+    5 words (the cheap pre-pass before shingle dedup — shared prefixes
+    are how mirrored/templated pages cluster). Per block: one Arrow
+    split + list_slice + join builds the prefix key; the shuffle moves
+    (prefix, count) partials; survivors are prefixes with ≥2 docs."""
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(_chunk(b["text"]))
+        words = pc.utf8_split_whitespace(lower)
+        pre = pc.binary_join(pc.list_slice(words, 0, PREFIX_K), " ")
+        t = _count_by_key(pre)
+        return pa.table({"prefix": t["key"], "n": t["n"]})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("prefix").aggregate(Sum("n", alias_name="n_docs"))
+
+    def keep_dups(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["n_docs"], 1))
+        return pa.table({"prefix": t["prefix"],
+                         "n_docs": pc.cast(t["n_docs"], pa.int64())})
+
+    return agg.map_batches(keep_dups, batch_format="pyarrow")
+
+
+# ---------------------------------------------- word-length distribution
+
+
+def q_word_len_dist(sf_dir: str):
+    """Token-length histogram per language — the char-level profile pass
+    (language mixes shift it; tokenizer bugs show up as spikes). Fused
+    (lang, len) string partials, one vocabulary-sized shuffle."""
+    from ray.data.aggregate import Sum
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, _, _ = _batch_terms(b, "text")
+        lang_of = _chunk(b["lang"]).take(pa.array(doc_of))
+        lens = pc.cast(pc.utf8_length(flat), pa.string())
+        fused = pc.binary_join_element_wise(lang_of, lens, "|")
+        t = _count_by_key(fused)
+        return pa.table({"ll": t["key"], "n": t["n"]})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ll").aggregate(Sum("n", alias_name="n"))
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["ll"], "|")
+        return pa.table({
+            "lang": pc.list_element(parts, 0),
+            "word_len": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
+# --------------------------------------------------- value histogram
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values per event type (50-unit
+    bins on integer milli values — exact bin edges, no float compare).
+    Per-block fused (type, bin) bincount partials; the shuffle is
+    O(types × bins)."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vm = np.floor(_np(b["value"]) * 1000 + 0.5).astype(np.int64)
+        bins = vm // HIST_BIN_MILLI
+        fused = pc.binary_join_element_wise(
+            _chunk(b["event_type"]),
+            pa.array(bins.astype("U"), pa.string()), "|")
+        t = _count_by_key(fused)
+        return pa.table({"tb": t["key"], "n": t["n"]})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tb").aggregate(Sum("n", alias_name="n"))
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["tb"], "|")
+        return pa.table({
+            "event_type": pc.list_element(parts, 0),
+            "bin": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
+# ------------------------------------------- JSON property extraction
+
+
+def q_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    JSON props column (one vectorized RE2 extract_regex, no per-row
+    json.loads) and aggregate sum/min/max/count per event type. The
+    shuffle moves one partial row per (block, type)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(_chunk(b["props"]), r'"k": (?P<k>\d+)')
+        k = _np(pc.cast(pc.struct_field(ex, "k"), pa.int64())) \
+            .astype(np.int64)
+        enc = pc.dictionary_encode(_chunk(b["event_type"]))
+        codes = _np(enc.indices).astype(np.int64)
+        K = len(enc.dictionary)
+        order = np.argsort(codes, kind="stable")
+        c_s, k_s = codes[order], k[order]
+        starts = np.ones(len(c_s), bool)
+        if len(c_s):
+            starts[1:] = c_s[1:] != c_s[:-1]
+        idx = np.nonzero(starts)[0]
+        red = (lambda f: f.reduceat(k_s, idx) if len(c_s)
+               else np.empty(0, np.int64))
+        return pa.table({
+            "event_type": enc.dictionary.take(pa.array(c_s[idx]
+                                                       if len(c_s)
+                                                       else codes)),
+            "sum_k": pa.array(red(np.add), pa.int64()),
+            "min_k": pa.array(red(np.minimum), pa.int64()),
+            "max_k": pa.array(red(np.maximum), pa.int64()),
+            "n": pa.array((np.r_[idx[1:], len(c_s)] - idx)
+                          .astype(np.int64) if len(c_s)
+                          else np.empty(0, np.int64), pa.int64()),
+        })
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n", alias_name="n"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        cols = {"event_type": b["event_type"]}
+        for c in ("sum_k", "min_k", "max_k", "n"):
+            cols[c] = pc.cast(b[c], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- registry
+
+
+QUERIES_CSTATS = {
+    "source_overlap": q_source_overlap,
+    "stopword_stats": q_stopword_stats,
+    "prefix_dups": q_prefix_dups,
+    "word_len_dist": q_word_len_dist,
+    "value_histogram": q_value_histogram,
+    "props_extract": q_props_extract,
+}
+
+
+ORACLE_SQL_CSTATS = {
+    "source_overlap": r"""
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> '')
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common
+FROM st a JOIN st b USING (term)
+WHERE a.source < b.source
+GROUP BY a.source, b.source""",
+    "stopword_stats": r"""
+WITH w AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tok AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) FILTER (term IN ('the', 'a')) AS BIGINT) AS n_stop
+  FROM w GROUP BY lang),
+d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang)
+SELECT lang, n_docs, n_tokens, n_stop FROM tok JOIN d USING (lang)""",
+    "prefix_dups": r"""
+WITH p AS (
+  SELECT array_to_string(
+           list_slice(regexp_split_to_array(trim(lower(text)), '\s+'),
+                      1, 5), ' ') AS prefix
+  FROM documents)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY prefix HAVING COUNT(*) > 1""",
+    "word_len_dist": r"""
+WITH w AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> '')
+SELECT lang, CAST(length(term) AS BIGINT) AS word_len,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY lang, word_len""",
+    "value_histogram": """
+SELECT event_type,
+       CAST(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) // 50000
+            AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, bin""",
+    "props_extract": r"""
+WITH k AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM k GROUP BY event_type""",
+}

@@ -1,0 +1,56 @@
+"""Corpus-statistics queries (queries_cstats.py): end-to-end DuckDB
+parity at sf0.001 plus a brute-force cross-check of the source-overlap
+pair expansion."""
+import duckdb
+import pytest
+
+from grandine_ray.pipelines import queries_cstats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["events", "documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _cmp(got_df, sql):
+    want = _con().execute(sql).df()
+    g = got_df.reindex(sorted(got_df.columns), axis=1)
+    w = want.reindex(sorted(want.columns), axis=1)
+    assert len(g) == len(w)
+    assert sorted(g.columns) == sorted(w.columns)
+    gs = sorted(map(tuple, g.astype(str).values.tolist()))
+    ws = sorted(map(tuple, w.astype(str).values.tolist()))
+    assert gs == ws
+
+
+@pytest.mark.parametrize("name", sorted(queries_cstats.QUERIES_CSTATS))
+def test_cstats_query_parity(ray_session, name):
+    got = queries_cstats.QUERIES_CSTATS[name](SF).to_pandas()
+    _cmp(got, queries_cstats.ORACLE_SQL_CSTATS[name])
+
+
+def test_source_overlap_brute_force(ray_session):
+    # independent oracle: python set intersections per source pair
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["source", "text"])
+    vocab = {}
+    for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        vocab.setdefault(src, set()).update(txt.lower().split())
+    want = {}
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n = len(vocab[a] & vocab[b])
+            if n:
+                want[(a, b)] = n
+    got = queries_cstats.q_source_overlap(SF).to_pandas()
+    got_map = {(r.src_a, r.src_b): r.n_common
+               for r in got.itertuples()}
+    assert got_map == want
