@@ -2375,6 +2375,7 @@ from .queries_ext import QUERIES_EXT, ORACLE_SQL_EXT  # noqa: E402
 from .queries_rel import QUERIES_REL, ORACLE_SQL_REL  # noqa: E402
 from .queries_win import QUERIES_WIN, ORACLE_SQL_WIN  # noqa: E402
 from .queries_cstats import QUERIES_CSTATS, ORACLE_SQL_CSTATS  # noqa: E402
+from .queries_emb import QUERIES_EMB, ORACLE_SQL_EMB  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE_SQL.update(ORACLE_SQL_EXT)
@@ -2384,3 +2385,5 @@ QUERIES.update(QUERIES_WIN)
 ORACLE_SQL.update(ORACLE_SQL_WIN)
 QUERIES.update(QUERIES_CSTATS)
 ORACLE_SQL.update(ORACLE_SQL_CSTATS)
+QUERIES.update(QUERIES_EMB)
+ORACLE_SQL.update(ORACLE_SQL_EMB)

@@ -364,6 +364,78 @@ class HyperplaneLSH:
         )
 
 
+def _pack_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """[n, d] vectors × [tables, d, bits] hyperplanes → [tables, n]
+    packed int64 bucket signatures (one einsum, no row loop)."""
+    bits = np.einsum("nd,tdb->tnb", m, planes) > 0
+    pw = (1 << np.arange(planes.shape[2], dtype=np.int64))
+    return bits @ pw
+
+
+def lsh_topk(ds, query_ids, query_matrix, k: int = 10, bits: int = 8,
+             tables: int = 4, multiprobe: bool = True, seed: int = 7):
+    """LSH-bucketed cosine top-k — the second scale path beyond IVF.
+
+    LSH-as-filter shape: every batch computes its vectors' signatures in
+    ``tables`` independent hash tables (one einsum against the broadcast
+    hyperplanes) and keeps only rows within Hamming distance ≤1 (or =0
+    without multiprobe) of a query's signature in ANY table; survivors
+    re-score exactly and emit per-batch partial top-k. Because a vector
+    lives in exactly one batch, candidates are globally disjoint and the
+    final per-query groupby is the same top-k merge brute force uses —
+    no dedup pass. The only shuffle moves ≤ k rows per (query, batch).
+
+    Approximate: recall follows the random-hyperplane collision bound
+    (1 - θ/π)^bits per table, so it depends on the corpus geometry —
+    tight clusters (the planted pytest fixture) reach ≥0.9, while
+    near-uniform clouds need more tables / fewer bits. The query's own
+    vector always collides with itself (Hamming 0), so self-recall is 1.
+    """
+    qm = normalize(np.asarray(query_matrix, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((tables, qm.shape[1], bits))
+    qsig = _pack_signatures(qm, planes)  # [tables, nq]
+    ref = ray.put({"ids": np.asarray(query_ids), "qm": qm,
+                   "planes": planes, "qsig": qsig})
+    max_ham = 1 if multiprobe else 0
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = normalize(_to_matrix(batch["embedding"], dtype=np.float64))
+        sig = _pack_signatures(m, q["planes"])  # [tables, n]
+        nq = len(q["ids"])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            hit = np.zeros(len(vec_ids), bool)
+            for t in range(sig.shape[0]):
+                x = sig[t] ^ q["qsig"][t, qi]
+                ham = np.zeros(len(x), np.int64)
+                for b in range(bits):
+                    ham += (x >> b) & 1
+                hit |= ham <= max_ham
+            if not hit.any():
+                continue
+            cand = np.nonzero(hit)[0]
+            scores = q["qm"][qi] @ m[cand].T
+            kk = min(k, len(cand))
+            top = np.argpartition(-scores, kth=kk - 1)[:kk]
+            out_q.extend([int(q["ids"][qi])] * kk)
+            out_v.extend(vec_ids[cand[top]].tolist())
+            out_s.extend(scores[top].astype(np.float64).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    partial = ds.map_batches(score, batch_format="pyarrow",
+                             batch_size=4096)
+    return partial.groupby("query_id").map_groups(
+        topk_per_query(k), batch_format="pyarrow")
+
+
 # --------------------------------------------------------- vector aggregates
 
 
@@ -410,6 +482,57 @@ def label_centroids(emb_ds, label_col: str = "label",
             "n": pa.array(np.full(d, n, np.int64), pa.int64()),
             "centroid_micro": pa.array(
                 np.floor(mean * 1e6 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return emb_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("label").map_groups(merge, batch_format="pyarrow")
+
+
+def label_moments(emb_ds, label_col: str = "label",
+                  vec_col: str = "embedding", scale: float = 1e6):
+    """Per-(label, dim) first and second moments of an embedding column
+    — the spread/variance companion to label_centroids, fully exact:
+    each component integer-izes per ROW (floor(x·1e6 + 0.5), the
+    CLAUDE.md float-parity rule) BEFORE summing, so sum and
+    sum-of-squares are order-independent int64 and match SQL
+    bit-for-bit (micro² · rows stays far below 2^63 for unit-norm-ish
+    embeddings). Same shuffle shape as label_centroids: per-block
+    (label, n, Σv, Σv²) partials with the vector sums carried as single
+    binary blobs, then a labels-sized groupby merge."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        M = _to_matrix(b[vec_col], dtype=np.float64)
+        Mi = np.floor(M * scale + 0.5).astype(np.int64)
+        lab = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), Mi.shape[1]), np.int64)
+        ssq = np.zeros((len(uniq), Mi.shape[1]), np.int64)
+        np.add.at(sums, inv, Mi)
+        np.add.at(ssq, inv, Mi * Mi)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "vsum": pa.array([s.tobytes() for s in sums], pa.binary()),
+            "vssq": pa.array([s.tobytes() for s in ssq], pa.binary()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        def tot(col):
+            blobs = t[col].to_pylist()
+            return np.frombuffer(b"".join(blobs), np.int64) \
+                .reshape(len(blobs), -1).sum(axis=0)
+
+        s1, s2 = tot("vsum"), tot("vssq")
+        n = int(t["n"].to_numpy(zero_copy_only=False).sum())
+        d = len(s1)
+        return pa.table({
+            "label": pa.array(
+                np.full(d, t["label"][0].as_py(), np.int64), pa.int64()),
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "n": pa.array(np.full(d, n, np.int64), pa.int64()),
+            "sum_micro": pa.array(s1, pa.int64()),
+            "ssq_micro": pa.array(s2, pa.int64()),
         })
 
     return emb_ds.map_batches(partial, batch_format="pyarrow") \
