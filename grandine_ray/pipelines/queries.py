@@ -2376,6 +2376,7 @@ from .queries_rel import QUERIES_REL, ORACLE_SQL_REL  # noqa: E402
 from .queries_win import QUERIES_WIN, ORACLE_SQL_WIN  # noqa: E402
 from .queries_cstats import QUERIES_CSTATS, ORACLE_SQL_CSTATS  # noqa: E402
 from .queries_emb import QUERIES_EMB, ORACLE_SQL_EMB  # noqa: E402
+from .queries_evt import QUERIES_EVT, ORACLE_SQL_EVT  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE_SQL.update(ORACLE_SQL_EXT)
@@ -2387,3 +2388,5 @@ QUERIES.update(QUERIES_CSTATS)
 ORACLE_SQL.update(ORACLE_SQL_CSTATS)
 QUERIES.update(QUERIES_EMB)
 ORACLE_SQL.update(ORACLE_SQL_EMB)
+QUERIES.update(QUERIES_EVT)
+ORACLE_SQL.update(ORACLE_SQL_EVT)

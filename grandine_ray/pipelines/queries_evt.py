@@ -1,0 +1,277 @@
+"""Round-3 event-analytics queries: hourly OHLC bars, weekly user
+retention, and the event-type transition matrix — the
+behavioral-analytics passes over an event stream.
+
+Scale contract: OHLC partials are mergeable (each block emits one row
+per (type, hour) carrying argmin/argmax state), retention dedups
+(user, week) on a fused int64 key before any per-user work, and
+transitions ride the one-user-hash-shuffle window kernel. Every shuffle
+is bounded by the group domain (types × hours, users × weeks, type²),
+never the event count. Values integer-ize per row (milli) — CLAUDE.md
+float-parity rule.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .queries_ext import _np, _ts_us
+
+HOUR_US = 3_600_000_000
+WEEK_US = 604_800_000_000
+
+
+def _chunk(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+# ------------------------------------------------------- hourly OHLC bars
+
+
+def q_events_ohlc(sf_dir: str):
+    """Open/high/low/close value bars per (event_type, hour). Per block:
+    one lexsort by (key, ts, event_id) collapses to per-run partials
+    carrying the merge STATE for open/close — (ts, event_id, value) of
+    the run's first and last row — plus min/max/count; the groupby then
+    merges a handful of partial rows per bar with one lexsort each.
+    Ties on ts break by event_id, so open/close are deterministic."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b["ts"])
+        eid = _np(b["event_id"]).astype(np.int64)
+        vm = np.floor(_np(b["value"]) * 1000 + 0.5).astype(np.int64)
+        hr = ts // HOUR_US
+        key = pc.binary_join_element_wise(
+            _chunk(b["event_type"]),
+            pa.array(hr.astype("U"), pa.string()), "|")
+        enc = pc.dictionary_encode(key)
+        codes = _np(enc.indices).astype(np.int64)
+        order = np.lexsort((eid, ts, codes))
+        c_s = codes[order]
+        starts = np.ones(len(c_s), bool)
+        if len(c_s):
+            starts[1:] = c_s[1:] != c_s[:-1]
+        idx = np.nonzero(starts)[0]
+        ends = np.r_[idx[1:], len(c_s)] - 1
+        vm_s = vm[order]
+        mn = np.minimum.reduceat(vm_s, idx) if len(c_s) else vm_s
+        mx = np.maximum.reduceat(vm_s, idx) if len(c_s) else vm_s
+        n = (np.r_[idx[1:], len(c_s)] - idx).astype(np.int64) \
+            if len(c_s) else np.empty(0, np.int64)
+        first, last = order[idx], order[ends]
+        return pa.table({
+            "key": enc.dictionary.take(pa.array(c_s[idx] if len(c_s)
+                                                else codes)),
+            "o_ts": pa.array(ts[first], pa.int64()),
+            "o_eid": pa.array(eid[first], pa.int64()),
+            "o_vm": pa.array(vm[first], pa.int64()),
+            "c_ts": pa.array(ts[last], pa.int64()),
+            "c_eid": pa.array(eid[last], pa.int64()),
+            "c_vm": pa.array(vm[last], pa.int64()),
+            "low": pa.array(mn, pa.int64()),
+            "high": pa.array(mx, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        key = t["key"][0].as_py()
+        et, hr = key.rsplit("|", 1)
+        oo = np.lexsort((_np(t["o_eid"]), _np(t["o_ts"])))[0]
+        co = np.lexsort((-_np(t["c_eid"]), -_np(t["c_ts"])))[0]
+        return pa.table({
+            "event_type": pa.array([et], pa.string()),
+            "hr": pa.array([int(hr)], pa.int64()),
+            "n": pa.array([int(_np(t["n"]).sum())], pa.int64()),
+            "open_milli": pa.array([int(_np(t["o_vm"])[oo])], pa.int64()),
+            "high_milli": pa.array([int(_np(t["high"]).max())], pa.int64()),
+            "low_milli": pa.array([int(_np(t["low"]).min())], pa.int64()),
+            "close_milli": pa.array([int(_np(t["c_vm"])[co])], pa.int64()),
+        })
+
+    return ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").map_groups(merge, batch_format="pyarrow")
+
+
+# --------------------------------------------------- weekly user retention
+
+
+def q_user_retention(sf_dir: str):
+    """Week-over-week retention: per week, active users and how many are
+    also active the NEXT week. Stage 1 dedups (user, week) on a fused
+    int64 key (user << 20 | week); stage 2 shuffles the distinct pairs
+    by user hash and finds week-(week+1) adjacencies with one lexsort +
+    shift compare per partition; stage 3 sums per-week partials."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    P = 32
+
+    def uw_partial(b: pa.Table) -> pa.Table:
+        u = _np(b["user_id"]).astype(np.int64)
+        wk = _ts_us(b["ts"]) // WEEK_US
+        fused = np.unique((u << np.int64(20)) | wk)
+        return pa.table({"uw": pa.array(fused, pa.int64()),
+                         "one": pa.array(np.ones(len(fused), np.int64),
+                                         pa.int64())})
+
+    uw = ev.map_batches(uw_partial, batch_format="pyarrow") \
+        .groupby("uw").aggregate(Sum("one", alias_name="one"))
+
+    def addpart(b: pa.Table) -> pa.Table:
+        fused = _np(b["uw"]).astype(np.int64)
+        u = fused >> np.int64(20)
+        return pa.table({
+            "uw": pa.array(fused, pa.int64()),
+            "_part": pa.array((u % P).astype(np.int32), pa.int32()),
+        })
+
+    def adj(t: pa.Table) -> pa.Table:
+        fused = np.sort(_np(t["uw"]).astype(np.int64))
+        wk = fused & np.int64((1 << 20) - 1)
+        # same user AND consecutive week ⇔ fused values differ by 1,
+        # except at a user boundary where week wraps (width-20 field
+        # never wraps: weeks-since-epoch < 2^20)
+        ret = np.zeros(len(fused), bool)
+        if len(fused) > 1:
+            ret[:-1] = fused[1:] == fused[:-1] + 1
+        order = np.argsort(wk, kind="stable")
+        wk_s = wk[order]
+        starts = np.ones(len(wk_s), bool)
+        if len(wk_s):
+            starts[1:] = wk_s[1:] != wk_s[:-1]
+        idx = np.nonzero(starts)[0]
+        n_act = (np.r_[idx[1:], len(wk_s)] - idx).astype(np.int64)
+        n_ret = np.add.reduceat(ret[order].astype(np.int64), idx) \
+            if len(wk_s) else np.empty(0, np.int64)
+        return pa.table({
+            "wk": pa.array(wk_s[idx] if len(wk_s) else wk_s, pa.int64()),
+            "n_active": pa.array(n_act, pa.int64()),
+            "n_retained": pa.array(n_ret, pa.int64()),
+        })
+
+    agg = uw.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(adj, batch_format="pyarrow") \
+        .groupby("wk").aggregate(Sum("n_active", alias_name="n_active"),
+                                 Sum("n_retained",
+                                     alias_name="n_retained"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "wk": pc.cast(b["wk"], pa.int64()),
+            "n_active": pc.cast(b["n_active"], pa.int64()),
+            "n_retained": pc.cast(b["n_retained"], pa.int64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+# ------------------------------------------- event-type transition matrix
+
+
+def q_type_transitions(sf_dir: str):
+    """Markov transition counts between consecutive event types per user
+    (ordered by ts, event_id): the one-user-hash-shuffle window kernel
+    with a shift compare, then fused (from, to) string partial counts —
+    the final shuffle is O(types²)."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    P = 32
+
+    def addpart(b: pa.Table) -> pa.Table:
+        u = _np(b["user_id"])
+        return b.append_column(
+            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+
+    def trans(t: pa.Table) -> pa.Table:
+        u = _np(t["user_id"])
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"])
+        et = _chunk(t["event_type"])
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        et_s = et.take(pa.array(order))
+        n = len(u_s)
+        if n < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = u_s[1:] == u_s[:-1]
+        pairs = pc.binary_join_element_wise(
+            et_s.slice(0, n - 1), et_s.slice(1, n - 1), "|") \
+            .filter(pa.array(same))
+        enc = pc.dictionary_encode(pairs)
+        codes = _np(enc.indices).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({
+            "pair": enc.dictionary,
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(trans, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("n", alias_name="n"))
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["pair"], "|")
+        return pa.table({
+            "from_type": pc.list_element(parts, 0),
+            "to_type": pc.list_element(parts, 1),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- registry
+
+
+QUERIES_EVT = {
+    "events_ohlc": q_events_ohlc,
+    "user_retention": q_user_retention,
+    "type_transitions": q_type_transitions,
+}
+
+
+ORACLE_SQL_EVT = {
+    "events_ohlc": """
+WITH v AS (SELECT event_type, ts, event_id,
+                  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+                  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr
+           FROM events)
+SELECT DISTINCT event_type, hr,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n,
+       CAST(FIRST_VALUE(vm) OVER wo AS BIGINT) AS open_milli,
+       CAST(MAX(vm) OVER w AS BIGINT) AS high_milli,
+       CAST(MIN(vm) OVER w AS BIGINT) AS low_milli,
+       CAST(LAST_VALUE(vm) OVER wo AS BIGINT) AS close_milli
+FROM v
+WINDOW w AS (PARTITION BY event_type, hr),
+       wo AS (PARTITION BY event_type, hr ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)""",
+    "user_retention": """
+WITH uw AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+            FROM events)
+SELECT a.wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COUNT(b.user_id) AS BIGINT) AS n_retained
+FROM uw a LEFT JOIN uw b
+  ON a.user_id = b.user_id AND b.wk = a.wk + 1
+GROUP BY a.wk""",
+    "type_transitions": """
+WITH s AS (SELECT user_id, event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt""",
+}
