@@ -453,6 +453,179 @@ def q_above_avg_balance(sf_dir: str):
                      batch_format="pyarrow")
 
 
+# -------------------------------------------------- cohort analysis
+
+
+def q_orders_cohort(sf_dir: str):
+    """Cohort matrix: orders counted by (customer's first-order month,
+    order month). The cohort map is a per-customer MIN aggregate
+    (pre-collapsed per block), attached back with one hash join; the
+    final count shuffles fused (cohort_ym, ym) int partials — output
+    cardinality is months², constant in order volume."""
+    from ray.data.aggregate import Min, Sum
+    from ..stages import relational
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def _ym(us: np.ndarray) -> np.ndarray:
+        mc = us.astype("datetime64[us]").astype("datetime64[M]") \
+            .astype(np.int64)
+        return (1970 + mc // 12) * 100 + (mc % 12 + 1)
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        ck = _np(b["o_custkey"]).astype(np.int64)
+        od = _ts_us(b["o_orderdate"])
+        order = np.argsort(ck, kind="stable")
+        ck_s, od_s = ck[order], od[order]
+        starts = np.ones(len(ck_s), bool)
+        if len(ck_s):
+            starts[1:] = ck_s[1:] != ck_s[:-1]
+        idx = np.nonzero(starts)[0]
+        return pa.table({
+            "custkey": pa.array(ck_s[idx] if len(ck_s) else ck_s,
+                                pa.int64()),
+            "first_us": pa.array(np.minimum.reduceat(od_s, idx)
+                                 if len(ck_s) else od_s, pa.int64()),
+        })
+
+    cohort = orders.map_batches(min_partial, batch_format="pyarrow") \
+        .groupby("custkey").aggregate(Min("first_us",
+                                          alias_name="first_us"))
+
+    def cohort_ym(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(b["custkey"], pa.int64()),
+            "cohort_ym": pa.array(_ym(_np(b["first_us"])
+                                      .astype(np.int64)), pa.int64()),
+        })
+
+    def ord_ym(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "ym": pa.array(_ym(_ts_us(b["o_orderdate"])), pa.int64()),
+        })
+
+    joined = relational.hash_join_i64(
+        orders.map_batches(ord_ym, batch_format="pyarrow"),
+        cohort.map_batches(cohort_ym, batch_format="pyarrow"),
+        key="custkey",
+        left_carry={"ym": pa.int64()},
+        right_carry={"cohort_ym": pa.int64()})
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        fused = (_np(b["cohort_ym"]).astype(np.int64) << np.int64(20)) \
+            | _np(b["ym"]).astype(np.int64)
+        keys, (n,) = _group_sums(fused,
+                                 np.ones(len(fused), np.int64))
+        return pa.table({"cy": pa.array(keys, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    agg = joined.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("cy").aggregate(Sum("n", alias_name="n"))
+
+    def unfuse(b: pa.Table) -> pa.Table:
+        cy = _np(b["cy"]).astype(np.int64)
+        return pa.table({
+            "cohort_ym": pa.array(cy >> np.int64(20), pa.int64()),
+            "ym": pa.array(cy & np.int64((1 << 20) - 1), pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    return agg.map_batches(unfuse, batch_format="pyarrow")
+
+
+# ---------------------------------------------- inter-order gap stats
+
+
+def q_order_gaps(sf_dir: str):
+    """Days between consecutive orders of the same customer, aggregated
+    per market segment (n_gaps, total, max). One custkey-hash shuffle +
+    one lexsort computes per-CUSTOMER gap aggregates (every customer's
+    history lives in one partition), the segment attaches with one hash
+    join on those per-customer rows, and the final groupby sees
+    segment-domain partials. Order dates are whole days, so gaps are
+    exact integer day counts."""
+    from ray.data.aggregate import Max, Sum
+    from ..stages import relational
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    P = 32
+    DAY_US = 86_400_000_000
+
+    def addpart(b: pa.Table) -> pa.Table:
+        ck = _np(b["o_custkey"]).astype(np.int64)
+        return pa.table({
+            "ck": pa.array(ck, pa.int64()),
+            "okey": pc.cast(b["o_orderkey"], pa.int64()),
+            "od_us": pa.array(_ts_us(b["o_orderdate"]), pa.int64()),
+            "_part": pa.array((ck % P).astype(np.int32), pa.int32()),
+        })
+
+    def gaps(t: pa.Table) -> pa.Table:
+        ck = _np(t["ck"])
+        od = _np(t["od_us"])
+        ok = _np(t["okey"])
+        order = np.lexsort((ok, od, ck))
+        ck_s, od_s = ck[order], od[order]
+        same = np.zeros(len(ck_s), bool)
+        if len(ck_s):
+            same[1:] = ck_s[1:] == ck_s[:-1]
+        gap = np.zeros(len(ck_s), np.int64)
+        gap[1:] = (od_s[1:] - od_s[:-1]) // DAY_US
+        g_ck, g_gap = ck_s[same], gap[same]
+        keys, (n, s) = _group_sums(g_ck, np.ones(len(g_ck), np.int64),
+                                   g_gap)
+        # per-customer max gap: maximum.reduceat over the sorted runs
+        order2 = np.argsort(g_ck, kind="stable")
+        gk_s, gg_s = g_ck[order2], g_gap[order2]
+        starts = np.ones(len(gk_s), bool)
+        if len(gk_s):
+            starts[1:] = gk_s[1:] != gk_s[:-1]
+        idx = np.nonzero(starts)[0]
+        mx = np.maximum.reduceat(gg_s, idx) if len(gk_s) else gg_s
+        return pa.table({
+            "custkey": pa.array(keys, pa.int64()),
+            "n_gaps": pa.array(n, pa.int64()),
+            "sum_gap_days": pa.array(s, pa.int64()),
+            "max_gap_days": pa.array(mx, pa.int64()),
+        })
+
+    per_cust = orders.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(gaps, batch_format="pyarrow")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def cust_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "c_mktsegment": b["c_mktsegment"],
+        })
+
+    joined = relational.hash_join_i64(
+        per_cust, cust.map_batches(cust_slim, batch_format="pyarrow"),
+        key="custkey",
+        left_carry={"n_gaps": pa.int64(), "sum_gap_days": pa.int64(),
+                    "max_gap_days": pa.int64()},
+        right_carry={"c_mktsegment": pa.string()})
+
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Sum("n_gaps", alias_name="n_gaps"),
+        Sum("sum_gap_days", alias_name="sum_gap_days"),
+        Max("max_gap_days", alias_name="max_gap_days"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        cols = {"c_mktsegment": b["c_mktsegment"]}
+        for c in ("n_gaps", "sum_gap_days", "max_gap_days"):
+            cols[c] = pc.cast(b[c], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -462,6 +635,8 @@ QUERIES_REL = {
     "big_orders": q_big_orders,
     "brand_suppliers": q_brand_suppliers,
     "above_avg_balance": q_above_avg_balance,
+    "orders_cohort": q_orders_cohort,
+    "order_gaps": q_order_gaps,
 }
 
 
@@ -528,4 +703,25 @@ SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
 FROM c JOIN a ON c_nationkey = nk
 WHERE cents * n > s
 GROUP BY c_nationkey""",
+    "orders_cohort": """
+WITH f AS (SELECT o_custkey, MIN(o_orderdate) AS fd
+           FROM orders GROUP BY o_custkey)
+SELECT CAST(year(fd) * 100 + month(fd) AS BIGINT) AS cohort_ym,
+       CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders JOIN f USING (o_custkey)
+GROUP BY cohort_ym, ym""",
+    "order_gaps": """
+WITH g AS (SELECT o_custkey AS ck, epoch_us(o_orderdate) AS od,
+                  LAG(epoch_us(o_orderdate)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+d AS (SELECT ck, (od - prev) // 86400000000 AS gap
+      FROM g WHERE prev IS NOT NULL)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days
+FROM d JOIN customer ON ck = c_custkey
+GROUP BY c_mktsegment""",
 }
