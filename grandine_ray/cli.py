@@ -244,11 +244,53 @@ def cmd_serve(argv):
     srv.serve_forever()
 
 
+def cmd_query(argv):
+    """Run any registered pipeline (the queries() surface) from the
+    shell: list names, print a result head as CSV, or write the full
+    result as parquet. The result is consumed streaming when writing
+    (write_parquet on the Dataset), collected only for the CSV head."""
+    p = argparse.ArgumentParser(prog="query")
+    p.add_argument("name", nargs="?", help="query name (omit to list)")
+    p.add_argument("-sf-dir", dest="sf_dir",
+                   default="/root/testdata/sf0.001")
+    p.add_argument("-out", help="write full result as parquet here")
+    p.add_argument("-head", type=int, default=20,
+                   help="rows to print when -out is not given")
+    p.add_argument("-num-cpus", type=int, default=None)
+    a = p.parse_args(argv)
+
+    from grandine_ray.pipelines.queries import QUERIES
+
+    if not a.name:
+        for name in sorted(QUERIES):
+            print(name)
+        return
+    if a.name not in QUERIES:
+        print(f"unknown query {a.name!r}; run with no name to list",
+              file=sys.stderr)
+        sys.exit(2)
+    _ray_init(a.num_cpus)
+    res = QUERIES[a.name](a.sf_dir)
+    import ray.data as rd
+
+    if a.out and isinstance(res, rd.Dataset):
+        res.write_parquet(a.out)
+        print(f"wrote {a.out}")
+        return
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if a.out:
+        df.to_parquet(a.out)
+        print(f"wrote {a.out} ({len(df)} rows)")
+        return
+    print(df.head(a.head).to_csv(index=False), end="")
+
+
 COMMANDS = {
     "tiler": cmd_tiler,
     "spatialize": cmd_spatialize,
     "converter": cmd_converter,
     "inspect": cmd_inspect,
+    "query": cmd_query,
     "tiles": cmd_tiles,
     "synth": cmd_synth,
     "serve": cmd_serve,
