@@ -303,6 +303,62 @@ def q_props_extract(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+# ------------------------------- above-source-average (string-key join)
+
+
+def q_above_avg_docs(sf_dir: str):
+    """Documents longer than their SOURCE's average length — the
+    correlated-average pattern on a STRING group key, exercising
+    hash_join_str (blake2b-partitioned + post-join string verification).
+    The per-source aggregate pre-collapses per block, the comparison is
+    integer cross-multiplication (n_chars · n_src > Σ, no division)."""
+    from ray.data.aggregate import Sum
+    from ..stages import relational
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(_chunk(b["source"]))
+        codes = _np(enc.indices).astype(np.int64)
+        K = len(enc.dictionary)
+        nc = _np(b["n_chars"]).astype(np.int64)
+        return pa.table({
+            "source": enc.dictionary,
+            "s": pa.array(np.bincount(codes, weights=nc, minlength=K)
+                          .astype(np.int64), pa.int64()),
+            "n": pa.array(np.bincount(codes, minlength=K)
+                          .astype(np.int64), pa.int64()),
+        })
+
+    agg = docs.map_batches(src_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("s", alias_name="s"),
+                                     Sum("n", alias_name="n"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"],
+                         "s": pc.cast(b["s"], pa.int64()),
+                         "n": pc.cast(b["n"], pa.int64())})
+
+    joined = relational.hash_join_str(
+        docs, agg.map_batches(widen, batch_format="pyarrow"),
+        key="source",
+        left_carry={"doc_id": pa.int64(), "n_chars": pa.int64()},
+        right_carry={"s": pa.int64(), "n": pa.int64()})
+
+    def above(b: pa.Table) -> pa.Table:
+        keep = _np(pc.cast(b["n_chars"], pa.int64())) * _np(b["n"]) \
+            > _np(b["s"])
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "source": t["source"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        })
+
+    return joined.map_batches(above, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -313,6 +369,7 @@ QUERIES_CSTATS = {
     "word_len_dist": q_word_len_dist,
     "value_histogram": q_value_histogram,
     "props_extract": q_props_extract,
+    "above_avg_docs": q_above_avg_docs,
 }
 
 
@@ -372,4 +429,11 @@ SELECT event_type,
        CAST(MAX(k) AS BIGINT) AS max_k,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM k GROUP BY event_type""",
+    "above_avg_docs": """
+WITH a AS (SELECT source AS src, CAST(SUM(n_chars) AS BIGINT) AS s,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents JOIN a ON source = src
+WHERE CAST(n_chars AS BIGINT) * n > s""",
 }

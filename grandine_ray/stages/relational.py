@@ -125,6 +125,64 @@ def hash_join_i64(left, right, key: str,
                                                batch_format="pyarrow")
 
 
+# ------------------------------------------------------ string-key join
+
+
+def _str_hash_i64(col) -> np.ndarray:
+    """Stable 64-bit blake2b hash of a string column, as int64 bit views
+    (uint64 > 2^63 overflows Ray's groupby key rebuild — CLAUDE.md r3
+    pitfall). Hashes the block's DICTIONARY (distinct values), not every
+    row."""
+    import hashlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    dvals = enc.dictionary.to_pylist()
+    dh = np.fromiter(
+        (int.from_bytes(hashlib.blake2b((s or "").encode("utf-8"),
+                                        digest_size=8).digest(), "little")
+         for s in dvals), np.uint64, len(dvals))
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return dh.view(np.int64)[idx]
+
+
+def hash_join_str(left, right, key: str,
+                  left_carry: dict[str, pa.DataType],
+                  right_carry: dict[str, pa.DataType],
+                  P: int = 32):
+    """Inner equi-join on a STRING key, built on hash_join_i64: both
+    sides partition and probe on the 64-bit key hash, and a post-join
+    string-equality filter removes any hash collision — exact at any
+    scale (a collision between two distinct RIGHT keys trips the
+    unique-right assertion instead of joining wrong rows). Right side
+    must have unique keys (dimension contract)."""
+    rkey = f"_r_{key}"
+
+    def tag(kout: str, own_key: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {"_kh": pa.array(_str_hash_i64(b[key]), pa.int64()),
+                    kout: b[key]}
+            carry = left_carry if own_key else right_carry
+            for c in carry:
+                cols[c] = b[c]
+            return pa.table(cols)
+        return fn
+
+    joined = hash_join_i64(
+        left.map_batches(tag(key, True), batch_format="pyarrow"),
+        right.map_batches(tag(rkey, False), batch_format="pyarrow"),
+        key="_kh",
+        left_carry={key: pa.string(), **left_carry},
+        right_carry={rkey: pa.string(), **right_carry}, P=P)
+
+    def verify(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b[key], b[rkey]))
+        return t.drop_columns(["_kh", rkey])
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- interval join
 
 

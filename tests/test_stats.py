@@ -382,3 +382,65 @@ def test_hash_join_negative_keys(ray_session):
     want = sorted(con.execute(
         "SELECT l.k, lv, rv FROM l JOIN r ON l.k = r.k").fetchall())
     assert got == want
+
+
+# ------------------------------------------------------ string-key join
+
+
+def test_hash_join_str_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    keys = [f"src{i}" for i in range(20)]
+    lk = [keys[i] for i in rng.integers(0, 20, 200)]
+    lv = np.arange(200, dtype=np.int64)
+    rk = keys[:15]  # some left keys have no match
+    rv = (np.arange(15, dtype=np.int64) * 11 + 3)
+    left = rd.from_arrow(pa.table({"s": lk, "lv": lv})).repartition(4)
+    right = rd.from_arrow(pa.table({"s": rk, "rv": rv})).repartition(3)
+    out = relational.hash_join_str(
+        left, right, "s", {"lv": pa.int64()}, {"rv": pa.int64()},
+        P=5).take_all()
+    got = sorted((r["s"], r["lv"], r["rv"]) for r in out)
+    con = duckdb.connect()
+    con.register("l", pa.table({"s": lk, "lv": lv}))
+    con.register("r", pa.table({"s": rk, "rv": rv}))
+    want = sorted(con.execute(
+        "SELECT l.s, lv, rv FROM l JOIN r ON l.s = r.s").fetchall())
+    assert got == want
+
+
+def test_hash_join_str_collision_filtered(ray_session, monkeypatch):
+    # force a WEAK hash (string length) so 'ab' collides with 'xy':
+    # the post-join string verification must drop the false match
+    import ray.data as rd
+
+    def weak_hash(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return np.array([len(s) for s in col.to_pylist()], np.int64)
+
+    monkeypatch.setattr(relational, "_str_hash_i64", weak_hash)
+    left = rd.from_arrow(pa.table({"s": ["ab", "xy", "zzz"],
+                                   "lv": [1, 2, 3]}))
+    right = rd.from_arrow(pa.table({"s": ["ab", "zzz"],
+                                    "rv": [10, 30]}))
+    out = relational.hash_join_str(
+        left, right, "s", {"lv": pa.int64()}, {"rv": pa.int64()},
+        P=2).take_all()
+    got = sorted((r["s"], r["lv"], r["rv"]) for r in out)
+    assert got == [("ab", 1, 10), ("zzz", 3, 30)]  # 'xy' dropped
+
+
+def test_hash_join_str_collision_on_right_raises(ray_session, monkeypatch):
+    import ray.data as rd
+
+    monkeypatch.setattr(
+        relational, "_str_hash_i64",
+        lambda col: np.zeros(len(col), np.int64))
+    left = rd.from_arrow(pa.table({"s": ["a"], "lv": [1]}))
+    right = rd.from_arrow(pa.table({"s": ["a", "b"], "rv": [1, 2]}))
+    with pytest.raises(Exception, match="not unique"):
+        relational.hash_join_str(
+            left, right, "s", {"lv": pa.int64()}, {"rv": pa.int64()},
+            P=1).take_all()
