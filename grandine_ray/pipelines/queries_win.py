@@ -170,6 +170,23 @@ def q_window_extrema(sf_dir: str, num_partitions: int = 32):
         .groupby("_part").map_groups(extrema, batch_format="pyarrow")
 
 
+# -------------------------------------- sharded (whale-key) running sum
+
+
+def q_running_total_sharded(sf_dir: str):
+    """The same per-user running total as running_total, computed by the
+    WHALE-KEY scale path (stages/window.sharded_running_sum): time-bucket
+    shards + local cumsums + an exclusive shard-prefix join, so no
+    partition ever holds a whole key's history. Identical output and
+    oracle SQL — the point is the exchange shape, pinned equivalent to
+    the single-phase kernel in pytest."""
+    from ..stages.window import sharded_running_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return sharded_running_sum(ev, bucket_us=6 * 3_600_000_000)
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -177,10 +194,17 @@ QUERIES_WIN = {
     "events_lead": q_events_lead,
     "rank_docs": q_rank_docs,
     "window_extrema": q_window_extrema,
+    "running_total_sharded": q_running_total_sharded,
 }
 
 
 ORACLE_SQL_WIN = {
+    "running_total_sharded": """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_milli
+FROM events""",
     "events_lead": """
 WITH v AS (SELECT event_id, user_id, ts,
                   CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm

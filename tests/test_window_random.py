@@ -64,3 +64,48 @@ def test_window_kernel_random_vs_duckdb(ray_session, monkeypatch,
     gs = sorted(map(tuple, g.astype(str).values.tolist()))
     ws = sorted(map(tuple, w.astype(str).values.tolist()))
     assert gs == ws, name
+
+
+# --------------------------------- sharded ≡ single-phase running total
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+@pytest.mark.parametrize("bucket_us", [1_000_000, 3_600_000_000,
+                                       10**15])  # tiny, hourly, one-shard
+def test_sharded_running_sum_equals_single_phase(ray_session, seed,
+                                                 bucket_us):
+    import ray.data as rd
+
+    from grandine_ray.stages.window import sharded_running_sum
+
+    tbl = _rand_events(seed * 31 + 1)
+    ds = rd.from_arrow(tbl).repartition(5)
+    got = sharded_running_sum(ds, bucket_us=bucket_us).to_pandas() \
+        .sort_values(["event_id"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute("""
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_milli
+        FROM events ORDER BY event_id""").df().reset_index(drop=True)
+    assert got[["event_id", "user_id", "cum_milli"]].astype(str) \
+        .values.tolist() == want.astype(str).values.tolist()
+
+
+def test_sharded_running_sum_rejects_huge_keys(ray_session):
+    import ray.data as rd
+
+    from grandine_ray.stages.window import sharded_running_sum
+
+    tbl = pa.table({
+        "event_id": pa.array([0], pa.int64()),
+        "user_id": pa.array([1 << 45], pa.int64()),
+        "ts": pa.array(np.array([0], "datetime64[us]"),
+                       pa.timestamp("us")),
+        "value": pa.array([1.0], pa.float64()),
+    })
+    with pytest.raises(Exception, match="41 bits"):
+        sharded_running_sum(rd.from_arrow(tbl),
+                            bucket_us=3_600_000_000).take_all()
