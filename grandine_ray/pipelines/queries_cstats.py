@@ -359,6 +359,103 @@ def q_above_avg_docs(sf_dir: str):
     return joined.map_batches(above, batch_format="pyarrow")
 
 
+# ------------------------------------------- robust stats: MAD per group
+
+
+def q_value_mad(sf_dir: str):
+    """Median absolute deviation of event values per type — the robust
+    spread statistic (outlier-resistant quality gates use it instead of
+    std). Two composed histogram-quantile passes: the per-type median
+    (≤ |types| rows) broadcasts as a plain dict, the deviation pass
+    re-runs the same value-count shuffle on |vm − med|. Rows never
+    move; both shuffles are O(types × distinct values)."""
+    from ..stages import stats as stats_stage
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def milli(b: pa.Table) -> pa.Table:
+        vm = np.floor(_np(b["value"]) * 1000 + 0.5).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "vm": pa.array(vm, pa.int64())})
+
+    ds1 = ev.map_batches(milli, batch_format="pyarrow")
+    med_rows = stats_stage.group_quantiles(
+        ds1, "event_type", "vm", [0.5], ["med"]).take_all()
+    meds = {r["event_type"]: int(r["med"]) for r in med_rows}
+
+    def dev(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(_chunk(b["event_type"]))
+        dmed = np.array([meds[s] for s in enc.dictionary.to_pylist()],
+                        np.int64)
+        med = dmed[_np(enc.indices).astype(np.int64)]
+        return pa.table({
+            "event_type": b["event_type"],
+            "dev": pa.array(np.abs(_np(b["vm"]) - med), pa.int64()),
+        })
+
+    mad = stats_stage.group_quantiles(
+        ds1.map_batches(dev, batch_format="pyarrow"),
+        "event_type", "dev", [0.5], ["mad_milli"])
+
+    def attach_med(b: pa.Table) -> pa.Table:
+        med = np.array([meds[s] for s in b["event_type"].to_pylist()],
+                       np.int64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_rows": pc.cast(b["n_rows"], pa.int64()),
+            "med_milli": pa.array(med, pa.int64()),
+            "mad_milli": pc.cast(b["mad_milli"], pa.int64()),
+        })
+
+    return mad.map_batches(attach_med, batch_format="pyarrow")
+
+
+# -------------------------------------------------- regex corpus filter
+
+
+REGEX_PATTERN = r"\bjoin\b.*\bsort\b"
+
+
+def q_regex_filter(sf_dir: str):
+    """Per-language match counts for an RE2 pattern over the corpus —
+    the regex-gate pass (PII patterns, boilerplate markers) as one
+    vectorized match_substring_regex per block; the shuffle moves one
+    (lang, n_match, n_docs) partial per block."""
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(_chunk(b["text"]), REGEX_PATTERN) \
+            .to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(_chunk(b["lang"]))
+        codes = _np(enc.indices).astype(np.int64)
+        K = len(enc.dictionary)
+        return pa.table({
+            "lang": enc.dictionary,
+            "n_match": pa.array(np.bincount(codes, weights=hit,
+                                            minlength=K)
+                                .astype(np.int64), pa.int64()),
+            "n_docs": pa.array(np.bincount(codes, minlength=K)
+                               .astype(np.int64), pa.int64()),
+        })
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n_match", alias_name="n_match"),
+                                   Sum("n_docs", alias_name="n_docs"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"],
+            "n_match": pc.cast(b["n_match"], pa.int64()),
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -370,6 +467,8 @@ QUERIES_CSTATS = {
     "value_histogram": q_value_histogram,
     "props_extract": q_props_extract,
     "above_avg_docs": q_above_avg_docs,
+    "value_mad": q_value_mad,
+    "regex_filter": q_regex_filter,
 }
 
 
@@ -436,4 +535,22 @@ WITH a AS (SELECT source AS src, CAST(SUM(n_chars) AS BIGINT) AS s,
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents JOIN a ON source = src
 WHERE CAST(n_chars AS BIGINT) * n > s""",
+    "value_mad": """
+WITH v AS (SELECT event_type,
+                  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+           FROM events),
+m AS (SELECT event_type, CAST(quantile_disc(vm, 0.5) AS BIGINT) AS med
+      FROM v GROUP BY event_type)
+SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(m.med AS BIGINT) AS med_milli,
+       CAST(quantile_disc(abs(vm - med), 0.5) AS BIGINT) AS mad_milli
+FROM v JOIN m USING (event_type)
+GROUP BY v.event_type, m.med""",
+    "regex_filter": r"""
+SELECT lang,
+       CAST(COUNT(*) FILTER (
+         regexp_matches(text, '\bjoin\b.*\bsort\b')) AS BIGINT)
+         AS n_match,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang""",
 }
