@@ -456,6 +456,63 @@ def q_regex_filter(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+# ------------------------------------------------- crosstab (wide pivot)
+
+
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_source_matrix(sf_dir: str):
+    """Source × language crosstab pivoted WIDE (one n_<lang> column per
+    language) — the report-shaped output analytics tools expect. Counts
+    ride fused (source, lang) partials through one vocabulary-sized
+    shuffle; the pivot itself runs per source group on the tiny
+    aggregate. The language column set is fixed (schema contract) —
+    unknown languages land in n_other."""
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        fused = pc.binary_join_element_wise(
+            _chunk(b["source"]), _chunk(b["lang"]), "|")
+        t = _count_by_key(fused)
+        return pa.table({"sl": t["key"], "n": t["n"]})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("sl").aggregate(Sum("n", alias_name="n"))
+
+    def to_rows(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["sl"], "|")
+        return pa.table({
+            "source": pc.list_element(parts, 0),
+            "lang": pc.list_element(parts, 1),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    def pivot(t: pa.Table) -> pa.Table:
+        src = t["source"][0].as_py()
+        langs = t["lang"].to_pylist()
+        ns = _np(t["n"]).astype(np.int64)
+        counts = dict.fromkeys(PIVOT_LANGS, 0)
+        other = 0
+        for lg, n in zip(langs, ns):
+            if lg in counts:
+                counts[lg] += int(n)
+            else:
+                other += int(n)
+        cols = {"source": pa.array([src], pa.string())}
+        for lg in PIVOT_LANGS:
+            cols[f"n_{lg}"] = pa.array([counts[lg]], pa.int64())
+        cols["n_other"] = pa.array([other], pa.int64())
+        cols["n_total"] = pa.array([int(ns.sum())], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(to_rows, batch_format="pyarrow") \
+        .groupby("source").map_groups(pivot, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -469,6 +526,7 @@ QUERIES_CSTATS = {
     "above_avg_docs": q_above_avg_docs,
     "value_mad": q_value_mad,
     "regex_filter": q_regex_filter,
+    "lang_source_matrix": q_lang_source_matrix,
 }
 
 
@@ -553,4 +611,15 @@ SELECT lang,
          AS n_match,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang""",
+    "lang_source_matrix": """
+SELECT source,
+       CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+       CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+       CAST(COUNT(*) FILTER (lang = 'es') AS BIGINT) AS n_es,
+       CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
+       CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh,
+       CAST(COUNT(*) FILTER (lang NOT IN ('de', 'en', 'es', 'fr', 'zh'))
+            AS BIGINT) AS n_other,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM documents GROUP BY source""",
 }

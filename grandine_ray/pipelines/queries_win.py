@@ -170,6 +170,51 @@ def q_window_extrema(sf_dir: str, num_partitions: int = 32):
         .groupby("_part").map_groups(extrema, batch_format="pyarrow")
 
 
+# --------------------------------------- PERCENT_RANK / CUME_DIST (exact)
+
+
+def q_percent_rank_docs(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST of document length within language,
+    emitted as EXACT integer fractions (pr = pr_num/pr_den, cd =
+    cd_num/cd_den) instead of doubles — no float ever crosses engines.
+    pr_num = rank−1; cd_num = index of the tie-run's last row + 1 (the
+    count of rows ≤ the current value in the DESC order). Same one-sort-
+    per-group kernel as rank_docs."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+
+    def ranks(t: pa.Table) -> pa.Table:
+        lang = t["lang"][0].as_py()
+        nc = _np(t["n_chars"]).astype(np.int64)
+        did = _np(t["doc_id"]).astype(np.int64)
+        order = np.lexsort((did, -nc))
+        nc_s = nc[order]
+        n = len(nc_s)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.ones(n, bool)
+        if n:
+            new[1:] = nc_s[1:] != nc_s[:-1]
+        rnk = np.maximum.accumulate(np.where(new, idx, 0)) + 1
+        # run END index per row: reversed group-start scan over the
+        # reversed tie-run marks
+        new_r = np.ones(n, bool)
+        if n:
+            new_r[1:] = nc_s[::-1][1:] != nc_s[::-1][:-1]
+        ge_r = np.maximum.accumulate(np.where(new_r, idx, 0))
+        run_end = (n - 1) - ge_r[::-1]
+        return pa.table({
+            "doc_id": pa.array(did[order], pa.int64()),
+            "lang": pa.array([lang] * n, pa.string()),
+            "pr_num": pa.array(rnk - 1, pa.int64()),
+            "pr_den": pa.array(np.full(n, max(n - 1, 1), np.int64),
+                               pa.int64()),
+            "cd_num": pa.array(run_end + 1, pa.int64()),
+            "cd_den": pa.array(np.full(n, n, np.int64), pa.int64()),
+        })
+
+    return docs.groupby("lang").map_groups(ranks, batch_format="pyarrow")
+
+
 # -------------------------------------- sharded (whale-key) running sum
 
 
@@ -195,6 +240,7 @@ QUERIES_WIN = {
     "rank_docs": q_rank_docs,
     "window_extrema": q_window_extrema,
     "running_total_sharded": q_running_total_sharded,
+    "percent_rank_docs": q_percent_rank_docs,
 }
 
 
@@ -205,6 +251,17 @@ SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
               PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_milli
 FROM events""",
+    "percent_rank_docs": """
+SELECT doc_id, lang,
+       CAST(RANK() OVER wo - 1 AS BIGINT) AS pr_num,
+       CAST(GREATEST(COUNT(*) OVER wp - 1, 1) AS BIGINT) AS pr_den,
+       CAST(COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars DESC
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cd_num,
+       CAST(COUNT(*) OVER wp AS BIGINT) AS cd_den
+FROM documents
+WINDOW wo AS (PARTITION BY lang ORDER BY n_chars DESC),
+       wp AS (PARTITION BY lang)""",
     "events_lead": """
 WITH v AS (SELECT event_id, user_id, ts,
                   CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
