@@ -2377,6 +2377,7 @@ from .queries_win import QUERIES_WIN, ORACLE_SQL_WIN  # noqa: E402
 from .queries_cstats import QUERIES_CSTATS, ORACLE_SQL_CSTATS  # noqa: E402
 from .queries_emb import QUERIES_EMB, ORACLE_SQL_EMB  # noqa: E402
 from .queries_evt import QUERIES_EVT, ORACLE_SQL_EVT  # noqa: E402
+from .queries_geo import QUERIES_GEO, _oracle_sql_geo  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE_SQL.update(ORACLE_SQL_EXT)
@@ -2390,3 +2391,5 @@ QUERIES.update(QUERIES_EMB)
 ORACLE_SQL.update(ORACLE_SQL_EMB)
 QUERIES.update(QUERIES_EVT)
 ORACLE_SQL.update(ORACLE_SQL_EVT)
+QUERIES.update(QUERIES_GEO)
+ORACLE_SQL.update(_oracle_sql_geo())

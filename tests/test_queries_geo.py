@@ -1,0 +1,40 @@
+"""Tile pyramid rollup (queries_geo.py): pyramid invariants plus
+consistency with tile_counts at the base zoom."""
+import numpy as np
+
+from grandine_ray.pipelines import queries, queries_geo
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tile_rollup_pyramid_invariants(ray_session):
+    got = queries_geo.q_tile_rollup(SF).to_pandas()
+    Z = queries_geo.ROLLUP_BASE_Z
+    by_z = {z: g for z, g in got.groupby("z")}
+    assert set(by_z) == set(range(Z + 1))
+    # every level's total equals the base level's total (each base
+    # assignment counted once per level)
+    totals = {z: int(g.n.sum()) for z, g in by_z.items()}
+    assert len(set(totals.values())) == 1
+    # z=0 is the single world tile
+    assert len(by_z[0]) == 1 and by_z[0].iloc[0].x == 0
+    # every tile's count equals the sum of its children one level down
+    for z in range(Z):
+        parent = {(r.x, r.y): r.n for r in by_z[z].itertuples()}
+        child_sum = {}
+        for r in by_z[z + 1].itertuples():
+            k = (r.x >> 1, r.y >> 1)
+            child_sum[k] = child_sum.get(k, 0) + r.n
+        assert parent == child_sum
+
+
+def test_tile_rollup_base_matches_tile_counts(ray_session):
+    Z = queries_geo.ROLLUP_BASE_Z
+    roll = queries_geo.q_tile_rollup(SF).to_pandas()
+    base = roll[roll.z == Z]
+    counts = queries.q_tile_counts(SF).to_pandas()
+    counts = counts[counts.z == Z]
+    a = sorted(map(tuple, base[["x", "y", "n"]].values.tolist()))
+    b = sorted(map(tuple,
+                   counts[["x", "y", "n_features"]].values.tolist()))
+    assert a == b
