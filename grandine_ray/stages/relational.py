@@ -43,7 +43,7 @@ def _ts_us(col) -> np.ndarray:
 def hash_join_i64(left, right, key: str,
                   left_carry: dict[str, pa.DataType],
                   right_carry: dict[str, pa.DataType],
-                  P: int = 32, how: str = "inner"):
+                  P: int = 32, how: str = "inner", salt: int = 1):
     """Distributed equi-join on an int64 key.
 
     ``right`` must have UNIQUE keys (dimension-side contract — asserted
@@ -53,9 +53,18 @@ def hash_join_i64(left, right, key: str,
     unmatched left rows with nulls in the right carry. ``how="semi"`` /
     ``"anti"`` are membership filters (right keys may repeat; right
     carry must be empty; only left columns return).
+
+    ``salt > 1`` is the skew lever for WHALE LEFT KEYS (a key holding a
+    meaningful fraction of the fact table): every left row lands in one
+    of ``salt`` sub-partitions of its key's hash slot while the right
+    side replicates into all of them, so the hot key's probes spread
+    over ``salt`` workers at the cost of shipping the (small, unique)
+    right side ``salt`` times. Output is identical for any salt.
     """
     if how in ("semi", "anti") and right_carry:
         raise ValueError("semi/anti join carries no right columns")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
     all_carry = list(left_carry) + list(right_carry)
     types = {**left_carry, **right_carry}
 
@@ -63,11 +72,26 @@ def hash_join_i64(left, right, key: str,
         def fn(b: pa.Table) -> pa.Table:
             k = _np(b[key]).astype(np.int64)
             n = len(k)
+            if side == 1 and salt > 1:
+                rep = np.repeat(np.arange(n, dtype=np.int64), salt)
+                k = k[rep]
+                sub = np.tile(np.arange(salt, dtype=np.int64), n)
+            else:
+                rep = None
+                sub = (np.arange(n, dtype=np.int64) % salt) if salt > 1 \
+                    else np.zeros(len(k), np.int64)
+            m = len(k)
             cols = {"_key": pa.array(k, pa.int64())}
             for c in all_carry:
-                cols[c] = (b[c] if c in own else pa.nulls(n, types[c]))
-            cols["_side"] = pa.array(np.full(n, side, np.int8), pa.int8())
-            cols["_part"] = pa.array((k % P).astype(np.int32), pa.int32())
+                if c not in own:
+                    cols[c] = pa.nulls(m, types[c])
+                elif rep is None:
+                    cols[c] = b[c]
+                else:
+                    cols[c] = b[c].take(pa.array(rep))
+            cols["_side"] = pa.array(np.full(m, side, np.int8), pa.int8())
+            cols["_part"] = pa.array(((k % P) * salt + sub)
+                                     .astype(np.int32), pa.int32())
             return pa.table(cols)
         return fn
 

@@ -444,3 +444,33 @@ def test_hash_join_str_collision_on_right_raises(ray_session, monkeypatch):
         relational.hash_join_str(
             left, right, "s", {"lv": pa.int64()}, {"rv": pa.int64()},
             P=1).take_all()
+
+
+# ----------------------------------------------------- salted hash join
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_salted_equals_unsalted(ray_session, how):
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    # whale key: 0 holds half the fact table
+    lk = np.where(rng.random(400) < 0.5, 0,
+                  rng.integers(1, 40, 400)).astype(np.int64)
+    lv = np.arange(400, dtype=np.int64)
+    rk = np.arange(0, 35, dtype=np.int64)
+    rv = rk * 3 + 1
+    rcar = {} if how in ("semi", "anti") else {"rv": pa.int64()}
+    rtbl = pa.table({"k": rk, "rv": rv}) if rcar else \
+        pa.table({"k": rk})
+    left = rd.from_arrow(pa.table({"k": lk, "lv": lv})).repartition(4)
+    right = rd.from_arrow(rtbl).repartition(2)
+    outs = []
+    for salt in (1, 4):
+        out = relational.hash_join_i64(
+            left, right, "k", {"lv": pa.int64()}, dict(rcar),
+            P=5, how=how, salt=salt).take_all()
+        keyset = ["k", "lv"] + (["rv"] if rcar and how != "anti" else [])
+        outs.append(sorted(tuple(r.get(c) for c in keyset) for r in out))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
