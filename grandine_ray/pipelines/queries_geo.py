@@ -64,17 +64,106 @@ def q_tile_rollup(sf_dir: str):
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_layer_tile_overlap(sf_dir: str):
+    """Spatial joinability profile: for every layer pair, how many
+    base-zoom tiles BOTH layers occupy (the overlap/coverage signal a
+    multi-source spatial catalog uses to rank joinable datasets — the
+    tile grid is the common quantization). Stage 1 dedups (layer, tile)
+    per block then globally (the shuffle is the occupied-tile domain);
+    stage 2 fans each tile's layer set into C(L,2) pairs (L = layer
+    domain, bounded); stage 3 sums. The same shape as the corpus
+    source_overlap — one is vocabulary overlap, this is grid overlap."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.coverage import make_coverage_fn
+    from .queries import _features_ds
+
+    Z = ROLLUP_BASE_Z
+    tiled = _features_ds(sf_dir).map_batches(
+        make_coverage_fn([Z]), batch_format="pyarrow")
+
+    def lt_partial(b: pa.Table) -> pa.Table:
+        key = b["tile_key"].to_numpy(zero_copy_only=False).view(np.int64)
+        layer = b["layer"]
+        if isinstance(layer, pa.ChunkedArray):
+            layer = layer.combine_chunks()
+        fused = pc.binary_join_element_wise(
+            layer, pa.array(key.astype("U"), pa.string()), "|")
+        uniq = pc.unique(fused)
+        return pa.table({"lt": uniq,
+                         "one": pa.array(np.ones(len(uniq), np.int64),
+                                         pa.int64())})
+
+    lt = tiled.map_batches(lt_partial, batch_format="pyarrow") \
+        .groupby("lt").aggregate(Sum("one", alias_name="one"))
+
+    def to_rows(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["lt"], "|")
+        return pa.table({"layer": pc.list_element(parts, 0),
+                         "tile": pc.list_element(parts, 1)})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        layers = sorted(set(t["layer"].to_pylist()))
+        i, j = np.triu_indices(len(layers), k=1)
+        pair = [f"{layers[a]}|{layers[b]}" for a, b in zip(i, j)]
+        return pa.table({"pair": pa.array(pair, pa.string()),
+                         "n": pa.array(np.ones(len(pair), np.int64),
+                                       pa.int64())})
+
+    pr = lt.map_batches(to_rows, batch_format="pyarrow") \
+        .groupby("tile").map_groups(pairs, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("n", alias_name="n_shared_tiles"))
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["pair"], "|")
+        return pa.table({
+            "layer_a": pc.list_element(parts, 0),
+            "layer_b": pc.list_element(parts, 1),
+            "n_shared_tiles": pc.cast(b["n_shared_tiles"], pa.int64()),
+        })
+
+    return pr.map_batches(split, batch_format="pyarrow")
+
+
 QUERIES_GEO = {
     "tile_rollup": q_tile_rollup,
+    "layer_tile_overlap": q_layer_tile_overlap,
 }
 
 
 def _oracle_sql_geo() -> dict[str, str]:
-    # built lazily: the coverage CTE lives in queries.py (circular at
-    # module load — queries.py imports this module at its tail)
-    from .queries import _COVERAGE_CTE
+    # built lazily: the coverage CTE pieces live in queries.py (circular
+    # at module load — queries.py imports this module at its tail)
+    from .queries import _BBOX_CTE, _COVERAGE_CTE, _TILE_XY, _TILE_Y
+
+    layer_overlap_sql = (
+        _BBOX_CTE
+        + f"""
+, zz AS (SELECT UNNEST([{ROLLUP_BASE_Z}]) AS z)
+, ranges AS (
+  SELECT g.layer,
+         """
+        + _TILE_XY.format(lon="g.bbox_minx") + " AS x1,\n         "
+        + _TILE_XY.format(lon="g.bbox_maxx") + " AS x2,\n         "
+        + _TILE_Y.format(lat="g.bbox_maxy") + " AS y1,\n         "
+        + _TILE_Y.format(lat="g.bbox_miny") + """ AS y2
+  FROM g CROSS JOIN zz
+)
+, xs AS (
+  SELECT layer, UNNEST(generate_series(x1, x2)) AS x, y1, y2 FROM ranges
+)
+, cov AS (
+  SELECT layer, x, UNNEST(generate_series(y1, y2)) AS y FROM xs
+)
+, lt AS (SELECT DISTINCT layer, x, y FROM cov)
+SELECT a.layer AS layer_a, b.layer AS layer_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_tiles
+FROM lt a JOIN lt b ON a.x = b.x AND a.y = b.y AND a.layer < b.layer
+GROUP BY a.layer, b.layer"""
+    )
 
     return {
+        "layer_tile_overlap": layer_overlap_sql,
         "tile_rollup": _COVERAGE_CTE + f"""
 , base AS (SELECT x, y FROM cov WHERE z = {ROLLUP_BASE_Z})
 , lv AS (SELECT UNNEST(generate_series(0, {ROLLUP_BASE_Z})) AS z)

@@ -38,3 +38,28 @@ def test_tile_rollup_base_matches_tile_counts(ray_session):
     b = sorted(map(tuple,
                    counts[["x", "y", "n_features"]].values.tolist()))
     assert a == b
+
+
+def test_layer_tile_overlap_brute_force(ray_session):
+    # independent oracle: python set intersections per layer pair over
+    # the engine's own tile assignments at the base zoom
+    from grandine_ray.pipelines.queries import _features_ds
+    from grandine_ray.stages.coverage import make_coverage_fn
+
+    Z = queries_geo.ROLLUP_BASE_Z
+    tiled = _features_ds(SF).map_batches(
+        make_coverage_fn([Z]), batch_format="pyarrow").to_pandas()
+    occ = {}
+    for layer, key in zip(tiled["layer"], tiled["tile_key"]):
+        occ.setdefault(layer, set()).add(int(key))
+    layers = sorted(occ)
+    want = {}
+    for i, a in enumerate(layers):
+        for b in layers[i + 1:]:
+            n = len(occ[a] & occ[b])
+            if n:
+                want[(a, b)] = n
+    got = queries_geo.q_layer_tile_overlap(SF).to_pandas()
+    got_map = {(r.layer_a, r.layer_b): r.n_shared_tiles
+               for r in got.itertuples()}
+    assert got_map == want
