@@ -626,6 +626,73 @@ def q_order_gaps(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+# ------------------------------------ sampling pushdown through a join
+
+
+SAMPLE_JOIN_K = 100
+
+
+def q_sample_join(sf_dir: str):
+    """Uniform k-sample of the lineitem⋈orders JOIN RESULT computed
+    WITHOUT materializing the join: the join is key-preserving (every
+    lineitem matches exactly one order), so sampling the join output
+    uniformly ≡ sampling lineitem rows uniformly and joining only the
+    k survivors — the sampling-over-joins pushdown. Deterministic
+    smallest-Knuth-hash sampling on the fused (orderkey, linenumber)
+    row id; per-block partial top-k before one tiny sort+limit."""
+    from ..stages import relational
+
+    K = SAMPLE_JOIN_K
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = _np(b["l_orderkey"]).astype(np.int64)
+        ln = _np(b["l_linenumber"]).astype(np.int64)
+        fused = (ok * 8 + ln).astype(np.uint64)
+        h = ((fused * np.uint64(2654435761))
+             % np.uint64(4294967296)).astype(np.int64)
+        cents = _cents(_np(b["l_extendedprice"]))
+        order = np.lexsort((ln, ok, h))[:K]
+        return pa.table({
+            "okey": pa.array(ok[order], pa.int64()),
+            "l_linenumber": pa.array(ln[order], pa.int64()),
+            "h": pa.array(h[order], pa.int64()),
+            "cents": pa.array(cents[order], pa.int64()),
+        })
+
+    sample = li.map_batches(partial, batch_format="pyarrow") \
+        .sort(["h", "okey", "l_linenumber"]).limit(K)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def ord_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": pc.cast(b["o_orderkey"], pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    joined = relational.hash_join_i64(
+        sample, orders.map_batches(ord_slim, batch_format="pyarrow"),
+        key="okey",
+        left_carry={"l_linenumber": pa.int64(), "h": pa.int64(),
+                    "cents": pa.int64()},
+        right_carry={"o_orderpriority": pa.string()})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(b["okey"], pa.int64()),
+            "l_linenumber": pc.cast(b["l_linenumber"], pa.int64()),
+            "h": pc.cast(b["h"], pa.int64()),
+            "cents": pc.cast(b["cents"], pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    return joined.map_batches(rename, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -637,6 +704,7 @@ QUERIES_REL = {
     "above_avg_balance": q_above_avg_balance,
     "orders_cohort": q_orders_cohort,
     "order_gaps": q_order_gaps,
+    "sample_join": q_sample_join,
 }
 
 
@@ -724,4 +792,14 @@ SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
        CAST(MAX(gap) AS BIGINT) AS max_gap_days
 FROM d JOIN customer ON ck = c_custkey
 GROUP BY c_mktsegment""",
+    "sample_join": """
+WITH s AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(((l_orderkey * 8 + l_linenumber) * 2654435761)
+              % 4294967296 AS BIGINT) AS h,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+  ORDER BY h, l_orderkey, l_linenumber LIMIT 100)
+SELECT l_orderkey, l_linenumber, h, cents, o_orderpriority
+FROM s JOIN orders ON l_orderkey = o_orderkey""",
 }
