@@ -229,6 +229,59 @@ def q_type_transitions(sf_dir: str):
     return agg.map_batches(split, batch_format="pyarrow")
 
 
+# ----------------------------------------- session duration quantiles
+
+
+def q_session_quantiles(sf_dir: str, num_partitions: int = 32):
+    """Distribution summary of session shapes: exact quartiles of
+    session DURATION (seconds) and session SIZE (events) over all
+    gap-based 30-min sessions. The sessionizer is the block-vectorized
+    kernel (one lexsort + gap mask per partition); each session reduces
+    to two (metric, value) rows and the quantiles ride the value-count
+    histogram shuffle (stages/stats.group_quantiles) — rows never move
+    twice."""
+    from ..stages import stats as stats_stage
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    P = num_partitions
+    GAP_US = 1_800_000_000
+
+    def addpart(b: pa.Table) -> pa.Table:
+        u = _np(b["user_id"])
+        return b.append_column(
+            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+
+    def sessions(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"metric": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64())})
+        u = _np(t["user_id"])
+        e_s = _ts_us(t["ts"])
+        order = np.lexsort((e_s, u))
+        u_s, e_s = u[order], e_s[order]
+        new = np.ones(n, bool)
+        new[1:] = (u_s[1:] != u_s[:-1]) \
+            | ((e_s[1:] - e_s[:-1]) > GAP_US)
+        starts = np.nonzero(new)[0]
+        ends = np.r_[starts[1:], n] - 1
+        dur = (e_s[ends] - e_s[starts]) // 1_000_000
+        nev = (np.r_[starts[1:], n] - starts).astype(np.int64)
+        k = len(starts)
+        return pa.table({
+            "metric": pa.array(["dur_sec"] * k + ["n_events"] * k,
+                               pa.string()),
+            "v": pa.array(np.r_[dur, nev], pa.int64()),
+        })
+
+    per = ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(sessions, batch_format="pyarrow")
+    return stats_stage.group_quantiles(
+        per, "metric", "v", [0.25, 0.5, 0.75],
+        ["p25_v", "p50_v", "p75_v"])
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -236,6 +289,7 @@ QUERIES_EVT = {
     "events_ohlc": q_events_ohlc,
     "user_retention": q_user_retention,
     "type_transitions": q_type_transitions,
+    "session_quantiles": q_session_quantiles,
 }
 
 
@@ -274,4 +328,28 @@ SELECT event_type AS from_type, nxt AS to_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM s WHERE nxt IS NOT NULL
 GROUP BY event_type, nxt""",
+    "session_quantiles": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked),
+per AS (
+  SELECT user_id, session_id,
+         CAST(COUNT(*) AS BIGINT) AS nev,
+         CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+              AS BIGINT) AS dur
+  FROM sess GROUP BY user_id, session_id),
+m AS (SELECT 'dur_sec' AS metric, dur AS v FROM per
+      UNION ALL SELECT 'n_events', nev FROM per)
+SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(quantile_disc(v, 0.25) AS BIGINT) AS p25_v,
+       CAST(quantile_disc(v, 0.50) AS BIGINT) AS p50_v,
+       CAST(quantile_disc(v, 0.75) AS BIGINT) AS p75_v
+FROM m GROUP BY metric""",
 }
