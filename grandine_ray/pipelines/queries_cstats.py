@@ -456,6 +456,100 @@ def q_regex_filter(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+# ---------------------------------------------- trigram novelty per doc
+
+
+def q_trigram_novelty(sf_dir: str):
+    """Per-document novelty: how many of a doc's word-trigram instances
+    are unique to it corpus-wide (df = 1) — the self-information signal
+    that separates boilerplate from original text. Three bounded
+    exchanges: (1) (trigram, doc) instance counts dedup on a fused
+    string key; (2) document frequency per trigram (one count row per
+    distinct pair); (3) a string-keyed hash join attaches df back and
+    per-doc partials sum the instance counts. Every shuffle is trigram-
+    vocabulary sized, never corpus sized."""
+    from ray.data.aggregate import Sum
+    from ..stages.corpus import _batch_terms
+    from ..stages import relational
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def inst_partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, _, _ = _batch_terms(b, "text")
+        L = len(flat)
+        if L < 3:
+            return pa.table({"td": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        tri = pc.binary_join_element_wise(
+            flat.slice(0, L - 2), flat.slice(1, L - 2),
+            flat.slice(2, L - 2), " ")
+        same = (doc_of[2:] == doc_of[:-2])
+        tri = tri.filter(pa.array(same))
+        dids = _np(b["doc_id"]).astype(np.int64)[doc_of[:-2][same]]
+        fused = pc.binary_join_element_wise(
+            tri, pa.array(dids.astype("U"), pa.string()), "\x1f")
+        t = _count_by_key(fused)
+        return pa.table({"td": t["key"], "n": t["n"]})
+
+    pairs = docs.map_batches(inst_partial, batch_format="pyarrow") \
+        .groupby("td").aggregate(Sum("n", alias_name="n"))
+
+    def split_pairs(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["td"], "\x1f")
+        return pa.table({
+            "tri": pc.list_element(parts, 0),
+            "doc_id": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    rows = pairs.map_batches(split_pairs, batch_format="pyarrow")
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        t = _count_by_key(b["tri"])
+        return pa.table({"tri": t["key"], "df": t["n"]})
+
+    df = rows.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("tri").aggregate(Sum("df", alias_name="df")) \
+        .map_batches(lambda b: pa.table({
+            "tri": b["tri"], "df": pc.cast(b["df"], pa.int64())}),
+            batch_format="pyarrow")
+
+    joined = relational.hash_join_str(
+        rows, df, key="tri",
+        left_carry={"doc_id": pa.int64(), "n": pa.int64()},
+        right_carry={"df": pa.int64()})
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        did = _np(b["doc_id"]).astype(np.int64)
+        n = _np(b["n"]).astype(np.int64)
+        uniq = n * (_np(b["df"]).astype(np.int64) == 1)
+        order = np.argsort(did, kind="stable")
+        d_s = did[order]
+        starts = np.ones(len(d_s), bool)
+        if len(d_s):
+            starts[1:] = d_s[1:] != d_s[:-1]
+        idx = np.nonzero(starts)[0]
+        red = (lambda v: np.add.reduceat(v[order], idx) if len(d_s)
+               else v)
+        return pa.table({
+            "doc_id": pa.array(d_s[idx] if len(d_s) else d_s,
+                               pa.int64()),
+            "n_tri": pa.array(red(n), pa.int64()),
+            "n_unique": pa.array(red(uniq), pa.int64()),
+        })
+
+    return joined.map_batches(doc_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(
+            Sum("n_tri", alias_name="n_tri"),
+            Sum("n_unique", alias_name="n_unique")) \
+        .map_batches(lambda b: pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_tri": pc.cast(b["n_tri"], pa.int64()),
+            "n_unique": pc.cast(b["n_unique"], pa.int64())}),
+            batch_format="pyarrow")
+
+
 # ------------------------------------------------- crosstab (wide pivot)
 
 
@@ -527,6 +621,7 @@ QUERIES_CSTATS = {
     "value_mad": q_value_mad,
     "regex_filter": q_regex_filter,
     "lang_source_matrix": q_lang_source_matrix,
+    "trigram_novelty": q_trigram_novelty,
 }
 
 
@@ -622,4 +717,18 @@ SELECT source,
             AS BIGINT) AS n_other,
        CAST(COUNT(*) AS BIGINT) AS n_total
 FROM documents GROUP BY source""",
+    "trigram_novelty": r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(lower(text)), '\s+') AS ws
+  FROM documents WHERE TRIM(text) <> ''),
+tri AS (
+  SELECT doc_id,
+         UNNEST([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in generate_series(1, len(ws) - 2)]) AS g
+  FROM words WHERE len(ws) >= 3),
+df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM tri GROUP BY g)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+       CAST(COUNT(*) FILTER (df = 1) AS BIGINT) AS n_unique
+FROM tri JOIN df USING (g)
+GROUP BY doc_id""",
 }
