@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v6"  # v6: +geohash_cells, corpus_build (full r3 generator set)
+_VERSION = "v7"  # v7: +compression_ratio
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -610,8 +610,28 @@ def expected_corpus_build(docs_parquet, budget=256, shard=100) -> pa.Table:
     })
 
 
+def expected_compression_ratio(docs_parquet) -> pa.Table:
+    """zlib(level 6) compressibility per document — scalar loop over the
+    stdlib compressor (the engine side must match byte counts exactly;
+    ratio in integer micro units, 0 for empty docs)."""
+    import zlib
+
+    ids, texts = _doc_texts(docs_parquet)
+    raw = [len(t.encode("utf-8")) for t in texts]
+    comp = [len(zlib.compress(t.encode("utf-8"), 6)) for t in texts]
+    ratio = [int(math.floor(c / r * 1_000_000 + 0.5)) if r else 0
+             for r, c in zip(raw, comp)]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "raw_len": pa.array(raw, pa.int64()),
+        "zlib_len": pa.array(comp, pa.int64()),
+        "ratio_micro": pa.array(ratio, pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
+    "compression_ratio": ("docs", expected_compression_ratio),
     "simplify": ("corpus", expected_simplify),
     "raster_stats": ("corpus", expected_raster_stats),
     "cell_index": ("corpus", expected_cell_index),

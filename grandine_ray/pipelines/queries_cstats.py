@@ -550,6 +550,40 @@ def q_trigram_novelty(sf_dir: str):
             batch_format="pyarrow")
 
 
+# ------------------------------------------ compression-ratio signal
+
+
+def q_compression_ratio(sf_dir: str):
+    """zlib compressibility per document — the cheap redundancy signal
+    web-scale filters use (highly compressible ⇒ repetitive/boilerplate;
+    incompressible ⇒ noise/binary junk). Embarrassingly parallel: one
+    stdlib-zlib pass per document inside map_batches, ZERO shuffles.
+    Oracled by an independent scalar loop (oracle/expected.py)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def ratios(b: pa.Table) -> pa.Table:
+        import zlib
+
+        texts = b["text"].to_pylist()
+        raw = np.array([len(t.encode("utf-8")) for t in texts], np.int64)
+        comp = np.array([len(zlib.compress(t.encode("utf-8"), 6))
+                         for t in texts], np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(
+                raw > 0,
+                np.floor(comp / np.maximum(raw, 1) * 1_000_000 + 0.5)
+                .astype(np.int64), 0)
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "raw_len": pa.array(raw, pa.int64()),
+            "zlib_len": pa.array(comp, pa.int64()),
+            "ratio_micro": pa.array(ratio, pa.int64()),
+        })
+
+    return docs.map_batches(ratios, batch_format="pyarrow")
+
+
 # ------------------------------------------------- crosstab (wide pivot)
 
 
@@ -622,6 +656,7 @@ QUERIES_CSTATS = {
     "regex_filter": q_regex_filter,
     "lang_source_matrix": q_lang_source_matrix,
     "trigram_novelty": q_trigram_novelty,
+    "compression_ratio": q_compression_ratio,
 }
 
 
@@ -731,4 +766,7 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
        CAST(COUNT(*) FILTER (df = 1) AS BIGINT) AS n_unique
 FROM tri JOIN df USING (g)
 GROUP BY doc_id""",
+    "compression_ratio":
+        "SELECT * FROM "
+        "read_parquet('/tmp/graft_expected/compression_ratio.parquet')",
 }

@@ -2,6 +2,7 @@
 parity at sf0.001 plus a brute-force cross-check of the source-overlap
 pair expansion."""
 import duckdb
+import numpy as np
 import pytest
 
 from grandine_ray.pipelines import queries_cstats
@@ -28,10 +29,33 @@ def _cmp(got_df, sql):
     assert gs == ws
 
 
-@pytest.mark.parametrize("name", sorted(queries_cstats.QUERIES_CSTATS))
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n in queries_cstats.QUERIES_CSTATS
+           # compression_ratio's oracle is an expected-parquet pinned to
+           # the driver's sf0.01 docs; its sf0.001 check is the
+           # brute-force test below
+           if n != "compression_ratio"))
 def test_cstats_query_parity(ray_session, name):
     got = queries_cstats.QUERIES_CSTATS[name](SF).to_pandas()
     _cmp(got, queries_cstats.ORACLE_SQL_CSTATS[name])
+
+
+def test_compression_ratio_brute_force(ray_session):
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    got = queries_cstats.q_compression_ratio(SF).to_pandas() \
+        .set_index("doc_id")
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        row = got.loc[did]
+        raw = len(txt.encode())
+        comp = len(zlib.compress(txt.encode(), 6))
+        assert row.raw_len == raw and row.zlib_len == comp
+        assert row.ratio_micro == int(np.floor(comp / raw * 1e6 + 0.5))
 
 
 def test_source_overlap_brute_force(ray_session):
