@@ -550,6 +550,60 @@ def q_trigram_novelty(sf_dir: str):
             batch_format="pyarrow")
 
 
+# ----------------------------------- token/char covariance moments
+
+
+def q_token_char_moments(sf_dir: str):
+    """Exact integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) of
+    (whitespace-token count, char count) per language — everything a
+    downstream Pearson correlation / regression needs, shipped as
+    order-independent int64 partials (products ≤ chars·tokens per doc,
+    far below 2^63 at any corpus size when summed per block then
+    groupby-reduced)."""
+    from ray.data.aggregate import Sum
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, doc_of, _, _ = _batch_terms(b, "text")
+        ntok = np.bincount(doc_of, minlength=b.num_rows) \
+            .astype(np.int64)
+        nch = _np(b["n_chars"]).astype(np.int64)
+        enc = pc.dictionary_encode(_chunk(b["lang"]))
+        codes = _np(enc.indices).astype(np.int64)
+        K = len(enc.dictionary)
+
+        def agg(v):
+            return np.bincount(codes, weights=v, minlength=K) \
+                .astype(np.int64)
+
+        return pa.table({
+            "lang": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=K)
+                          .astype(np.int64), pa.int64()),
+            "sx": pa.array(agg(ntok), pa.int64()),
+            "sy": pa.array(agg(nch), pa.int64()),
+            "sxy": pa.array(agg(ntok * nch), pa.int64()),
+            "sxx": pa.array(agg(ntok * ntok), pa.int64()),
+            "syy": pa.array(agg(nch * nch), pa.int64()),
+        })
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            *(Sum(c, alias_name=c) for c in
+              ("n", "sx", "sy", "sxy", "sxx", "syy")))
+
+    def widen(b: pa.Table) -> pa.Table:
+        cols = {"lang": b["lang"]}
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy"):
+            cols[c] = pc.cast(b[c], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
 # ------------------------------------------ compression-ratio signal
 
 
@@ -657,6 +711,7 @@ QUERIES_CSTATS = {
     "lang_source_matrix": q_lang_source_matrix,
     "trigram_novelty": q_trigram_novelty,
     "compression_ratio": q_compression_ratio,
+    "token_char_moments": q_token_char_moments,
 }
 
 
@@ -769,4 +824,17 @@ GROUP BY doc_id""",
     "compression_ratio":
         "SELECT * FROM "
         "read_parquet('/tmp/graft_expected/compression_ratio.parquet')",
+    "token_char_moments": r"""
+WITH d AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS y,
+         CAST(CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+              AS BIGINT) AS x
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(SUM(x * x) AS BIGINT) AS sxx,
+       CAST(SUM(y * y) AS BIGINT) AS syy
+FROM d GROUP BY lang""",
 }
