@@ -282,6 +282,57 @@ def q_session_quantiles(sf_dir: str, num_partitions: int = 32):
         ["p25_v", "p50_v", "p75_v"])
 
 
+# ------------------------------------------------ activity heatmap
+
+
+def q_activity_heatmap(sf_dir: str):
+    """Day-of-week × hour-of-day activity profile (counts + integer
+    milli value sums) — the temporal heatmap behind load forecasting.
+    All date parts come from pure integer arithmetic on epoch
+    microseconds (1970-01-01 was a Thursday ⇒ dow = (days + 4) % 7,
+    Sunday = 0) so both engines agree without any calendar library.
+    One fused (dow, hour) bincount partial per block; the shuffle is
+    ≤ 168 keys."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+    DAY = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = _ts_us(b["ts"])
+        days = us // DAY
+        dow = (days + 4) % 7
+        hr = (us % DAY) // HOUR_US
+        fused = dow * 24 + hr
+        vm = np.floor(_np(b["value"]) * 1000 + 0.5).astype(np.int64)
+        n = np.bincount(fused, minlength=168).astype(np.int64)
+        s = np.bincount(fused, weights=vm, minlength=168) \
+            .astype(np.int64)
+        nz = n > 0
+        keys = np.arange(168, dtype=np.int64)[nz]
+        return pa.table({
+            "dh": pa.array(keys, pa.int64()),
+            "n": pa.array(n[nz], pa.int64()),
+            "sum_milli": pa.array(s[nz], pa.int64()),
+        })
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dh").aggregate(Sum("n", alias_name="n"),
+                                 Sum("sum_milli", alias_name="sum_milli"))
+
+    def unfuse(b: pa.Table) -> pa.Table:
+        dh = _np(b["dh"]).astype(np.int64)
+        return pa.table({
+            "dow": pa.array(dh // 24, pa.int64()),
+            "hr": pa.array(dh % 24, pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_milli": pc.cast(b["sum_milli"], pa.int64()),
+        })
+
+    return agg.map_batches(unfuse, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -290,6 +341,7 @@ QUERIES_EVT = {
     "user_retention": q_user_retention,
     "type_transitions": q_type_transitions,
     "session_quantiles": q_session_quantiles,
+    "activity_heatmap": q_activity_heatmap,
 }
 
 
@@ -352,4 +404,13 @@ SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(quantile_disc(v, 0.50) AS BIGINT) AS p50_v,
        CAST(quantile_disc(v, 0.75) AS BIGINT) AS p75_v
 FROM m GROUP BY metric""",
+    "activity_heatmap": """
+WITH v AS (SELECT epoch_us(ts) AS us,
+                  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+           FROM events)
+SELECT CAST((us // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((us % 86400000000) // 3600000000 AS BIGINT) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vm) AS BIGINT) AS sum_milli
+FROM v GROUP BY dow, hr""",
 }
