@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v7"  # v7: +compression_ratio
+_VERSION = "v8"  # v8: +pack_multimodal (v7: +compression_ratio)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -629,9 +629,50 @@ def expected_compression_ratio(docs_parquet) -> pa.Table:
     })
 
 
+def expected_pack_multimodal(corpus_dir, budget=512, shard=100) -> pa.Table:
+    """Greedy packer over the INTERLEAVED corpus: per-doc cost = text
+    whitespace tokens + 256 per media span + 16 per geom span; the same
+    shard-restarted first-fit loop as expected_pack_sequences."""
+    t = pq.read_table(f"{corpus_dir}/documents.parquet",
+                      columns=["doc_id", "spans"])
+    costs = {}
+    for did, spans in zip(t["doc_id"].to_pylist(),
+                          t["spans"].to_pylist()):
+        c = 0
+        for s in spans:
+            if s["kind"] == "text":
+                c += len(s["text"].split()) if s["text"] else 0
+            elif s["kind"] == "media":
+                c += 256
+            elif s["kind"] == "geom":
+                c += 16
+        costs[int(did[4:])] = c
+    rows = []
+    by_shard: dict = {}
+    for i in sorted(costs):
+        by_shard.setdefault(i // shard, []).append(i)
+    for sh, members in sorted(by_shard.items()):
+        local, acc, pos = 0, 0, 0
+        for i in members:
+            c = costs[i]
+            if pos > 0 and acc + c > budget:
+                local += 1
+                acc, pos = 0, 0
+            rows.append((i, sh * 1_000_000 + local, pos, c))
+            acc += c
+            pos += 1
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "pack_id": pa.array([r[1] for r in rows], pa.int64()),
+        "pack_pos": pa.array([r[2] for r in rows], pa.int64()),
+        "n_cost": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "compression_ratio": ("docs", expected_compression_ratio),
+    "pack_multimodal": ("corpus", expected_pack_multimodal),
     "simplify": ("corpus", expected_simplify),
     "raster_stats": ("corpus", expected_raster_stats),
     "cell_index": ("corpus", expected_cell_index),

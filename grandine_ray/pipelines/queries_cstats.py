@@ -550,6 +550,69 @@ def q_trigram_novelty(sf_dir: str):
             batch_format="pyarrow")
 
 
+# -------------------------------- multimodal-aware sequence packing
+
+
+MM_BUDGET = 512
+MM_MEDIA_COST = 256
+MM_GEOM_COST = 16
+MM_SHARD = 100
+
+
+def q_pack_multimodal(sf_dir: str):
+    """Sequence packing over the INTERLEAVED corpus schema: a doc's
+    budget cost is its text whitespace tokens plus a fixed token cost
+    per media span (256 — an image-patch budget) and per geom span (16)
+    — how a multimodal training pipeline actually packs mixed
+    documents. One Arrow list-flatten pass computes costs; the greedy
+    shard-restarted packer is the shared stages/corpus.pack_sequences
+    kernel. Oracled by an independent scalar loop (expected v8)."""
+    from ..stages.corpus import pack_sequences
+    from .queries import _docs_ds
+
+    docs = _docs_ds(sf_dir)
+
+    def cost(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lens = pc.list_value_length(spans) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(lens)
+        flat = pc.list_flatten(spans)
+        kind = flat.field("kind")
+        doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+        # text token counts per span: split, flatten, drop empties
+        words = pc.utf8_split_whitespace(flat.field("text"))
+        wlens = pc.list_value_length(words) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flatw = pc.list_flatten(words)
+        span_of = np.repeat(np.arange(len(wlens), dtype=np.int64),
+                            wlens)
+        nonempty = pc.not_equal(flatw, "") \
+            .to_numpy(zero_copy_only=False)
+        ntok = np.bincount(span_of[nonempty],
+                           minlength=len(wlens)).astype(np.int64)
+        is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        is_media = pc.equal(kind, "media") \
+            .to_numpy(zero_copy_only=False)
+        is_geom = pc.equal(kind, "geom").to_numpy(zero_copy_only=False)
+        span_cost = np.where(is_text, ntok, 0) \
+            + is_media * MM_MEDIA_COST + is_geom * MM_GEOM_COST
+        n_cost = np.bincount(doc_of, weights=span_cost, minlength=m) \
+            .astype(np.int64)
+        dids = np.array([int(s[4:]) for s in
+                         b["doc_id"].to_pylist()], np.int64)
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "n_cost": pa.array(n_cost, pa.int64()),
+        })
+
+    return pack_sequences(docs.map_batches(cost, batch_format="pyarrow"),
+                          budget=MM_BUDGET, shard_size=MM_SHARD,
+                          tok_col="n_cost")
+
+
 # ----------------------------------- token/char covariance moments
 
 
@@ -712,6 +775,7 @@ QUERIES_CSTATS = {
     "trigram_novelty": q_trigram_novelty,
     "compression_ratio": q_compression_ratio,
     "token_char_moments": q_token_char_moments,
+    "pack_multimodal": q_pack_multimodal,
 }
 
 
@@ -837,4 +901,7 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(x * x) AS BIGINT) AS sxx,
        CAST(SUM(y * y) AS BIGINT) AS syy
 FROM d GROUP BY lang""",
+    "pack_multimodal":
+        "SELECT * FROM "
+        "read_parquet('/tmp/graft_expected/pack_multimodal.parquet')",
 }

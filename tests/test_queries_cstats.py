@@ -32,10 +32,9 @@ def _cmp(got_df, sql):
 @pytest.mark.parametrize(
     "name",
     sorted(n for n in queries_cstats.QUERIES_CSTATS
-           # compression_ratio's oracle is an expected-parquet pinned to
-           # the driver's sf0.01 docs; its sf0.001 check is the
-           # brute-force test below
-           if n != "compression_ratio"))
+           # expected-parquet oracles are pinned to the driver's sf0.01
+           # inputs; their sf0.001 checks are the brute-force tests below
+           if n not in ("compression_ratio", "pack_multimodal")))
 def test_cstats_query_parity(ray_session, name):
     got = queries_cstats.QUERIES_CSTATS[name](SF).to_pandas()
     _cmp(got, queries_cstats.ORACLE_SQL_CSTATS[name])
@@ -78,3 +77,26 @@ def test_source_overlap_brute_force(ray_session):
     got_map = {(r.src_a, r.src_b): r.n_common
                for r in got.itertuples()}
     assert got_map == want
+
+
+def test_pack_multimodal_brute_force(ray_session):
+    # scalar greedy packer over the sf0.001 interleaved corpus must
+    # match the distributed pipeline exactly
+    import pyarrow.parquet as pq
+
+    from grandine_ray.oracle.expected import expected_pack_multimodal
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(SF)
+    want = expected_pack_multimodal(corpus).to_pandas()
+    got = queries_cstats.q_pack_multimodal(SF).to_pandas()
+    g = sorted(map(tuple, got[["doc_id", "pack_id", "pack_pos",
+                               "n_cost"]].values.tolist()))
+    w = sorted(map(tuple, want[["doc_id", "pack_id", "pack_pos",
+                                "n_cost"]].values.tolist()))
+    assert g == w
+    # every pack respects the budget unless it is a single oversized doc
+    per = got.groupby("pack_id").agg(total=("n_cost", "sum"),
+                                     k=("n_cost", "size"))
+    bad = per[(per.total > queries_cstats.MM_BUDGET) & (per.k > 1)]
+    assert len(bad) == 0
