@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v8"  # v8: +pack_multimodal (v7: +compression_ratio)
+_VERSION = "v9"  # v9: +video_frames (v8: +pack_multimodal)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -669,10 +669,47 @@ def expected_pack_multimodal(corpus_dir, budget=512, shard=100) -> pa.Table:
     })
 
 
+def expected_video_frames(corpus_dir, k=4) -> pa.Table:
+    """Frame-sampler ground truth: scalar span walk + the deterministic
+    fake store/extractor contract (payload = chained blake2b of
+    \"ref:i\"; frame i = blake2b(payload + bytes([i]), 16))."""
+    t = pq.read_table(f"{corpus_dir}/documents.parquet")
+    d_l, s_l, r_l = [], [], []
+    frames: list[list[str]] = [[] for _ in range(k)]
+    for d, doc_spans in zip(t["doc_id"].to_pylist(),
+                            t["spans"].to_pylist()):
+        for idx, sp in enumerate(doc_spans):
+            if sp["kind"] != "media":
+                continue
+            ref = sp["media_ref"]
+            payload = b""
+            i = 0
+            while len(payload) < 256:
+                payload += hashlib.blake2b(f"{ref}:{i}".encode(),
+                                           digest_size=32).digest()
+                i += 1
+            payload = payload[:256]
+            d_l.append(d)
+            s_l.append(idx)
+            r_l.append(ref)
+            for fi in range(k):
+                frames[fi].append(hashlib.blake2b(
+                    payload + bytes([fi]), digest_size=16).hexdigest())
+    cols = {
+        "doc_id": pa.array(d_l, pa.string()),
+        "span_idx": pa.array(s_l, pa.int64()),
+        "media_ref": pa.array(r_l, pa.string()),
+    }
+    for fi in range(k):
+        cols[f"f{fi}"] = pa.array(frames[fi], pa.string())
+    return pa.table(cols)
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "compression_ratio": ("docs", expected_compression_ratio),
     "pack_multimodal": ("corpus", expected_pack_multimodal),
+    "video_frames": ("corpus", expected_video_frames),
     "simplify": ("corpus", expected_simplify),
     "raster_stats": ("corpus", expected_raster_stats),
     "cell_index": ("corpus", expected_cell_index),

@@ -613,6 +613,46 @@ def q_pack_multimodal(sf_dir: str):
                           tok_col="n_cost")
 
 
+# ------------------------------------------- video frame sampling
+
+
+def q_video_frames(sf_dir: str):
+    """Frame-sampling pipeline over media spans: span extraction →
+    payload fetch → FrameSampler actor pool (K evenly spaced frames;
+    ffmpeg stubbed behind the deterministic-fake contract — the Ray
+    plumbing, schema and batch shape are real). Output pins each
+    frame's 16-byte digest as hex; oracled by a scalar span walk
+    (expected v9)."""
+    from ..stages import media as media_stage
+    from .queries import _docs_ds
+
+    ds = _docs_ds(sf_dir) \
+        .map_batches(media_stage.media_span_rows, batch_format="pyarrow") \
+        .map_batches(media_stage.fetch_media, batch_format="pyarrow",
+                     batch_size=512) \
+        .map_batches(media_stage.FrameSampler, batch_format="pyarrow",
+                     batch_size=512, concurrency=(1, 4))
+
+    def widen(b: pa.Table) -> pa.Table:
+        frames = b["frames"]
+        if isinstance(frames, pa.ChunkedArray):
+            frames = frames.combine_chunks()
+        flat = frames.values.to_pylist()  # k per row, row-major
+        k = frames.type.list_size
+        cols = {
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "media_ref": b["media_ref"],
+        }
+        for fi in range(k):
+            cols[f"f{fi}"] = pa.array(
+                [flat[r * k + fi].hex() for r in range(b.num_rows)],
+                pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(widen, batch_format="pyarrow")
+
+
 # ----------------------------------- token/char covariance moments
 
 
@@ -776,6 +816,7 @@ QUERIES_CSTATS = {
     "compression_ratio": q_compression_ratio,
     "token_char_moments": q_token_char_moments,
     "pack_multimodal": q_pack_multimodal,
+    "video_frames": q_video_frames,
 }
 
 
@@ -904,4 +945,7 @@ FROM d GROUP BY lang""",
     "pack_multimodal":
         "SELECT * FROM "
         "read_parquet('/tmp/graft_expected/pack_multimodal.parquet')",
+    "video_frames":
+        "SELECT * FROM "
+        "read_parquet('/tmp/graft_expected/video_frames.parquet')",
 }

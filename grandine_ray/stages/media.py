@@ -151,6 +151,38 @@ class FrameSampler:
         )
 
 
+def media_span_rows(batch: pa.Table) -> pa.Table:
+    """Interleaved docs → one row per MEDIA span (doc_id, span_idx,
+    media_ref) — the shared entry stage of every media pipeline."""
+    import pyarrow.compute as pc
+    spans = batch["spans"].combine_chunks()
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    # span index within each doc (same derivation as extract.py)
+    n = len(parent)
+    if n:
+        firsts = np.zeros(n, dtype=np.int64)
+        new_doc = np.empty(n, dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = parent[1:] != parent[:-1]
+        firsts[new_doc] = np.nonzero(new_doc)[0]
+        np.maximum.accumulate(firsts, out=firsts)
+        span_idx = np.arange(n, dtype=np.int64) - firsts
+    else:
+        span_idx = np.empty(0, dtype=np.int64)
+    mask = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
+    sel = np.nonzero(mask)[0]
+    doc_ids = batch["doc_id"].take(pa.array(parent[sel]))
+    media_refs = flat.field("media_ref").take(pa.array(sel))
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "span_idx": pa.array(span_idx[sel].astype(np.int32), pa.int32()),
+            "media_ref": media_refs,
+        }
+    )
+
+
 def media_pipeline(docs_ds, concurrency=(1, 4), batch_size: int = 256):
     """documents → media spans → fetch → decode → resize → features.
 
@@ -158,37 +190,7 @@ def media_pipeline(docs_ds, concurrency=(1, 4), batch_size: int = 256):
     img_w, img_features). Demonstrates the full multimodal actor-pool
     plumbing over the interleaved schema.
     """
-    import pyarrow.compute as pc
-
-    def media_spans(batch: pa.Table) -> pa.Table:
-        spans = batch["spans"].combine_chunks()
-        flat = pc.list_flatten(spans)
-        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-        # span index within each doc (same derivation as extract.py)
-        n = len(parent)
-        if n:
-            firsts = np.zeros(n, dtype=np.int64)
-            new_doc = np.empty(n, dtype=bool)
-            new_doc[0] = True
-            new_doc[1:] = parent[1:] != parent[:-1]
-            firsts[new_doc] = np.nonzero(new_doc)[0]
-            np.maximum.accumulate(firsts, out=firsts)
-            span_idx = np.arange(n, dtype=np.int64) - firsts
-        else:
-            span_idx = np.empty(0, dtype=np.int64)
-        mask = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
-        sel = np.nonzero(mask)[0]
-        doc_ids = batch["doc_id"].take(pa.array(parent[sel]))
-        media_refs = flat.field("media_ref").take(pa.array(sel))
-        return pa.table(
-            {
-                "doc_id": doc_ids,
-                "span_idx": pa.array(span_idx[sel].astype(np.int32), pa.int32()),
-                "media_ref": media_refs,
-            }
-        )
-
-    ds = docs_ds.map_batches(media_spans, batch_format="pyarrow")
+    ds = docs_ds.map_batches(media_span_rows, batch_format="pyarrow")
     ds = ds.map_batches(fetch_media, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(ImageDecoder, batch_format="pyarrow",
                         batch_size=batch_size, concurrency=concurrency)

@@ -34,7 +34,8 @@ def _cmp(got_df, sql):
     sorted(n for n in queries_cstats.QUERIES_CSTATS
            # expected-parquet oracles are pinned to the driver's sf0.01
            # inputs; their sf0.001 checks are the brute-force tests below
-           if n not in ("compression_ratio", "pack_multimodal")))
+           if n not in ("compression_ratio", "pack_multimodal",
+                        "video_frames")))
 def test_cstats_query_parity(ray_session, name):
     got = queries_cstats.QUERIES_CSTATS[name](SF).to_pandas()
     _cmp(got, queries_cstats.ORACLE_SQL_CSTATS[name])
@@ -100,3 +101,16 @@ def test_pack_multimodal_brute_force(ray_session):
                                      k=("n_cost", "size"))
     bad = per[(per.total > queries_cstats.MM_BUDGET) & (per.k > 1)]
     assert len(bad) == 0
+
+
+def test_video_frames_brute_force(ray_session):
+    from grandine_ray.oracle.expected import expected_video_frames
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(SF)
+    want = expected_video_frames(corpus).to_pandas()
+    got = queries_cstats.q_video_frames(SF).to_pandas()
+    cols = ["doc_id", "span_idx", "media_ref", "f0", "f1", "f2", "f3"]
+    g = sorted(map(tuple, got[cols].values.tolist()))
+    w = sorted(map(tuple, want[cols].values.tolist()))
+    assert g == w and len(g) > 0
