@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v9"  # v9: +video_frames (v8: +pack_multimodal)
+_VERSION = "v10"  # v10: +audio_windows (v9: +video_frames)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -705,11 +705,48 @@ def expected_video_frames(corpus_dir, k=4) -> pa.Table:
     return pa.table(cols)
 
 
+def expected_audio_windows(corpus_dir, window=64, hop=32) -> pa.Table:
+    """Audio-chunking ground truth: scalar span walk, fake PCM = the
+    256-byte deterministic payload, fixed windows with overlap, energy
+    = integer byte sum per window."""
+    t = pq.read_table(f"{corpus_dir}/documents.parquet")
+    d_l, s_l, r_l, w_l, e_l = [], [], [], [], []
+    for d, doc_spans in zip(t["doc_id"].to_pylist(),
+                            t["spans"].to_pylist()):
+        for idx, sp in enumerate(doc_spans):
+            if sp["kind"] != "media":
+                continue
+            ref = sp["media_ref"]
+            payload = b""
+            i = 0
+            while len(payload) < 256:
+                payload += hashlib.blake2b(f"{ref}:{i}".encode(),
+                                           digest_size=32).digest()
+                i += 1
+            payload = payload[:256]
+            n = (len(payload) - window) // hop + 1
+            for w in range(max(n, 0)):
+                seg = payload[w * hop:w * hop + window]
+                d_l.append(d)
+                s_l.append(idx)
+                r_l.append(ref)
+                w_l.append(w)
+                e_l.append(sum(seg))
+    return pa.table({
+        "doc_id": pa.array(d_l, pa.string()),
+        "span_idx": pa.array(s_l, pa.int64()),
+        "media_ref": pa.array(r_l, pa.string()),
+        "win_idx": pa.array(w_l, pa.int64()),
+        "energy": pa.array(e_l, pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "compression_ratio": ("docs", expected_compression_ratio),
     "pack_multimodal": ("corpus", expected_pack_multimodal),
     "video_frames": ("corpus", expected_video_frames),
+    "audio_windows": ("corpus", expected_audio_windows),
     "simplify": ("corpus", expected_simplify),
     "raster_stats": ("corpus", expected_raster_stats),
     "cell_index": ("corpus", expected_cell_index),

@@ -653,6 +653,37 @@ def q_video_frames(sf_dir: str):
     return ds.map_batches(widen, batch_format="pyarrow")
 
 
+# --------------------------------------------- audio chunk windows
+
+
+def q_audio_windows(sf_dir: str):
+    """Audio-chunking pipeline over media spans: span extraction →
+    payload fetch → AudioChunker actor pool (fixed 64-byte windows,
+    hop 32, per-window integer energy; PCM decode stubbed behind the
+    deterministic-fake contract). Completes the image / video / audio
+    stage triple. Oracled by a scalar span walk (expected v10)."""
+    from ..stages import media as media_stage
+    from .queries import _docs_ds
+
+    ds = _docs_ds(sf_dir) \
+        .map_batches(media_stage.media_span_rows, batch_format="pyarrow") \
+        .map_batches(media_stage.fetch_media, batch_format="pyarrow",
+                     batch_size=512) \
+        .map_batches(media_stage.AudioChunker, batch_format="pyarrow",
+                     batch_size=512, concurrency=(1, 4))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "media_ref": b["media_ref"],
+            "win_idx": pc.cast(b["win_idx"], pa.int64()),
+            "energy": pc.cast(b["energy"], pa.int64()),
+        })
+
+    return ds.map_batches(widen, batch_format="pyarrow")
+
+
 # ----------------------------------- token/char covariance moments
 
 
@@ -817,6 +848,7 @@ QUERIES_CSTATS = {
     "token_char_moments": q_token_char_moments,
     "pack_multimodal": q_pack_multimodal,
     "video_frames": q_video_frames,
+    "audio_windows": q_audio_windows,
 }
 
 
@@ -948,4 +980,7 @@ FROM d GROUP BY lang""",
     "video_frames":
         "SELECT * FROM "
         "read_parquet('/tmp/graft_expected/video_frames.parquet')",
+    "audio_windows":
+        "SELECT * FROM "
+        "read_parquet('/tmp/graft_expected/audio_windows.parquet')",
 }

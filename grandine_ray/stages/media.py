@@ -183,6 +183,47 @@ def media_span_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+class AudioChunker:
+    """Actor stage: audio payload → fixed-size windows with overlap.
+
+    Real implementation point: ``_pcm`` (soundfile/ffmpeg decode to PCM);
+    with the deterministic fake the payload bytes ARE the PCM. Windowing
+    itself (size/hop arithmetic, per-window energy) is real and runs on
+    whatever the decode yields.
+    """
+
+    def __init__(self, window: int = 64, hop: int = 32,
+                 deterministic_fake: bool = True):
+        self.window = window
+        self.hop = hop
+        self.fake = deterministic_fake
+
+    def _pcm(self, payload: bytes) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode requires soundfile/ffmpeg — not in this "
+                "container")
+        return payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        rows_of, wins, energy = [], [], []
+        for r, p in enumerate(payloads):
+            pcm = np.frombuffer(self._pcm(p), np.uint8)
+            n = (len(pcm) - self.window) // self.hop + 1
+            for w in range(max(n, 0)):
+                seg = pcm[w * self.hop:w * self.hop + self.window]
+                rows_of.append(r)
+                wins.append(w)
+                energy.append(int(seg.astype(np.int64).sum()))
+        take = pa.array(np.asarray(rows_of, np.int64))
+        out = {c: batch[c].take(take)
+               for c in batch.column_names if c != "payload"}
+        out["win_idx"] = pa.array(np.asarray(wins, np.int64), pa.int64())
+        out["energy"] = pa.array(np.asarray(energy, np.int64), pa.int64())
+        return pa.table(out)
+
+
 def media_pipeline(docs_ds, concurrency=(1, 4), batch_size: int = 256):
     """documents → media spans → fetch → decode → resize → features.
 

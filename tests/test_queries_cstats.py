@@ -35,7 +35,7 @@ def _cmp(got_df, sql):
            # expected-parquet oracles are pinned to the driver's sf0.01
            # inputs; their sf0.001 checks are the brute-force tests below
            if n not in ("compression_ratio", "pack_multimodal",
-                        "video_frames")))
+                        "video_frames", "audio_windows")))
 def test_cstats_query_parity(ray_session, name):
     got = queries_cstats.QUERIES_CSTATS[name](SF).to_pandas()
     _cmp(got, queries_cstats.ORACLE_SQL_CSTATS[name])
@@ -114,3 +114,18 @@ def test_video_frames_brute_force(ray_session):
     g = sorted(map(tuple, got[cols].values.tolist()))
     w = sorted(map(tuple, want[cols].values.tolist()))
     assert g == w and len(g) > 0
+
+
+def test_audio_windows_brute_force(ray_session):
+    from grandine_ray.oracle.expected import expected_audio_windows
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(SF)
+    want = expected_audio_windows(corpus).to_pandas()
+    got = queries_cstats.q_audio_windows(SF).to_pandas()
+    cols = ["doc_id", "span_idx", "media_ref", "win_idx", "energy"]
+    g = sorted(map(tuple, got[cols].values.tolist()))
+    w = sorted(map(tuple, want[cols].values.tolist()))
+    assert g == w and len(g) > 0
+    # 256-byte payload, window 64, hop 32 ⇒ exactly 7 windows per span
+    assert got.groupby(["doc_id", "span_idx"]).size().eq(7).all()
