@@ -77,23 +77,80 @@ def q_events_ohlc(sf_dir: str):
             "n": pa.array(n, pa.int64()),
         })
 
+    # merge phase: hash-partition the bar keys (a per-BAR map_groups
+    # would be one Python call per bar — types × hours grows unbounded
+    # with the time span) and resolve every bar in a partition with two
+    # vectorized lexsorts over dictionary codes
+    P = 32
+
+    def addpart(b: pa.Table) -> pa.Table:
+        key = b["key"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        import zlib
+
+        # crc32: DETERMINISTIC across worker processes (Python's hash()
+        # is seed-salted per process — same key would land in different
+        # partitions from different blocks)
+        h = np.array([zlib.crc32(s.encode()) for s in key.to_pylist()],
+                     np.int64)
+        return b.append_column(
+            "_part", pa.array((h % P).astype(np.int32), pa.int32()))
+
     def merge(t: pa.Table) -> pa.Table:
-        key = t["key"][0].as_py()
-        et, hr = key.rsplit("|", 1)
-        oo = np.lexsort((_np(t["o_eid"]), _np(t["o_ts"])))[0]
-        co = np.lexsort((-_np(t["c_eid"]), -_np(t["c_ts"])))[0]
+        key = t["key"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = pc.dictionary_encode(key)
+        codes = _np(enc.indices).astype(np.int64)
+        o_ts, o_eid, o_vm = (_np(t[c]) for c in ("o_ts", "o_eid", "o_vm"))
+        c_ts, c_eid, c_vm = (_np(t[c]) for c in ("c_ts", "c_eid", "c_vm"))
+        # open: first row per code run after sorting by (code, ts, eid)
+        oo = np.lexsort((o_eid, o_ts, codes))
+        c_o = codes[oo]
+        starts = np.ones(len(c_o), bool)
+        if len(c_o):
+            starts[1:] = c_o[1:] != c_o[:-1]
+        sidx = np.nonzero(starts)[0]
+        open_of = np.empty(len(enc.dictionary), np.int64)
+        open_of[c_o[sidx]] = oo[sidx]
+        # close: LAST row per code run after sorting by (code, ts, eid)
+        co = np.lexsort((c_eid, c_ts, codes))
+        c_c = codes[co]
+        ends = np.r_[np.nonzero(c_c[1:] != c_c[:-1])[0],
+                     len(c_c) - 1] if len(c_c) else np.empty(0, np.int64)
+        close_of = np.empty(len(enc.dictionary), np.int64)
+        close_of[c_c[ends]] = co[ends]
+        # n / low / high: reduceat over code-sorted runs
+        so = np.argsort(codes, kind="stable")
+        c_s = codes[so]
+        rstarts = np.ones(len(c_s), bool)
+        if len(c_s):
+            rstarts[1:] = c_s[1:] != c_s[:-1]
+        ridx = np.nonzero(rstarts)[0]
+        ks = c_s[ridx]
+        n_tot = np.zeros(len(enc.dictionary), np.int64)
+        lo = np.zeros(len(enc.dictionary), np.int64)
+        hi = np.zeros(len(enc.dictionary), np.int64)
+        n_tot[ks] = np.add.reduceat(_np(t["n"])[so], ridx)
+        lo[ks] = np.minimum.reduceat(_np(t["low"])[so], ridx)
+        hi[ks] = np.maximum.reduceat(_np(t["high"])[so], ridx)
+        keys = enc.dictionary.to_pylist()
+        et = [k.rsplit("|", 1)[0] for k in keys]
+        hr = [int(k.rsplit("|", 1)[1]) for k in keys]
         return pa.table({
-            "event_type": pa.array([et], pa.string()),
-            "hr": pa.array([int(hr)], pa.int64()),
-            "n": pa.array([int(_np(t["n"]).sum())], pa.int64()),
-            "open_milli": pa.array([int(_np(t["o_vm"])[oo])], pa.int64()),
-            "high_milli": pa.array([int(_np(t["high"]).max())], pa.int64()),
-            "low_milli": pa.array([int(_np(t["low"]).min())], pa.int64()),
-            "close_milli": pa.array([int(_np(t["c_vm"])[co])], pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "hr": pa.array(hr, pa.int64()),
+            "n": pa.array(n_tot, pa.int64()),
+            "open_milli": pa.array(o_vm[open_of], pa.int64()),
+            "high_milli": pa.array(hi, pa.int64()),
+            "low_milli": pa.array(lo, pa.int64()),
+            "close_milli": pa.array(c_vm[close_of], pa.int64()),
         })
 
     return ev.map_batches(partial, batch_format="pyarrow") \
-        .groupby("key").map_groups(merge, batch_format="pyarrow")
+        .map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(merge, batch_format="pyarrow")
 
 
 # --------------------------------------------------- weekly user retention
