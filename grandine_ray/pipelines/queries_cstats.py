@@ -40,17 +40,66 @@ def _count_by_key(keys: pa.Array) -> pa.Table:
                      "n": pa.array(cnt.astype(np.int64), pa.int64())})
 
 
+def _crc_part(col, P: int) -> pa.Array:
+    """Deterministic hash partition of a string column (crc32 —
+    Python's hash() is process-salted and would split a key's rows
+    across partitions)."""
+    import zlib
+
+    h = np.array([zlib.crc32(s.encode()) for s in
+                  _chunk(col).to_pylist()], np.int64)
+    return pa.array((h % P).astype(np.int32), pa.int32())
+
+
+def pairs_within_groups(t: pa.Table, group_col: str, item_col: str,
+                        sep: str = "|") -> pa.Table:
+    """All a<b item pairs within each group of a partition, fully
+    vectorized over every group at once (one sort + repeat/offset
+    arithmetic — NO per-group Python call; #groups per partition is
+    unbounded at scale). Items must be distinct within a group. Returns
+    (pair, n=1) rows with pair = a+sep+b in item sort order."""
+    order = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                          (item_col, "ascending")])
+    ts = t.take(order)
+    enc = pc.dictionary_encode(_chunk(ts[group_col]))
+    codes = _np(enc.indices).astype(np.int64)
+    n = len(codes)
+    new = np.ones(n, bool)
+    if n:
+        new[1:] = codes[1:] != codes[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(new, idx, 0))
+    starts = np.nonzero(new)[0]
+    run_len_per_run = np.r_[starts[1:], n] - starts if n else starts
+    run_len = np.repeat(run_len_per_run, run_len_per_run) if n \
+        else np.empty(0, np.int64)
+    rem = run_len - 1 - (idx - run_start)  # partners after each row
+    total = int(rem.sum())
+    offs = np.cumsum(rem) - rem
+    seq = np.arange(total, dtype=np.int64) - np.repeat(offs, rem)
+    left = np.repeat(idx, rem)
+    right = left + 1 + seq
+    items = _chunk(ts[item_col])
+    pair = pc.binary_join_element_wise(
+        items.take(pa.array(left)), items.take(pa.array(right)), sep)
+    return pa.table({
+        "pair": pair,
+        "n": pa.array(np.ones(total, np.int64), pa.int64()),
+    })
+
+
 # ------------------------------------- cross-source vocabulary overlap
 
 
 def q_source_overlap(sf_dir: str):
     """Shared-vocabulary counts for every source pair: |vocab(a) ∩
     vocab(b)|. Stage 1 dedups (source, term) on a fused string key (the
-    shuffle is the distinct domain, ≤ sources × vocab); stage 2 groups
-    by term and emits each term's source pairs (C(s,2) per term — at a
-    web-scale source domain, cap the per-term source list or switch to
-    per-source MinHash sketches); stage 3 sums pair counts. Exact for
-    bounded source domains."""
+    shuffle is the distinct domain, ≤ sources × vocab); stage 2
+    hash-partitions terms and expands each term's source pairs with the
+    vectorized pairs_within_groups kernel (C(s,2) per term, no per-term
+    Python call — at a web-scale source domain, cap the per-term source
+    list or switch to per-source MinHash sketches); stage 3 sums pair
+    counts. Exact for bounded source domains."""
     from ray.data.aggregate import Sum
     from ..stages.corpus import _batch_terms
 
@@ -74,16 +123,14 @@ def q_source_overlap(sf_dir: str):
         return pa.table({"source": pc.list_element(parts, 0),
                          "term": pc.list_element(parts, 1)})
 
-    def pairs(t: pa.Table) -> pa.Table:
-        srcs = sorted(set(t["source"].to_pylist()))
-        i, j = np.triu_indices(len(srcs), k=1)
-        pair = [f"{srcs[a]}|{srcs[b]}" for a, b in zip(i, j)]
-        return pa.table({"pair": pa.array(pair, pa.string()),
-                         "n": pa.array(np.ones(len(pair), np.int64),
-                                       pa.int64())})
+    def addpart(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", _crc_part(b["term"], 32))
 
     pr = st.map_batches(to_ts, batch_format="pyarrow") \
-        .groupby("term").map_groups(pairs, batch_format="pyarrow") \
+        .map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(
+            lambda t: pairs_within_groups(t, "term", "source"),
+            batch_format="pyarrow") \
         .groupby("pair").aggregate(Sum("n", alias_name="n_common"))
 
     def split(b: pa.Table) -> pa.Table:

@@ -70,9 +70,11 @@ def q_layer_tile_overlap(sf_dir: str):
     multi-source spatial catalog uses to rank joinable datasets — the
     tile grid is the common quantization). Stage 1 dedups (layer, tile)
     per block then globally (the shuffle is the occupied-tile domain);
-    stage 2 fans each tile's layer set into C(L,2) pairs (L = layer
-    domain, bounded); stage 3 sums. The same shape as the corpus
-    source_overlap — one is vocabulary overlap, this is grid overlap."""
+    stage 2 hash-partitions tiles and expands each tile's layer pairs
+    with the vectorized pairs_within_groups kernel (C(L,2) per tile, no
+    per-tile Python call — occupied tiles are unbounded at scale);
+    stage 3 sums. The same shape as the corpus source_overlap — one is
+    vocabulary overlap, this is grid overlap."""
     from ray.data.aggregate import Sum
 
     from ..stages.coverage import make_coverage_fn
@@ -102,16 +104,16 @@ def q_layer_tile_overlap(sf_dir: str):
         return pa.table({"layer": pc.list_element(parts, 0),
                          "tile": pc.list_element(parts, 1)})
 
-    def pairs(t: pa.Table) -> pa.Table:
-        layers = sorted(set(t["layer"].to_pylist()))
-        i, j = np.triu_indices(len(layers), k=1)
-        pair = [f"{layers[a]}|{layers[b]}" for a, b in zip(i, j)]
-        return pa.table({"pair": pa.array(pair, pa.string()),
-                         "n": pa.array(np.ones(len(pair), np.int64),
-                                       pa.int64())})
+    from .queries_cstats import _crc_part, pairs_within_groups
+
+    def addpart(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", _crc_part(b["tile"], 32))
 
     pr = lt.map_batches(to_rows, batch_format="pyarrow") \
-        .groupby("tile").map_groups(pairs, batch_format="pyarrow") \
+        .map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(
+            lambda t: pairs_within_groups(t, "tile", "layer"),
+            batch_format="pyarrow") \
         .groupby("pair").aggregate(Sum("n", alias_name="n_shared_tiles"))
 
     def split(b: pa.Table) -> pa.Table:

@@ -129,3 +129,30 @@ def test_audio_windows_brute_force(ray_session):
     assert g == w and len(g) > 0
     # 256-byte payload, window 64, hop 32 ⇒ exactly 7 windows per span
     assert got.groupby(["doc_id", "span_idx"]).size().eq(7).all()
+
+
+def test_pairs_within_groups_vs_itertools():
+    import itertools
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(9)
+    groups, items = [], []
+    want = set()
+    for g in range(30):
+        k = int(rng.integers(1, 9))
+        members = sorted({f"it{v:02d}" for v in
+                          rng.choice(40, k, replace=False)})
+        for m in members:
+            groups.append(f"g{g}")
+            items.append(m)
+        for a, b in itertools.combinations(members, 2):
+            want.add((f"g{g}", f"{a}|{b}"))
+    t = pa.table({"grp": groups, "item": items})
+    got = queries_cstats.pairs_within_groups(t, "grp", "item")
+    # pairs are per-group; recover group by re-deriving from the fixture
+    from collections import Counter
+
+    got_pairs = Counter(got["pair"].to_pylist())
+    want_pairs = Counter(p for _, p in want)
+    assert got_pairs == want_pairs
