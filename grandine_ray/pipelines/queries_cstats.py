@@ -829,8 +829,9 @@ def q_lang_source_matrix(sf_dir: str):
     """Source × language crosstab pivoted WIDE (one n_<lang> column per
     language) — the report-shaped output analytics tools expect. Counts
     ride fused (source, lang) partials through one vocabulary-sized
-    shuffle; the pivot itself runs per source group on the tiny
-    aggregate. The language column set is fixed (schema contract) —
+    shuffle; the pivot is one 2-D scatter-add per source-hash partition
+    (no per-source Python call — the source domain is unbounded at web
+    scale). The language column set is fixed (schema contract) —
     unknown languages land in n_other."""
     from ray.data.aggregate import Sum
 
@@ -854,26 +855,32 @@ def q_lang_source_matrix(sf_dir: str):
             "n": pc.cast(b["n"], pa.int64()),
         })
 
+    def addpart(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", _crc_part(b["source"], 32))
+
     def pivot(t: pa.Table) -> pa.Table:
-        src = t["source"][0].as_py()
-        langs = t["lang"].to_pylist()
+        # vectorized over every source in the partition: one 2-D
+        # scatter-add, no per-source Python call (the source domain is
+        # unbounded at web scale)
+        enc = pc.dictionary_encode(_chunk(t["source"]))
+        src_codes = _np(enc.indices).astype(np.int64)
+        K = len(enc.dictionary)
+        lang_pos = {lg: i for i, lg in enumerate(PIVOT_LANGS)}
+        li = np.array([lang_pos.get(s, len(PIVOT_LANGS))
+                       for s in t["lang"].to_pylist()], np.int64)
         ns = _np(t["n"]).astype(np.int64)
-        counts = dict.fromkeys(PIVOT_LANGS, 0)
-        other = 0
-        for lg, n in zip(langs, ns):
-            if lg in counts:
-                counts[lg] += int(n)
-            else:
-                other += int(n)
-        cols = {"source": pa.array([src], pa.string())}
-        for lg in PIVOT_LANGS:
-            cols[f"n_{lg}"] = pa.array([counts[lg]], pa.int64())
-        cols["n_other"] = pa.array([other], pa.int64())
-        cols["n_total"] = pa.array([int(ns.sum())], pa.int64())
+        mat = np.zeros((K, len(PIVOT_LANGS) + 1), np.int64)
+        np.add.at(mat, (src_codes, li), ns)
+        cols = {"source": enc.dictionary}
+        for i, lg in enumerate(PIVOT_LANGS):
+            cols[f"n_{lg}"] = pa.array(mat[:, i], pa.int64())
+        cols["n_other"] = pa.array(mat[:, -1], pa.int64())
+        cols["n_total"] = pa.array(mat.sum(axis=1), pa.int64())
         return pa.table(cols)
 
     return agg.map_batches(to_rows, batch_format="pyarrow") \
-        .groupby("source").map_groups(pivot, batch_format="pyarrow")
+        .map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pivot, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- registry
