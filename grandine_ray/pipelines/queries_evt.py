@@ -41,6 +41,13 @@ def q_events_ohlc(sf_dir: str):
                          columns=["event_id", "event_type", "ts", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # empty fragment: ends=[-1] would misindex
+            return pa.table({
+                "key": pa.array([], pa.string()),
+                **{c: pa.array([], pa.int64()) for c in
+                   ("o_ts", "o_eid", "o_vm", "c_ts", "c_eid", "c_vm",
+                    "low", "high", "n")},
+            })
         ts = _ts_us(b["ts"])
         eid = _np(b["event_id"]).astype(np.int64)
         vm = np.floor(_np(b["value"]) * 1000 + 0.5).astype(np.int64)
@@ -84,18 +91,9 @@ def q_events_ohlc(sf_dir: str):
     P = 32
 
     def addpart(b: pa.Table) -> pa.Table:
-        key = b["key"]
-        if isinstance(key, pa.ChunkedArray):
-            key = key.combine_chunks()
-        import zlib
+        from .queries_cstats import _crc_part
 
-        # crc32: DETERMINISTIC across worker processes (Python's hash()
-        # is seed-salted per process — same key would land in different
-        # partitions from different blocks)
-        h = np.array([zlib.crc32(s.encode()) for s in key.to_pylist()],
-                     np.int64)
-        return b.append_column(
-            "_part", pa.array((h % P).astype(np.int32), pa.int32()))
+        return b.append_column("_part", _crc_part(b["key"], P))
 
     def merge(t: pa.Table) -> pa.Table:
         key = t["key"]

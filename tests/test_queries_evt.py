@@ -63,3 +63,33 @@ def test_ohlc_open_close_across_blocks(ray_session, monkeypatch):
     assert row.close_milli == last_val * 1000
     assert row.n == n
     assert row.low_milli == 1000 and row.high_milli == n * 1000
+
+
+def test_ohlc_tolerates_empty_blocks(ray_session, monkeypatch):
+    # an empty parquet fragment must not crash the partial (the run-end
+    # index would become [-1] on a zero-length sort order)
+    import ray.data as rd
+
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "ts": pa.array(np.array([], "datetime64[us]"),
+                       pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    })
+    full = _mk_simple()
+    ds = rd.from_arrow([empty, full])
+    monkeypatch.setattr(queries_evt.rd, "read_parquet",
+                        lambda path, columns=None: ds)
+    got = queries_evt.q_events_ohlc("unused").to_pandas()
+    assert len(got) == 1 and got.iloc[0].n == 2
+
+
+def _mk_simple():
+    return pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["a", "a"], pa.string()),
+        "ts": pa.array(np.array([0, 1], "datetime64[us]"),
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+    })
