@@ -384,6 +384,18 @@ def expected_minhash_pairs(docs_parquet, threshold=0.5) -> pa.Table:
     })
 
 
+def _fake_payload(ref: str, n: int = 256) -> bytes:
+    """The deterministic fake-store payload contract (chained blake2b of
+    "ref:i") — defined once for every media oracle."""
+    payload = b""
+    i = 0
+    while len(payload) < n:
+        payload += hashlib.blake2b(f"{ref}:{i}".encode(),
+                                   digest_size=32).digest()
+        i += 1
+    return payload[:n]
+
+
 def expected_media_features(corpus_dir) -> pa.Table:
     """Media pipeline ground truth: per-doc span walk in plain Python (the
     engine derives span_idx with vectorized list offsets — this checks it
@@ -398,13 +410,7 @@ def expected_media_features(corpus_dir) -> pa.Table:
             if sp["kind"] != "media":
                 continue
             ref = sp["media_ref"]
-            payload = b""
-            i = 0
-            while len(payload) < 256:
-                payload += hashlib.blake2b(f"{ref}:{i}".encode(),
-                                           digest_size=32).digest()
-                i += 1
-            payload = payload[:256]
+            payload = _fake_payload(ref)
             seed = int.from_bytes(payload[:8], "little")
             img = np.random.default_rng(seed).integers(
                 0, 256, (16, 16, 3), dtype=np.uint8)
@@ -682,13 +688,7 @@ def expected_video_frames(corpus_dir, k=4) -> pa.Table:
             if sp["kind"] != "media":
                 continue
             ref = sp["media_ref"]
-            payload = b""
-            i = 0
-            while len(payload) < 256:
-                payload += hashlib.blake2b(f"{ref}:{i}".encode(),
-                                           digest_size=32).digest()
-                i += 1
-            payload = payload[:256]
+            payload = _fake_payload(ref)
             d_l.append(d)
             s_l.append(idx)
             r_l.append(ref)
@@ -717,13 +717,7 @@ def expected_audio_windows(corpus_dir, window=64, hop=32) -> pa.Table:
             if sp["kind"] != "media":
                 continue
             ref = sp["media_ref"]
-            payload = b""
-            i = 0
-            while len(payload) < 256:
-                payload += hashlib.blake2b(f"{ref}:{i}".encode(),
-                                           digest_size=32).digest()
-                i += 1
-            payload = payload[:256]
+            payload = _fake_payload(ref)
             n = (len(payload) - window) // hop + 1
             for w in range(max(n, 0)):
                 seg = payload[w * hop:w * hop + window]
