@@ -626,6 +626,159 @@ def q_order_gaps(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+# ------------------------------------- TPC-H Q7: cross-nation trade
+
+
+def q_nation_trade(sf_dir: str):
+    """Cross-nation trade matrix (TPC-H Q7 family): revenue per
+    (customer nation, supplier nation, ship year) where the nations
+    differ. Two dimension attaches on the fact table: the supplier →
+    nation map is genuinely broadcast-small (one dict via one small
+    read); the order → customer chain is two hash joins with per-block
+    partial collapses between them. The final shuffle carries fused
+    (c_nat, s_nat, year) int partials — nations² × years keys."""
+    from ray.data.aggregate import Sum
+    from ..stages import relational
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    smap_keys = np.asarray(sup["s_suppkey"].to_pylist(), np.int64)
+    smap_vals = np.asarray(sup["s_nationkey"].to_pylist(), np.int64)
+    order = np.argsort(smap_keys)
+    smap_keys, smap_vals = smap_keys[order], smap_vals[order]
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_shipdate", "l_extendedprice",
+                                  "l_discount"])
+
+    def li_slim(b: pa.Table) -> pa.Table:
+        ok = _np(b["l_orderkey"]).astype(np.int64)
+        sk = _np(b["l_suppkey"]).astype(np.int64)
+        pos = np.searchsorted(smap_keys, sk)
+        snat = smap_vals[np.minimum(pos, len(smap_keys) - 1)]
+        year = _ts_us(b["l_shipdate"]).astype("datetime64[us]") \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        ep = _np(b["l_extendedprice"])
+        dc = _np(b["l_discount"])
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        # collapse per (okey, snat, year) before the order join
+        fused = (ok << np.int64(17)) | (snat << np.int64(12)) | \
+            (year - 1970)
+        keys, (sc,) = _group_sums(fused, cents)
+        return pa.table({
+            "okey": pa.array(keys >> np.int64(17), pa.int64()),
+            "sy": pa.array(keys & np.int64((1 << 17) - 1), pa.int64()),
+            "cents": pa.array(sc, pa.int64()),
+        })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def ord_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": pc.cast(b["o_orderkey"], pa.int64()),
+            "custkey": pc.cast(b["o_custkey"], pa.int64()),
+        })
+
+    j1 = relational.hash_join_i64(
+        li.map_batches(li_slim, batch_format="pyarrow"),
+        orders.map_batches(ord_slim, batch_format="pyarrow"),
+        key="okey",
+        left_carry={"sy": pa.int64(), "cents": pa.int64()},
+        right_carry={"custkey": pa.int64()})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def cust_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "cnat": pc.cast(b["c_nationkey"], pa.int64()),
+        })
+
+    j2 = relational.hash_join_i64(
+        j1, cust.map_batches(cust_slim, batch_format="pyarrow"),
+        key="custkey",
+        left_carry={"sy": pa.int64(), "cents": pa.int64()},
+        right_carry={"cnat": pa.int64()})
+
+    def final_partial(b: pa.Table) -> pa.Table:
+        sy = _np(b["sy"]).astype(np.int64)
+        snat = sy >> np.int64(12)
+        year = (sy & np.int64((1 << 12) - 1)) + 1970
+        cnat = _np(b["cnat"]).astype(np.int64)
+        cents = _np(b["cents"]).astype(np.int64)
+        keep = cnat != snat
+        fused = ((cnat << np.int64(20)) | (snat << np.int64(12))
+                 | (year - 1970))[keep]
+        keys, (sc,) = _group_sums(fused, cents[keep])
+        return pa.table({"k": pa.array(keys, pa.int64()),
+                         "cents": pa.array(sc, pa.int64())})
+
+    agg = j2.map_batches(final_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("cents", alias_name="revenue_cents"))
+
+    def unfuse(b: pa.Table) -> pa.Table:
+        k = _np(b["k"]).astype(np.int64)
+        return pa.table({
+            "cust_nation": pa.array(k >> np.int64(20), pa.int64()),
+            "supp_nation": pa.array((k >> np.int64(12))
+                                    & np.int64(0xFF), pa.int64()),
+            "ship_year": pa.array((k & np.int64((1 << 12) - 1)) + 1970,
+                                  pa.int64()),
+            "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(unfuse, batch_format="pyarrow")
+
+
+# ----------------------------------- TPC-H Q6: forecast revenue delta
+
+
+def q_forecast_revenue(sf_dir: str):
+    """Single-scalar filter aggregate (TPC-H Q6 family): discounted
+    revenue from 1997 lineitems with discount in [0.05, 0.07] and
+    quantity < 24 — the pure streaming scan with one tiny reduce (each
+    block collapses to ONE partial row)."""
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    y0 = np.datetime64("1997-01-01", "us").astype(np.int64)
+    y1 = np.datetime64("1998-01-01", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b["l_shipdate"])
+        qty = _np(b["l_quantity"])
+        dc = _np(b["l_discount"])
+        dmilli = np.floor(dc * 1000 + 0.5).astype(np.int64)
+        keep = (ts >= y0) & (ts < y1) & (qty < 24) \
+            & (dmilli >= 50) & (dmilli <= 70)
+        ep = _np(b["l_extendedprice"])[keep]
+        cents = np.floor(ep * dc[keep] * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("g").aggregate(Sum("revenue_cents",
+                                    alias_name="revenue_cents"),
+                                Sum("n", alias_name="n"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
 # ------------------------------------ sampling pushdown through a join
 
 
@@ -705,6 +858,8 @@ QUERIES_REL = {
     "orders_cohort": q_orders_cohort,
     "order_gaps": q_order_gaps,
     "sample_join": q_sample_join,
+    "nation_trade": q_nation_trade,
+    "forecast_revenue": q_forecast_revenue,
 }
 
 
@@ -802,4 +957,25 @@ WITH s AS (
   ORDER BY h, l_orderkey, l_linenumber LIMIT 100)
 SELECT l_orderkey, l_linenumber, h, cents, o_orderpriority
 FROM s JOIN orders ON l_orderkey = o_orderkey""",
+    "nation_trade": """
+SELECT CAST(c_nationkey AS BIGINT) AS cust_nation,
+       CAST(s_nationkey AS BIGINT) AS supp_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE c_nationkey <> s_nationkey
+GROUP BY c_nationkey, s_nationkey, ship_year""",
+    "forecast_revenue": """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_quantity < 24
+  AND CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) BETWEEN 50 AND 70""",
 }
