@@ -388,6 +388,72 @@ def q_activity_heatmap(sf_dir: str):
     return agg.map_batches(unfuse, batch_format="pyarrow")
 
 
+# ----------------------------------------------- clickstream paths
+
+
+PATH_K = 8
+
+
+def q_user_paths(sf_dir: str):
+    """Clickstream path mining: each user's journey = the ordered
+    sequence of their first 8 event types joined with '>', counted
+    across users. One user-hash shuffle; within a partition one lexsort
+    ranks events, an Arrow ListArray built from the user run offsets
+    joins each journey in one kernel call (no per-user loop), and the
+    path counts ride dictionary-encoded partials. The output domain is
+    the distinct-path vocabulary (capped by the 8-event prefix — the
+    standard cardinality control for path analysis)."""
+    from ray.data.aggregate import Sum
+    from .queries_cstats import _count_by_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    P = 32
+
+    def addpart(b: pa.Table) -> pa.Table:
+        u = _np(b["user_id"])
+        return b.append_column(
+            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+
+    def paths(t: pa.Table) -> pa.Table:
+        u = _np(t["user_id"])
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"])
+        et = _chunk(t["event_type"])
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        n = len(u_s)
+        new = np.ones(n, bool)
+        if n:
+            new[1:] = u_s[1:] != u_s[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        gs = np.maximum.accumulate(np.where(new, idx, 0))
+        keep = (idx - gs) < PATH_K
+        et_kept = et.take(pa.array(order[keep]))
+        u_kept = u_s[keep]
+        starts = np.ones(len(u_kept), bool)
+        if len(u_kept):
+            starts[1:] = u_kept[1:] != u_kept[:-1]
+        offsets = np.r_[np.nonzero(starts)[0], len(u_kept)] \
+            .astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       et_kept)
+        path = pc.binary_join(lst, ">")
+        t2 = _count_by_key(path)
+        return pa.table({"path": t2["key"], "n": t2["n"]})
+
+    agg = ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(paths, batch_format="pyarrow") \
+        .groupby("path").aggregate(Sum("n", alias_name="n_users"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({"path": b["path"],
+                         "n_users": pc.cast(b["n_users"], pa.int64())})
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -397,6 +463,7 @@ QUERIES_EVT = {
     "type_transitions": q_type_transitions,
     "session_quantiles": q_session_quantiles,
     "activity_heatmap": q_activity_heatmap,
+    "user_paths": q_user_paths,
 }
 
 
@@ -468,4 +535,14 @@ SELECT CAST((us // 86400000000 + 4) % 7 AS BIGINT) AS dow,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(vm) AS BIGINT) AS sum_milli
 FROM v GROUP BY dow, hr""",
+    "user_paths": """
+WITH o AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+p AS (SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM o WHERE rn <= 8 GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path""",
 }
