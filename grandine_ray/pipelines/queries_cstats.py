@@ -406,6 +406,74 @@ def q_above_avg_docs(sf_dir: str):
     return joined.map_batches(above, batch_format="pyarrow")
 
 
+# -------------------------------------- per-source duplication ratio
+
+
+def q_dup_by_source(sf_dir: str):
+    """Exact-duplicate pressure per source: documents whose full text
+    appears more than once corpus-wide, attributed to each source — the
+    per-provider dedup report that decides which feeds get filtered.
+    Stage 1 counts content hashes (64-bit blake2b, the exact_dedup key);
+    stage 2 re-walks the corpus attaching each doc's hash multiplicity
+    via a hash join and reduces per source."""
+    from ray.data.aggregate import Sum
+    from ..stages import relational
+    from ..stages.text import content_hash
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    hashed = docs.map_batches(content_hash, batch_format="pyarrow")
+
+    def h_partial(b: pa.Table) -> pa.Table:
+        h = _np(b["content_hash"]).astype(np.int64)
+        keys, cnt = np.unique(h, return_counts=True)
+        return pa.table({"content_hash": pa.array(keys, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    counts = hashed.map_batches(h_partial, batch_format="pyarrow") \
+        .groupby("content_hash").aggregate(Sum("n", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "content_hash": pc.cast(b["content_hash"], pa.int64()),
+            "n": pc.cast(b["n"], pa.int64())}), batch_format="pyarrow")
+
+    def doc_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "content_hash": pc.cast(b["content_hash"], pa.int64()),
+            "source": b["source"],
+        })
+
+    joined = relational.hash_join_i64(
+        hashed.map_batches(doc_slim, batch_format="pyarrow"),
+        counts, key="content_hash",
+        left_carry={"source": pa.string()},
+        right_carry={"n": pa.int64()})
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        dup = (_np(b["n"]).astype(np.int64) > 1).astype(np.int64)
+        enc = pc.dictionary_encode(_chunk(b["source"]))
+        codes = _np(enc.indices).astype(np.int64)
+        K = len(enc.dictionary)
+        return pa.table({
+            "source": enc.dictionary,
+            "n_docs": pa.array(np.bincount(codes, minlength=K)
+                               .astype(np.int64), pa.int64()),
+            "n_dup_docs": pa.array(np.bincount(codes, weights=dup,
+                                               minlength=K)
+                                   .astype(np.int64), pa.int64()),
+        })
+
+    return joined.map_batches(src_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dup_docs", alias_name="n_dup_docs")) \
+        .map_batches(lambda b: pa.table({
+            "source": b["source"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "n_dup_docs": pc.cast(b["n_dup_docs"], pa.int64())}),
+            batch_format="pyarrow")
+
+
 # ------------------------------------------- robust stats: MAD per group
 
 
@@ -902,6 +970,7 @@ QUERIES_CSTATS = {
     "token_char_moments": q_token_char_moments,
     "pack_multimodal": q_pack_multimodal,
     "video_frames": q_video_frames,
+    "dup_by_source": q_dup_by_source,
     "audio_windows": q_audio_windows,
 }
 
@@ -1034,6 +1103,12 @@ FROM d GROUP BY lang""",
     "video_frames":
         "SELECT * FROM "
         "read_parquet('/tmp/graft_expected/video_frames.parquet')",
+    "dup_by_source": """
+WITH n AS (SELECT text, COUNT(*) AS n FROM documents GROUP BY text)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (n > 1) AS BIGINT) AS n_dup_docs
+FROM documents JOIN n USING (text)
+GROUP BY source""",
     "audio_windows":
         "SELECT * FROM "
         "read_parquet('/tmp/graft_expected/audio_windows.parquet')",

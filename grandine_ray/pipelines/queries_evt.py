@@ -454,6 +454,64 @@ def q_user_paths(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+# -------------------------------------------- inter-event gap histogram
+
+
+def q_gap_histogram(sf_dir: str):
+    """Histogram of same-user inter-event gaps in minute buckets per
+    event type (of the LATER event) — the arrival-process profile behind
+    session-timeout choices. The LAG window kernel plus a fused
+    (type, bucket) bincount; the shuffle is O(types × buckets)."""
+    from ray.data.aggregate import Sum
+    from .queries_cstats import _count_by_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    P = 32
+    MIN_US = 60_000_000
+
+    def addpart(b: pa.Table) -> pa.Table:
+        u = _np(b["user_id"])
+        return b.append_column(
+            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+
+    def gaps(t: pa.Table) -> pa.Table:
+        u = _np(t["user_id"])
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"])
+        et = _chunk(t["event_type"])
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        n = len(u_s)
+        same = np.zeros(n, bool)
+        if n:
+            same[1:] = u_s[1:] == u_s[:-1]
+        gap_min = np.zeros(n, np.int64)
+        gap_min[1:] = (ts_s[1:] - ts_s[:-1]) // MIN_US
+        sel = np.nonzero(same)[0]
+        et_sel = et.take(pa.array(order[sel]))
+        fused = pc.binary_join_element_wise(
+            et_sel, pa.array(gap_min[sel].astype("U"), pa.string()),
+            "|")
+        t2 = _count_by_key(fused)
+        return pa.table({"tb": t2["key"], "n": t2["n"]})
+
+    agg = ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(gaps, batch_format="pyarrow") \
+        .groupby("tb").aggregate(Sum("n", alias_name="n"))
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["tb"], "|")
+        return pa.table({
+            "event_type": pc.list_element(parts, 0),
+            "gap_min": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -464,6 +522,7 @@ QUERIES_EVT = {
     "session_quantiles": q_session_quantiles,
     "activity_heatmap": q_activity_heatmap,
     "user_paths": q_user_paths,
+    "gap_histogram": q_gap_histogram,
 }
 
 
@@ -545,4 +604,15 @@ p AS (SELECT user_id,
       FROM o WHERE rn <= 8 GROUP BY user_id)
 SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM p GROUP BY path""",
+    "gap_histogram": """
+WITH g AS (SELECT event_type, ts, user_id,
+                  LAG(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT event_type,
+       CAST((epoch_us(ts) - epoch_us(prev)) // 60000000 AS BIGINT)
+         AS gap_min,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE prev IS NOT NULL
+GROUP BY event_type, gap_min""",
 }
