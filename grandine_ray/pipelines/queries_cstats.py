@@ -526,6 +526,74 @@ def q_value_mad(sf_dir: str):
     return mad.map_batches(attach_med, batch_format="pyarrow")
 
 
+# ------------------------------------------ robust outlier gating
+
+
+def q_value_outliers(sf_dir: str):
+    """Robust outlier counts per event type: events with
+    |v − median| > 3·MAD — the outlier gate that doesn't move when the
+    outliers themselves do (unlike z-scores). Both statistics come from
+    the histogram-quantile path and broadcast as dicts (≤ |types| rows);
+    the gate itself is one exact integer compare per row in a streaming
+    scan."""
+    from ray.data.aggregate import Sum
+    from ..stages import stats as stats_stage
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def milli(b: pa.Table) -> pa.Table:
+        vm = np.floor(_np(b["value"]) * 1000 + 0.5).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "vm": pa.array(vm, pa.int64())})
+
+    ds1 = ev.map_batches(milli, batch_format="pyarrow")
+    med_rows = stats_stage.group_quantiles(
+        ds1, "event_type", "vm", [0.5], ["med"]).take_all()
+    meds = {r["event_type"]: int(r["med"]) for r in med_rows}
+
+    def dev(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(_chunk(b["event_type"]))
+        dmed = np.array([meds[s] for s in enc.dictionary.to_pylist()],
+                        np.int64)
+        med = dmed[_np(enc.indices).astype(np.int64)]
+        return pa.table({
+            "event_type": b["event_type"],
+            "dev": pa.array(np.abs(_np(b["vm"]) - med), pa.int64()),
+        })
+
+    mad_rows = stats_stage.group_quantiles(
+        ds1.map_batches(dev, batch_format="pyarrow"),
+        "event_type", "dev", [0.5], ["mad"]).take_all()
+    mads = {r["event_type"]: int(r["mad"]) for r in mad_rows}
+
+    def gate(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(_chunk(b["event_type"]))
+        codes = _np(enc.indices).astype(np.int64)
+        dvals = enc.dictionary.to_pylist()
+        med = np.array([meds[s] for s in dvals], np.int64)[codes]
+        mad = np.array([mads[s] for s in dvals], np.int64)[codes]
+        out = (np.abs(_np(b["vm"]) - med) > 3 * mad).astype(np.int64)
+        K = len(enc.dictionary)
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n_outliers": pa.array(np.bincount(codes, weights=out,
+                                               minlength=K)
+                                   .astype(np.int64), pa.int64()),
+            "n": pa.array(np.bincount(codes, minlength=K)
+                          .astype(np.int64), pa.int64()),
+        })
+
+    return ds1.map_batches(gate, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n_outliers", alias_name="n_outliers"),
+            Sum("n", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n_outliers": pc.cast(b["n_outliers"], pa.int64()),
+            "n": pc.cast(b["n"], pa.int64())}), batch_format="pyarrow")
+
+
 # -------------------------------------------------- regex corpus filter
 
 
@@ -963,6 +1031,7 @@ QUERIES_CSTATS = {
     "props_extract": q_props_extract,
     "above_avg_docs": q_above_avg_docs,
     "value_mad": q_value_mad,
+    "value_outliers": q_value_outliers,
     "regex_filter": q_regex_filter,
     "lang_source_matrix": q_lang_source_matrix,
     "trigram_novelty": q_trigram_novelty,
@@ -1049,6 +1118,21 @@ SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(quantile_disc(abs(vm - med), 0.5) AS BIGINT) AS mad_milli
 FROM v JOIN m USING (event_type)
 GROUP BY v.event_type, m.med""",
+    "value_outliers": """
+WITH v AS (SELECT event_type,
+                  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+           FROM events),
+m AS (SELECT event_type, CAST(quantile_disc(vm, 0.5) AS BIGINT) AS med
+      FROM v GROUP BY event_type),
+d AS (SELECT v.event_type, vm, med, abs(vm - med) AS dev
+      FROM v JOIN m USING (event_type)),
+md AS (SELECT event_type, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+       FROM d GROUP BY event_type)
+SELECT d.event_type,
+       CAST(COUNT(*) FILTER (dev > 3 * mad) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type""",
     "regex_filter": r"""
 SELECT lang,
        CAST(COUNT(*) FILTER (
