@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v10"  # v10: +audio_windows (v9: +video_frames)
+_VERSION = "v11"  # v11: +lang_confusion (v10: +audio_windows)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -735,8 +735,40 @@ def expected_audio_windows(corpus_dir, window=64, hop=32) -> pa.Table:
     })
 
 
+# the lang-ID SPEC (stages/text.py LangId): stopword-profile overlap
+# over \w+ words of the lowercased first 1000 chars; ties keep the
+# FIRST profile in declaration order; no overlap → "unknown". The
+# profile sets are spec constants, restated here independently.
+_LANG_PROFILES_SPEC = [
+    ("en", {"the", "and", "of", "to", "in", "is"}),
+    ("de", {"der", "die", "und", "das", "ist", "nicht"}),
+    ("fr", {"le", "la", "et", "les", "des", "est"}),
+    ("es", {"el", "la", "de", "los", "que", "es"}),
+]
+
+
+def expected_lang_confusion(docs_parquet) -> pa.Table:
+    t = pq.read_table(docs_parquet, columns=["lang", "text"])
+    counts: dict = {}
+    for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        words = set(_WORD.findall((text or "").lower()[:1000]))
+        best, score = "unknown", 0
+        for name, profile in _LANG_PROFILES_SPEC:
+            s = len(words & profile)
+            if s > score:
+                best, score = name, s
+        counts[(best, lang)] = counts.get((best, lang), 0) + 1
+    keys = sorted(counts)
+    return pa.table({
+        "lang_pred": pa.array([k[0] for k in keys], pa.string()),
+        "lang": pa.array([k[1] for k in keys], pa.string()),
+        "n": pa.array([counts[k] for k in keys], pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
+    "lang_confusion": ("docs", expected_lang_confusion),
     "compression_ratio": ("docs", expected_compression_ratio),
     "pack_multimodal": ("corpus", expected_pack_multimodal),
     "video_frames": ("corpus", expected_video_frames),

@@ -526,6 +526,43 @@ def q_value_mad(sf_dir: str):
     return mad.map_batches(attach_med, batch_format="pyarrow")
 
 
+# ------------------------------------------- lang-ID confusion matrix
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID quality report: the engine's stopword-profile
+    heuristic (stages/text.LangId) against the labeled lang column as a
+    confusion matrix — how a pipeline validates its lang gate before
+    trusting it for filtering. One streaming langid pass + fused
+    (pred, actual) count partials; oracled by an independent scalar
+    mirror of the heuristic SPEC (expected v11)."""
+    from ray.data.aggregate import Sum
+    from ..stages.text import langid_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+    pred = docs.map_batches(langid_batch, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        fused = pc.binary_join_element_wise(
+            _chunk(b["lang_pred"]), _chunk(b["lang"]), "|")
+        t = _count_by_key(fused)
+        return pa.table({"pa_": t["key"], "n": t["n"]})
+
+    agg = pred.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pa_").aggregate(Sum("n", alias_name="n"))
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["pa_"], "|")
+        return pa.table({
+            "lang_pred": pc.list_element(parts, 0),
+            "lang": pc.list_element(parts, 1),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
 # ------------------------------------------ robust outlier gating
 
 
@@ -1032,6 +1069,7 @@ QUERIES_CSTATS = {
     "above_avg_docs": q_above_avg_docs,
     "value_mad": q_value_mad,
     "value_outliers": q_value_outliers,
+    "lang_confusion": q_lang_confusion,
     "regex_filter": q_regex_filter,
     "lang_source_matrix": q_lang_source_matrix,
     "trigram_novelty": q_trigram_novelty,
@@ -1187,6 +1225,9 @@ FROM d GROUP BY lang""",
     "video_frames":
         "SELECT * FROM "
         "read_parquet('/tmp/graft_expected/video_frames.parquet')",
+    "lang_confusion":
+        "SELECT * FROM "
+        "read_parquet('/tmp/graft_expected/lang_confusion.parquet')",
     "dup_by_source": """
 WITH n AS (SELECT text, COUNT(*) AS n FROM documents GROUP BY text)
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

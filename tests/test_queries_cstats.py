@@ -35,7 +35,8 @@ def _cmp(got_df, sql):
            # expected-parquet oracles are pinned to the driver's sf0.01
            # inputs; their sf0.001 checks are the brute-force tests below
            if n not in ("compression_ratio", "pack_multimodal",
-                        "video_frames", "audio_windows")))
+                        "video_frames", "audio_windows",
+                        "lang_confusion")))
 def test_cstats_query_parity(ray_session, name):
     got = queries_cstats.QUERIES_CSTATS[name](SF).to_pandas()
     _cmp(got, queries_cstats.ORACLE_SQL_CSTATS[name])
@@ -156,3 +157,19 @@ def test_pairs_within_groups_vs_itertools():
     got_pairs = Counter(got["pair"].to_pylist())
     want_pairs = Counter(p for _, p in want)
     assert got_pairs == want_pairs
+
+
+def test_lang_confusion_brute_force(ray_session):
+    from grandine_ray.oracle.expected import expected_lang_confusion
+
+    want = expected_lang_confusion(f"{SF}/documents.parquet").to_pandas()
+    got = queries_cstats.q_lang_confusion(SF).to_pandas()
+    g = sorted(map(tuple, got[["lang_pred", "lang", "n"]]
+                   .values.tolist()))
+    w = sorted(map(tuple, want[["lang_pred", "lang", "n"]]
+                   .values.tolist()))
+    assert g == w and len(g) > 0
+    # totals must cover every document
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert got.n.sum() == n_docs
