@@ -406,15 +406,12 @@ def q_user_paths(sf_dir: str):
     from ray.data.aggregate import Sum
     from .queries_cstats import _count_by_key
 
+    from .queries_win import _addpart
+
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts",
                                   "event_type"])
-    P = 32
-
-    def addpart(b: pa.Table) -> pa.Table:
-        u = _np(b["user_id"])
-        return b.append_column(
-            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+    addpart = _addpart(32)
 
     def paths(t: pa.Table) -> pa.Table:
         u = _np(t["user_id"])
@@ -465,16 +462,13 @@ def q_gap_histogram(sf_dir: str):
     from ray.data.aggregate import Sum
     from .queries_cstats import _count_by_key
 
+    from .queries_win import _addpart
+
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts",
                                   "event_type"])
-    P = 32
     MIN_US = 60_000_000
-
-    def addpart(b: pa.Table) -> pa.Table:
-        u = _np(b["user_id"])
-        return b.append_column(
-            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+    addpart = _addpart(32)
 
     def gaps(t: pa.Table) -> pa.Table:
         u = _np(t["user_id"])

@@ -656,8 +656,13 @@ def q_nation_trade(sf_dir: str):
     def li_slim(b: pa.Table) -> pa.Table:
         ok = _np(b["l_orderkey"]).astype(np.int64)
         sk = _np(b["l_suppkey"]).astype(np.int64)
-        pos = np.searchsorted(smap_keys, sk)
-        snat = smap_vals[np.minimum(pos, len(smap_keys) - 1)]
+        pos = np.minimum(np.searchsorted(smap_keys, sk),
+                         len(smap_keys) - 1)
+        if not (smap_keys[pos] == sk).all():
+            raise ValueError(
+                "nation_trade: lineitem references a suppkey missing "
+                "from supplier.parquet (referential integrity broken)")
+        snat = smap_vals[pos]
         year = _ts_us(b["l_shipdate"]).astype("datetime64[us]") \
             .astype("datetime64[Y]").astype(np.int64) + 1970
         ep = _np(b["l_extendedprice"])
