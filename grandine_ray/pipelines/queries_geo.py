@@ -127,9 +127,54 @@ def q_layer_tile_overlap(sf_dir: str):
     return pr.map_batches(split, batch_format="pyarrow")
 
 
+def q_tile_skew(sf_dir: str):
+    """Tile-occupancy skew profile: per zoom level, exact quartiles and
+    max of the per-tile feature count — the statistic that DECIDES the
+    tiler's hot-cell salting (a p75≪max profile means whale tiles).
+    Composition: the coverage fan-out reduces to (z, tile, n) exactly as
+    tile_counts, then the value-count histogram quantile path runs with
+    z as the group — rows never move twice."""
+    from ray.data.aggregate import Sum
+
+    from ..index import xyz
+    from ..stages import stats as stats_stage
+    from ..stages.coverage import make_coverage_fn
+    from .queries import COVERAGE_ZOOMS, _features_ds
+
+    tiled = _features_ds(sf_dir).map_batches(
+        make_coverage_fn(COVERAGE_ZOOMS), batch_format="pyarrow")
+
+    def count_keys(b: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            b["tile_key"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"tile_key": pa.array(keys.view(np.int64),
+                                              pa.int64()),
+                         "n": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+
+    per_tile = tiled.map_batches(count_keys, batch_format="pyarrow") \
+        .groupby("tile_key").aggregate(Sum("n", alias_name="n"))
+
+    def to_zn(b: pa.Table) -> pa.Table:
+        z, _, _ = xyz.tile_key_unpack(
+            b["tile_key"].to_numpy(zero_copy_only=False)
+            .view(np.uint64))
+        # value column must NOT be named "n" — group_quantiles uses
+        # "n" for its internal histogram counts
+        return pa.table({"z": pa.array(z, pa.int64()),
+                         "cnt": pc.cast(b["n"], pa.int64())})
+
+    return stats_stage.group_quantiles(
+        per_tile.map_batches(to_zn, batch_format="pyarrow"),
+        "z", "cnt", [0.25, 0.5, 0.75, 1.0],
+        ["p25_n", "p50_n", "p75_n", "max_n"])
+
+
 QUERIES_GEO = {
     "tile_rollup": q_tile_rollup,
     "layer_tile_overlap": q_layer_tile_overlap,
+    "tile_skew": q_tile_skew,
 }
 
 
@@ -164,8 +209,19 @@ FROM lt a JOIN lt b ON a.x = b.x AND a.y = b.y AND a.layer < b.layer
 GROUP BY a.layer, b.layer"""
     )
 
+    tile_skew_sql = _COVERAGE_CTE + """
+, per AS (SELECT z, x, y, CAST(COUNT(*) AS BIGINT) AS n
+          FROM cov GROUP BY z, x, y)
+SELECT z, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(quantile_disc(n, 0.25) AS BIGINT) AS p25_n,
+       CAST(quantile_disc(n, 0.50) AS BIGINT) AS p50_n,
+       CAST(quantile_disc(n, 0.75) AS BIGINT) AS p75_n,
+       CAST(MAX(n) AS BIGINT) AS max_n
+FROM per GROUP BY z"""
+
     return {
         "layer_tile_overlap": layer_overlap_sql,
+        "tile_skew": tile_skew_sql,
         "tile_rollup": _COVERAGE_CTE + f"""
 , base AS (SELECT x, y FROM cov WHERE z = {ROLLUP_BASE_Z})
 , lv AS (SELECT UNNEST(generate_series(0, {ROLLUP_BASE_Z})) AS z)

@@ -784,6 +784,103 @@ def q_forecast_revenue(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+# -------------------------------- supplier concentration per brand
+
+
+def q_brand_concentration(sf_dir: str):
+    """Supply-concentration profile per brand: Σcnt and Σcnt² of
+    per-supplier lineitem counts — the integer numerators of the
+    Herfindahl index (HHI = Σ(cnt/total)² = sum_sq/n_items²), computed
+    without a single float. Chain: fused (partkey, suppkey) count
+    partials → brand attach → fused (brand, supplier) merge → per-brand
+    square-sum partials. Every shuffle is bounded by a distinct
+    domain."""
+    from ray.data.aggregate import Sum
+    from ..stages import relational
+    from .queries_cstats import _chunk
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pk = _np(b["l_partkey"]).astype(np.int64)
+        sk = _np(b["l_suppkey"]).astype(np.int64)
+        fused = (pk << np.int64(20)) | sk
+        keys, (cnt,) = _group_sums(fused, np.ones(len(fused), np.int64))
+        return pa.table({"pair": pa.array(keys, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def unfuse(b: pa.Table) -> pa.Table:
+        fused = _np(b["pair"]).astype(np.int64)
+        return pa.table({
+            "partkey": pa.array(fused >> np.int64(20), pa.int64()),
+            "suppkey": pa.array(fused & np.int64((1 << 20) - 1),
+                                pa.int64()),
+            "cnt": pc.cast(b["cnt"], pa.int64()),
+        })
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+
+    def part_slim(b: pa.Table) -> pa.Table:
+        return pa.table({"partkey": pc.cast(b["p_partkey"], pa.int64()),
+                         "p_brand": b["p_brand"]})
+
+    joined = relational.hash_join_i64(
+        pairs.map_batches(unfuse, batch_format="pyarrow"),
+        part.map_batches(part_slim, batch_format="pyarrow"),
+        key="partkey",
+        left_carry={"suppkey": pa.int64(), "cnt": pa.int64()},
+        right_carry={"p_brand": pa.string()})
+
+    def bs_partial(b: pa.Table) -> pa.Table:
+        fused = _chunk(pc.binary_join_element_wise(
+            _chunk(b["p_brand"]),
+            _chunk(pc.cast(b["suppkey"], pa.string())), "|"))
+        enc = pc.dictionary_encode(fused)
+        codes = _np(enc.indices).astype(np.int64)
+        K = len(enc.dictionary)
+        cnt = np.bincount(codes, weights=_np(b["cnt"]), minlength=K) \
+            .astype(np.int64)
+        return pa.table({"bs": enc.dictionary,
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    bs = joined.map_batches(bs_partial, batch_format="pyarrow") \
+        .groupby("bs").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def brand_partial(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["bs"], "|")
+        brand = pc.list_element(parts, 0)
+        brand = brand.combine_chunks() if isinstance(
+            brand, pa.ChunkedArray) else brand
+        enc = pc.dictionary_encode(brand)
+        codes = _np(enc.indices).astype(np.int64)
+        K = len(enc.dictionary)
+        cnt = _np(b["cnt"]).astype(np.int64)
+        return pa.table({
+            "p_brand": enc.dictionary,
+            "n_items": pa.array(np.bincount(codes, weights=cnt,
+                                            minlength=K)
+                                .astype(np.int64), pa.int64()),
+            "sum_sq": pa.array(np.bincount(codes, weights=cnt * cnt,
+                                           minlength=K)
+                               .astype(np.int64), pa.int64()),
+        })
+
+    return bs.map_batches(brand_partial, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("sum_sq", alias_name="sum_sq")) \
+        .map_batches(lambda b: pa.table({
+            "p_brand": b["p_brand"],
+            "n_items": pc.cast(b["n_items"], pa.int64()),
+            "sum_sq": pc.cast(b["sum_sq"], pa.int64())}),
+            batch_format="pyarrow")
+
+
 # ------------------------------------ sampling pushdown through a join
 
 
@@ -863,6 +960,7 @@ QUERIES_REL = {
     "orders_cohort": q_orders_cohort,
     "order_gaps": q_order_gaps,
     "sample_join": q_sample_join,
+    "brand_concentration": q_brand_concentration,
     "nation_trade": q_nation_trade,
     "forecast_revenue": q_forecast_revenue,
 }
@@ -983,4 +1081,11 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_quantity < 24
   AND CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) BETWEEN 50 AND 70""",
+    "brand_concentration": """
+WITH c AS (SELECT p_brand, l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_brand, l_suppkey)
+SELECT p_brand, CAST(SUM(cnt) AS BIGINT) AS n_items,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+FROM c GROUP BY p_brand""",
 }

@@ -65,6 +65,12 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
     """
     from ray.data.aggregate import Sum
 
+    if "n" in (group_col, value_col):
+        # the histogram pass uses "n" for its own counts; a colliding
+        # input column silently quantiles the wrong values
+        raise ValueError("group_quantiles: column name 'n' is reserved "
+                         "for the internal histogram counts")
+
     hist = ds.map_batches(
         lambda b: _pair_counts(b, group_col, value_col),
         batch_format="pyarrow",
@@ -116,6 +122,9 @@ def group_quantiles_cont(ds, group_col: str, value_col: str,
     dyadic interpolation weight keeps all arithmetic integral)."""
     from ray.data.aggregate import Sum
 
+    if "n" in (group_col, value_col):
+        raise ValueError("group_quantiles_cont: column name 'n' is "
+                         "reserved for the internal histogram counts")
     p4s = []
     for q in qs:
         p4 = round(q * 4)

@@ -63,3 +63,13 @@ def test_layer_tile_overlap_brute_force(ray_session):
     got_map = {(r.layer_a, r.layer_b): r.n_shared_tiles
                for r in got.itertuples()}
     assert got_map == want
+
+
+def test_tile_skew_consistent_with_tile_counts(ray_session):
+    skew = queries_geo.q_tile_skew(SF).to_pandas().set_index("z")
+    counts = queries.q_tile_counts(SF).to_pandas()
+    for z, g in counts.groupby("z"):
+        row = skew.loc[z]
+        assert row.n_rows == len(g)
+        assert row.max_n == g.n_features.max()
+        assert row.p25_n <= row.p50_n <= row.p75_n <= row.max_n
