@@ -171,17 +171,75 @@ def q_tile_skew(sf_dir: str):
         ["p25_n", "p50_n", "p75_n", "max_n"])
 
 
+RADIUS_M = 300_000.0
+
+
+def q_radius_join(sf_dir: str):
+    """Within-radius spatial join: every point feature within 300 km of
+    each fixture query point (the range-query sibling of knn_points —
+    retrieval by distance THRESHOLD instead of count). Pure streaming:
+    the tiny query set broadcasts in the closure and each batch does one
+    vectorized Haversine per query, emitting only matches — no shuffle
+    at all. At scale the pre-filter is the cell grid (probe only tiles
+    intersecting the query circle), the same pruning pip_join uses."""
+    from ..geom.ops import haversine_m
+    from .queries import KNN_QUERIES, _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+
+    def within(b: pa.Table) -> pa.Table:
+        px = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        py = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        out_q, out_d, out_s, out_m = [], [], [], []
+        for qid, qx, qy in KNN_QUERIES:
+            d = haversine_m(np.full(len(px), qx),
+                            np.full(len(px), qy), px, py)
+            sel = np.nonzero(d <= RADIUS_M)[0]
+            out_q.extend([qid] * len(sel))
+            out_d.append(b["doc_id"].take(pa.array(sel)))
+            out_s.append(pc.cast(b["span_idx"].take(pa.array(sel)),
+                                 pa.int64()))
+            out_m.extend(np.round(d[sel], 3).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_d]) if out_d else
+            pa.array([], pa.string()),
+            "span_idx": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_s]) if out_s else
+            pa.array([], pa.int64()),
+            "dist_m": pa.array(out_m, pa.float64()),
+        })
+
+    return pts.map_batches(within, batch_format="pyarrow")
+
+
 QUERIES_GEO = {
     "tile_rollup": q_tile_rollup,
     "layer_tile_overlap": q_layer_tile_overlap,
     "tile_skew": q_tile_skew,
+    "radius_join": q_radius_join,
 }
 
 
 def _oracle_sql_geo() -> dict[str, str]:
     # built lazily: the coverage CTE pieces live in queries.py (circular
     # at module load — queries.py imports this module at its tail)
-    from .queries import _BBOX_CTE, _COVERAGE_CTE, _TILE_XY, _TILE_Y
+    from .queries import (_BBOX_CTE, _COVERAGE_CTE, _HAVERSINE,
+                          _KNN_QUERY_VALUES, _TILE_XY, _TILE_Y)
+
+    hav = _HAVERSINE.format(lat1="q.qlat", lon1="q.qlon",
+                            lat2="pts.lat", lon2="pts.lon")
+    radius_sql = _BBOX_CTE + f"""
+, q(query_id, qlon, qlat) AS (VALUES {_KNN_QUERY_VALUES})
+, pts AS (SELECT doc_id, span_idx, bbox_minx AS lon, bbox_miny AS lat
+          FROM g WHERE geom_type = 1)
+SELECT q.query_id, pts.doc_id, pts.span_idx,
+       ROUND({hav}, 3) AS dist_m
+FROM q CROSS JOIN pts
+WHERE {hav} <= {RADIUS_M}"""
 
     layer_overlap_sql = (
         _BBOX_CTE
@@ -222,6 +280,7 @@ FROM per GROUP BY z"""
     return {
         "layer_tile_overlap": layer_overlap_sql,
         "tile_skew": tile_skew_sql,
+        "radius_join": radius_sql,
         "tile_rollup": _COVERAGE_CTE + f"""
 , base AS (SELECT x, y FROM cov WHERE z = {ROLLUP_BASE_Z})
 , lv AS (SELECT UNNEST(generate_series(0, {ROLLUP_BASE_Z})) AS z)

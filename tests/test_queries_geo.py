@@ -73,3 +73,30 @@ def test_tile_skew_consistent_with_tile_counts(ray_session):
         assert row.n_rows == len(g)
         assert row.max_n == g.n_features.max()
         assert row.p25_n <= row.p50_n <= row.p75_n <= row.max_n
+
+
+def test_radius_join_brute_force(ray_session):
+    import numpy as np
+    import duckdb
+
+    from grandine_ray.geom.ops import haversine_m
+    from grandine_ray.pipelines.queries import KNN_QUERIES
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(SF)
+    con = duckdb.connect()
+    g = con.execute(f"""
+        SELECT doc_id, span_idx, list_aggregate(xs,'min') x,
+               list_aggregate(ys,'min') y
+        FROM read_parquet('{corpus}/geoms.parquet')
+        WHERE geom_type = 1""").df()
+    got = queries_geo.q_radius_join(SF).to_pandas()
+    for qid, qx, qy in KNN_QUERIES:
+        d = haversine_m(np.full(len(g), qx), np.full(len(g), qy),
+                        g.x.values, g.y.values)
+        want = {(r.doc_id, int(r.span_idx))
+                for r, keep in zip(g.itertuples(),
+                                   d <= queries_geo.RADIUS_M) if keep}
+        mine = {(r.doc_id, int(r.span_idx))
+                for r in got[got.query_id == qid].itertuples()}
+        assert mine == want
