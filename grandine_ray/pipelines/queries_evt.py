@@ -451,6 +451,78 @@ def q_user_paths(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+# --------------------------------------------------- DAU / WAU ratio
+
+
+def q_dau_wau(sf_dir: str):
+    """Daily active users with their week's WAU (the stickiness ratio's
+    two integer legs, never divided). Two fused-key distinct passes
+    (user, day) and (user, week — day // 7, exactly aligned since the
+    epoch starts a week); the weekly aggregate is weeks-sized and
+    broadcasts as a dict into the daily pass."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def ud_partial(b: pa.Table) -> pa.Table:
+        u = _np(b["user_id"]).astype(np.int64)
+        day = _ts_us(b["ts"]) // DAY_US
+        fused = np.unique((u << np.int64(20)) | day)
+        return pa.table({"ud": pa.array(fused, pa.int64()),
+                         "one": pa.array(np.ones(len(fused), np.int64),
+                                         pa.int64())})
+
+    ud = ev.map_batches(ud_partial, batch_format="pyarrow") \
+        .groupby("ud").aggregate(Sum("one", alias_name="one"))
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        day = _np(b["ud"]).astype(np.int64) & np.int64((1 << 20) - 1)
+        keys, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(keys, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    dau = ud.map_batches(day_partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n", alias_name="dau"))
+
+    # weekly distinct: dedup (user, week) from the (user, day) domain
+    def uw_partial(b: pa.Table) -> pa.Table:
+        fused = _np(b["ud"]).astype(np.int64)
+        u = fused >> np.int64(20)
+        wk = (fused & np.int64((1 << 20) - 1)) // 7
+        uw = np.unique((u << np.int64(20)) | wk)
+        return pa.table({"uw": pa.array(uw, pa.int64()),
+                         "one": pa.array(np.ones(len(uw), np.int64),
+                                         pa.int64())})
+
+    uw = ud.map_batches(uw_partial, batch_format="pyarrow") \
+        .groupby("uw").aggregate(Sum("one", alias_name="one"))
+
+    def wk_partial(b: pa.Table) -> pa.Table:
+        wk = _np(b["uw"]).astype(np.int64) & np.int64((1 << 20) - 1)
+        keys, cnt = np.unique(wk, return_counts=True)
+        return pa.table({"wk": pa.array(keys, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    wau_rows = uw.map_batches(wk_partial, batch_format="pyarrow") \
+        .groupby("wk").aggregate(Sum("n", alias_name="wau")).take_all()
+    wau_map = {int(r["wk"]): int(r["wau"]) for r in wau_rows}
+
+    def attach(b: pa.Table) -> pa.Table:
+        day = _np(b["day"]).astype(np.int64)
+        wau = np.array([wau_map[int(d) // 7] for d in day], np.int64)
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            "dau": pc.cast(b["dau"], pa.int64()),
+            "wau": pa.array(wau, pa.int64()),
+        })
+
+    return dau.map_batches(attach, batch_format="pyarrow")
+
+
 # -------------------------------------------- inter-event gap histogram
 
 
@@ -517,6 +589,7 @@ QUERIES_EVT = {
     "activity_heatmap": q_activity_heatmap,
     "user_paths": q_user_paths,
     "gap_histogram": q_gap_histogram,
+    "dau_wau": q_dau_wau,
 }
 
 
@@ -609,4 +682,17 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM g WHERE prev IS NOT NULL
 GROUP BY event_type, gap_min""",
+    "dau_wau": """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events),
+uw AS (SELECT DISTINCT user_id,
+              CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+       FROM events),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM ud GROUP BY day),
+wau AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS wau
+        FROM uw GROUP BY wk)
+SELECT day, dau, wau
+FROM dau JOIN wau ON day // 7 = wk""",
 }
