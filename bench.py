@@ -10,6 +10,8 @@ sf — generated/cached BEFORE timing):
   knn        exact Haversine top-5 from fixture queries to all points
   ann        brute-force cosine top-10 over the embeddings table
   text       token counting + quality scoring + minhash signatures
+  corpus     tfidf + decontaminate + gopher signals over documents
+  relational TPC-H family (Q1 pricing, nation star join, Q3 top-k)
 
 `--scaling` re-runs the suite in fresh processes at num_cpus=8 and 32 and
 reports throughput scaling efficiency (sandbox substitute for N vs 4N
@@ -202,6 +204,19 @@ def run_suite() -> dict:
                       batch_format="pyarrow").count()
     queries["corpus"] = round(time.perf_counter() - t0, 3)
     extras["corpus_docs"] = int(n_corpus_docs)
+
+    # ---- relational (round-3 second half: TPC-H family over hash_join) --
+    from grandine_ray.pipelines import queries_ext, queries_rel
+
+    t0 = time.perf_counter()
+    n_rel = 0
+    n_rel += queries_ext.q_pricing_summary(sf_dir).count()
+    from grandine_ray.pipelines.queries import q_revenue_by_nation
+
+    n_rel += q_revenue_by_nation(sf_dir).count()
+    n_rel += queries_rel.q_top_unshipped(sf_dir).count()
+    queries["relational"] = round(time.perf_counter() - t0, 3)
+    extras["relational_rows"] = int(n_rel)
 
     total = round(sum(queries.values()), 3)
     # machine-state probe: single-core numpy-sort time (this VM's delivered
