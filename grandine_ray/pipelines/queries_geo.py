@@ -199,7 +199,10 @@ def q_radius_join(sf_dir: str):
             out_d.append(b["doc_id"].take(pa.array(sel)))
             out_s.append(pc.cast(b["span_idx"].take(pa.array(sel)),
                                  pa.int64()))
-            out_m.extend(np.round(d[sel], 3).tolist())
+            # half-away rounding (floor(x·1000 + 0.5) — matches DuckDB
+            # ROUND for non-negative distances; np.round is half-even)
+            out_m.extend((np.floor(d[sel] * 1000.0 + 0.5) / 1000.0)
+                         .tolist())
         return pa.table({
             "query_id": pa.array(out_q, pa.string()),
             "doc_id": pa.concat_arrays(
