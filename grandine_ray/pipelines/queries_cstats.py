@@ -52,7 +52,7 @@ def _crc_part(col, P: int) -> pa.Array:
 
 
 def pairs_within_groups(t: pa.Table, group_col: str, item_col: str,
-                        sep: str = "|") -> pa.Table:
+                        sep: str = "\x1f") -> pa.Table:
     """All a<b item pairs within each group of a partition, fully
     vectorized over every group at once (one sort + repeat/offset
     arithmetic — NO per-group Python call; #groups per partition is
@@ -109,7 +109,7 @@ def q_source_overlap(sf_dir: str):
     def st_partial(b: pa.Table) -> pa.Table:
         flat, doc_of, _, _ = _batch_terms(b, "text")
         src_of = _chunk(b["source"]).take(pa.array(doc_of))
-        fused = pc.binary_join_element_wise(src_of, flat, "|")
+        fused = pc.binary_join_element_wise(src_of, flat, "\x1f")
         uniq = pc.unique(fused)
         return pa.table({"st": uniq,
                          "one": pa.array(np.ones(len(uniq), np.int64),
@@ -119,7 +119,7 @@ def q_source_overlap(sf_dir: str):
         .groupby("st").aggregate(Sum("one", alias_name="one"))
 
     def to_ts(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["st"], "|")
+        parts = pc.split_pattern(b["st"], "\x1f")
         return pa.table({"source": pc.list_element(parts, 0),
                          "term": pc.list_element(parts, 1)})
 
@@ -134,7 +134,7 @@ def q_source_overlap(sf_dir: str):
         .groupby("pair").aggregate(Sum("n", alias_name="n_common"))
 
     def split(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["pair"], "|")
+        parts = pc.split_pattern(b["pair"], "\x1f")
         return pa.table({
             "src_a": pc.list_element(parts, 0),
             "src_b": pc.list_element(parts, 1),
@@ -240,7 +240,7 @@ def q_word_len_dist(sf_dir: str):
         flat, doc_of, _, _ = _batch_terms(b, "text")
         lang_of = _chunk(b["lang"]).take(pa.array(doc_of))
         lens = pc.cast(pc.utf8_length(flat), pa.string())
-        fused = pc.binary_join_element_wise(lang_of, lens, "|")
+        fused = pc.binary_join_element_wise(lang_of, lens, "\x1f")
         t = _count_by_key(fused)
         return pa.table({"ll": t["key"], "n": t["n"]})
 
@@ -248,7 +248,7 @@ def q_word_len_dist(sf_dir: str):
         .groupby("ll").aggregate(Sum("n", alias_name="n"))
 
     def split(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["ll"], "|")
+        parts = pc.split_pattern(b["ll"], "\x1f")
         return pa.table({
             "lang": pc.list_element(parts, 0),
             "word_len": pc.cast(pc.list_element(parts, 1), pa.int64()),
@@ -276,7 +276,7 @@ def q_value_histogram(sf_dir: str):
         bins = vm // HIST_BIN_MILLI
         fused = pc.binary_join_element_wise(
             _chunk(b["event_type"]),
-            pa.array(bins.astype("U"), pa.string()), "|")
+            pa.array(bins.astype("U"), pa.string()), "\x1f")
         t = _count_by_key(fused)
         return pa.table({"tb": t["key"], "n": t["n"]})
 
@@ -284,7 +284,7 @@ def q_value_histogram(sf_dir: str):
         .groupby("tb").aggregate(Sum("n", alias_name="n"))
 
     def split(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["tb"], "|")
+        parts = pc.split_pattern(b["tb"], "\x1f")
         return pa.table({
             "event_type": pc.list_element(parts, 0),
             "bin": pc.cast(pc.list_element(parts, 1), pa.int64()),
@@ -545,7 +545,7 @@ def q_lang_confusion(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         fused = pc.binary_join_element_wise(
-            _chunk(b["lang_pred"]), _chunk(b["lang"]), "|")
+            _chunk(b["lang_pred"]), _chunk(b["lang"]), "\x1f")
         t = _count_by_key(fused)
         return pa.table({"pa_": t["key"], "n": t["n"]})
 
@@ -553,7 +553,7 @@ def q_lang_confusion(sf_dir: str):
         .groupby("pa_").aggregate(Sum("n", alias_name="n"))
 
     def split(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["pa_"], "|")
+        parts = pc.split_pattern(b["pa_"], "\x1f")
         return pa.table({
             "lang_pred": pc.list_element(parts, 0),
             "lang": pc.list_element(parts, 1),
@@ -857,7 +857,9 @@ def q_video_frames(sf_dir: str):
         frames = b["frames"]
         if isinstance(frames, pa.ChunkedArray):
             frames = frames.combine_chunks()
-        flat = frames.values.to_pylist()  # k per row, row-major
+        # .flatten() is offset-aware (honors a sliced block); .values
+        # would read from the buffer start and shift every digest.
+        flat = frames.flatten().to_pylist()  # k per row, row-major
         k = frames.type.list_size
         cols = {
             "doc_id": b["doc_id"],
@@ -1013,7 +1015,7 @@ def q_lang_source_matrix(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         fused = pc.binary_join_element_wise(
-            _chunk(b["source"]), _chunk(b["lang"]), "|")
+            _chunk(b["source"]), _chunk(b["lang"]), "\x1f")
         t = _count_by_key(fused)
         return pa.table({"sl": t["key"], "n": t["n"]})
 
@@ -1021,7 +1023,7 @@ def q_lang_source_matrix(sf_dir: str):
         .groupby("sl").aggregate(Sum("n", alias_name="n"))
 
     def to_rows(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["sl"], "|")
+        parts = pc.split_pattern(b["sl"], "\x1f")
         return pa.table({
             "source": pc.list_element(parts, 0),
             "lang": pc.list_element(parts, 1),

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .queries_ext import _np, _ts_us
+from .queries_ext import _fuse20, _np, _ts_us
 
 HOUR_US = 3_600_000_000
 WEEK_US = 604_800_000_000
@@ -54,7 +54,7 @@ def q_events_ohlc(sf_dir: str):
         hr = ts // HOUR_US
         key = pc.binary_join_element_wise(
             _chunk(b["event_type"]),
-            pa.array(hr.astype("U"), pa.string()), "|")
+            pa.array(hr.astype("U"), pa.string()), "\x1f")
         enc = pc.dictionary_encode(key)
         codes = _np(enc.indices).astype(np.int64)
         order = np.lexsort((eid, ts, codes))
@@ -134,8 +134,8 @@ def q_events_ohlc(sf_dir: str):
         lo[ks] = np.minimum.reduceat(_np(t["low"])[so], ridx)
         hi[ks] = np.maximum.reduceat(_np(t["high"])[so], ridx)
         keys = enc.dictionary.to_pylist()
-        et = [k.rsplit("|", 1)[0] for k in keys]
-        hr = [int(k.rsplit("|", 1)[1]) for k in keys]
+        et = [k.rsplit("\x1f", 1)[0] for k in keys]
+        hr = [int(k.rsplit("\x1f", 1)[1]) for k in keys]
         return pa.table({
             "event_type": pa.array(et, pa.string()),
             "hr": pa.array(hr, pa.int64()),
@@ -169,7 +169,7 @@ def q_user_retention(sf_dir: str):
     def uw_partial(b: pa.Table) -> pa.Table:
         u = _np(b["user_id"]).astype(np.int64)
         wk = _ts_us(b["ts"]) // WEEK_US
-        fused = np.unique((u << np.int64(20)) | wk)
+        fused = np.unique(_fuse20(u, wk, "(user, week)"))
         return pa.table({"uw": pa.array(fused, pa.int64()),
                          "one": pa.array(np.ones(len(fused), np.int64),
                                          pa.int64())})
@@ -259,7 +259,7 @@ def q_type_transitions(sf_dir: str):
                              "n": pa.array([], pa.int64())})
         same = u_s[1:] == u_s[:-1]
         pairs = pc.binary_join_element_wise(
-            et_s.slice(0, n - 1), et_s.slice(1, n - 1), "|") \
+            et_s.slice(0, n - 1), et_s.slice(1, n - 1), "\x1f") \
             .filter(pa.array(same))
         enc = pc.dictionary_encode(pairs)
         codes = _np(enc.indices).astype(np.int64)
@@ -274,7 +274,7 @@ def q_type_transitions(sf_dir: str):
         .groupby("pair").aggregate(Sum("n", alias_name="n"))
 
     def split(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["pair"], "|")
+        parts = pc.split_pattern(b["pair"], "\x1f")
         return pa.table({
             "from_type": pc.list_element(parts, 0),
             "to_type": pc.list_element(parts, 1),
@@ -469,7 +469,7 @@ def q_dau_wau(sf_dir: str):
     def ud_partial(b: pa.Table) -> pa.Table:
         u = _np(b["user_id"]).astype(np.int64)
         day = _ts_us(b["ts"]) // DAY_US
-        fused = np.unique((u << np.int64(20)) | day)
+        fused = np.unique(_fuse20(u, day, "(user, day)"))
         return pa.table({"ud": pa.array(fused, pa.int64()),
                          "one": pa.array(np.ones(len(fused), np.int64),
                                          pa.int64())})
@@ -492,7 +492,7 @@ def q_dau_wau(sf_dir: str):
         fused = _np(b["ud"]).astype(np.int64)
         u = fused >> np.int64(20)
         wk = (fused & np.int64((1 << 20) - 1)) // 7
-        uw = np.unique((u << np.int64(20)) | wk)
+        uw = np.unique(_fuse20(u, wk, "(user, week)"))
         return pa.table({"uw": pa.array(uw, pa.int64()),
                          "one": pa.array(np.ones(len(uw), np.int64),
                                          pa.int64())})
@@ -559,7 +559,7 @@ def q_gap_histogram(sf_dir: str):
         et_sel = et.take(pa.array(order[sel]))
         fused = pc.binary_join_element_wise(
             et_sel, pa.array(gap_min[sel].astype("U"), pa.string()),
-            "|")
+            "\x1f")
         t2 = _count_by_key(fused)
         return pa.table({"tb": t2["key"], "n": t2["n"]})
 
@@ -568,7 +568,7 @@ def q_gap_histogram(sf_dir: str):
         .groupby("tb").aggregate(Sum("n", alias_name="n"))
 
     def split(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["tb"], "|")
+        parts = pc.split_pattern(b["tb"], "\x1f")
         return pa.table({
             "event_type": pc.list_element(parts, 0),
             "gap_min": pc.cast(pc.list_element(parts, 1), pa.int64()),

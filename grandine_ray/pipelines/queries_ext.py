@@ -57,6 +57,19 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
+def _fuse20(hi: np.ndarray, lo: np.ndarray, what: str) -> np.ndarray:
+    """Fuse two int64 key columns into one (hi << 20 | lo), raising — not
+    silently corrupting — when either field overflows its width (hi needs
+    < 2^43, lo < 2^20). Mirrors stages/window.py's 41-bit shard guard:
+    distinct-count pipelines that fuse keys MUST fail loud at scales the
+    packing can't represent (e.g. TPC-H suppkey >= 2^20 at sf >~ 100)."""
+    if len(lo) and (int(lo.max()) >= (1 << 20) or int(lo.min()) < 0):
+        raise ValueError(f"_fuse20: {what} low field exceeds 20 bits")
+    if len(hi) and (int(hi.max()) >= (1 << 43) or int(hi.min()) < 0):
+        raise ValueError(f"_fuse20: {what} high field exceeds 43 bits")
+    return (hi << np.int64(20)) | lo
+
+
 # --------------------------------------------------- TPC-H Q1: pricing
 
 
@@ -84,7 +97,7 @@ def q_pricing_summary(sf_dir: str):
                 b["l_returnflag"], pa.ChunkedArray) else b["l_returnflag"],
             b["l_linestatus"].combine_chunks() if isinstance(
                 b["l_linestatus"], pa.ChunkedArray) else b["l_linestatus"],
-            "|")
+            "\x1f")
         enc = pc.dictionary_encode(fused)
         codes = _np(enc.indices).astype(np.int64)
         qty = _np(b["l_quantity"]).astype(np.int64)
@@ -115,7 +128,7 @@ def q_pricing_summary(sf_dir: str):
                    Sum("n", alias_name="n"))
 
     def split(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["k"], "|")
+        parts = pc.split_pattern(b["k"], "\x1f")
         rf = pc.list_element(parts, 0)
         ls = pc.list_element(parts, 1)
         cols = {"l_returnflag": rf, "l_linestatus": ls}
@@ -152,8 +165,8 @@ def q_promo_share(sf_dir: str):
         ep = _np(b["l_extendedprice"])
         dc = _np(b["l_discount"])
         cents = np.floor(ep * (1 - dc) * 100 + 0.5).astype(np.int64)
-        # fuse (partkey, ym): partkey < 2^40, ym < 2^20
-        fused = (pk << np.int64(20)) | ym
+        # fuse (partkey, ym): ym < 2^20 by construction, partkey guarded
+        fused = _fuse20(pk, ym, "(partkey, ym)")
         keys, (sc,) = _group_sums(fused, cents)
         return pa.table({
             "partkey": pa.array(keys >> np.int64(20), pa.int64()),

@@ -90,7 +90,7 @@ def q_layer_tile_overlap(sf_dir: str):
         if isinstance(layer, pa.ChunkedArray):
             layer = layer.combine_chunks()
         fused = pc.binary_join_element_wise(
-            layer, pa.array(key.astype("U"), pa.string()), "|")
+            layer, pa.array(key.astype("U"), pa.string()), "\x1f")
         uniq = pc.unique(fused)
         return pa.table({"lt": uniq,
                          "one": pa.array(np.ones(len(uniq), np.int64),
@@ -100,7 +100,7 @@ def q_layer_tile_overlap(sf_dir: str):
         .groupby("lt").aggregate(Sum("one", alias_name="one"))
 
     def to_rows(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["lt"], "|")
+        parts = pc.split_pattern(b["lt"], "\x1f")
         return pa.table({"layer": pc.list_element(parts, 0),
                          "tile": pc.list_element(parts, 1)})
 
@@ -117,7 +117,7 @@ def q_layer_tile_overlap(sf_dir: str):
         .groupby("pair").aggregate(Sum("n", alias_name="n_shared_tiles"))
 
     def split(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["pair"], "|")
+        parts = pc.split_pattern(b["pair"], "\x1f")
         return pa.table({
             "layer_a": pc.list_element(parts, 0),
             "layer_b": pc.list_element(parts, 1),
@@ -172,6 +172,12 @@ def q_tile_skew(sf_dir: str):
 
 
 RADIUS_M = 300_000.0
+# membership + output are integer millimetres (floor(d·1000 + 0.5)) on BOTH
+# engines, per the repo float-parity rule: a single integer boundary instead
+# of two float comparisons that could flip on a cross-library ulp. A point
+# whose true distance sits within ~0.5 µm of the 300 km boundary could still
+# integer-ize differently across math libraries — documented tolerance.
+RADIUS_MM = 300_000_000
 
 
 def q_radius_join(sf_dir: str):
@@ -194,15 +200,13 @@ def q_radius_join(sf_dir: str):
         for qid, qx, qy in KNN_QUERIES:
             d = haversine_m(np.full(len(px), qx),
                             np.full(len(px), qy), px, py)
-            sel = np.nonzero(d <= RADIUS_M)[0]
+            mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+            sel = np.nonzero(mm <= RADIUS_MM)[0]
             out_q.extend([qid] * len(sel))
             out_d.append(b["doc_id"].take(pa.array(sel)))
             out_s.append(pc.cast(b["span_idx"].take(pa.array(sel)),
                                  pa.int64()))
-            # half-away rounding (floor(x·1000 + 0.5) — matches DuckDB
-            # ROUND for non-negative distances; np.round is half-even)
-            out_m.extend((np.floor(d[sel] * 1000.0 + 0.5) / 1000.0)
-                         .tolist())
+            out_m.extend(mm[sel].tolist())
         return pa.table({
             "query_id": pa.array(out_q, pa.string()),
             "doc_id": pa.concat_arrays(
@@ -213,7 +217,7 @@ def q_radius_join(sf_dir: str):
                 [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
                  else a for a in out_s]) if out_s else
             pa.array([], pa.int64()),
-            "dist_m": pa.array(out_m, pa.float64()),
+            "dist_mm": pa.array(out_m, pa.int64()),
         })
 
     return pts.map_batches(within, batch_format="pyarrow")
@@ -240,9 +244,9 @@ def _oracle_sql_geo() -> dict[str, str]:
 , pts AS (SELECT doc_id, span_idx, bbox_minx AS lon, bbox_miny AS lat
           FROM g WHERE geom_type = 1)
 SELECT q.query_id, pts.doc_id, pts.span_idx,
-       ROUND({hav}, 3) AS dist_m
+       CAST(FLOOR({hav} * 1000.0 + 0.5) AS BIGINT) AS dist_mm
 FROM q CROSS JOIN pts
-WHERE {hav} <= {RADIUS_M}"""
+WHERE CAST(FLOOR({hav} * 1000.0 + 0.5) AS BIGINT) <= {RADIUS_MM}"""
 
     layer_overlap_sql = (
         _BBOX_CTE

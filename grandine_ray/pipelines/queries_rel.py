@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .queries_ext import _cents, _group_sums, _np, _ts_us
+from .queries_ext import _cents, _fuse20, _group_sums, _np, _ts_us
 
 
 def _widen_i64(*names):
@@ -309,8 +309,9 @@ def q_brand_suppliers(sf_dir: str):
     """COUNT(DISTINCT supplier) per part brand from lineitem (TPC-H Q16
     family without partsupp). Two-level distributed distinct: (1) the
     (partkey, suppkey) pair domain is deduped on a fused int64 key (pk
-    << 20 | sk — both keys < 2^20 at any TPC-H scale that fits int64
-    row ids) so the part join moves each pair once; (2) after the brand
+    << 20 | sk — valid for suppkey < 2^20 ≈ TPC-H sf < 100; _fuse20
+    raises beyond that rather than corrupt the distinct count) so the
+    part join moves each pair once; (2) after the brand
     attach, (brand, suppkey) dedups on a fused string key, and the final
     count is a per-block bincount partial + brand groupby. Every shuffle
     is bounded by the DISTINCT domain, never the fact-table row count."""
@@ -323,7 +324,7 @@ def q_brand_suppliers(sf_dir: str):
     def pair_partial(b: pa.Table) -> pa.Table:
         pk = _np(b["l_partkey"]).astype(np.int64)
         sk = _np(b["l_suppkey"]).astype(np.int64)
-        fused = np.unique((pk << np.int64(20)) | sk)
+        fused = np.unique(_fuse20(pk, sk, "(partkey, suppkey)"))
         return pa.table({"pair": pa.array(fused, pa.int64()),
                          "one": pa.array(np.ones(len(fused), np.int64),
                                          pa.int64())})
@@ -357,7 +358,7 @@ def q_brand_suppliers(sf_dir: str):
         brand = b["p_brand"].combine_chunks() if isinstance(
             b["p_brand"], pa.ChunkedArray) else b["p_brand"]
         sk = pc.cast(b["suppkey"], pa.string())
-        fused = pc.binary_join_element_wise(brand, sk, "|")
+        fused = pc.binary_join_element_wise(brand, sk, "\x1f")
         uniq = pc.unique(fused)
         return pa.table({"bs": uniq,
                          "one": pa.array(np.ones(len(uniq), np.int64),
@@ -367,7 +368,7 @@ def q_brand_suppliers(sf_dir: str):
         .groupby("bs").aggregate(Sum("one", alias_name="one"))
 
     def brand_partial(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["bs"], "|")
+        parts = pc.split_pattern(b["bs"], "\x1f")
         brand = pc.list_element(parts, 0)
         brand = brand.combine_chunks() if isinstance(
             brand, pa.ChunkedArray) else brand
@@ -805,7 +806,7 @@ def q_brand_concentration(sf_dir: str):
     def pair_partial(b: pa.Table) -> pa.Table:
         pk = _np(b["l_partkey"]).astype(np.int64)
         sk = _np(b["l_suppkey"]).astype(np.int64)
-        fused = (pk << np.int64(20)) | sk
+        fused = _fuse20(pk, sk, "(partkey, suppkey)")
         keys, (cnt,) = _group_sums(fused, np.ones(len(fused), np.int64))
         return pa.table({"pair": pa.array(keys, pa.int64()),
                          "cnt": pa.array(cnt, pa.int64())})
@@ -839,7 +840,7 @@ def q_brand_concentration(sf_dir: str):
     def bs_partial(b: pa.Table) -> pa.Table:
         fused = _chunk(pc.binary_join_element_wise(
             _chunk(b["p_brand"]),
-            _chunk(pc.cast(b["suppkey"], pa.string())), "|"))
+            _chunk(pc.cast(b["suppkey"], pa.string())), "\x1f"))
         enc = pc.dictionary_encode(fused)
         codes = _np(enc.indices).astype(np.int64)
         K = len(enc.dictionary)
@@ -852,7 +853,7 @@ def q_brand_concentration(sf_dir: str):
         .groupby("bs").aggregate(Sum("cnt", alias_name="cnt"))
 
     def brand_partial(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b["bs"], "|")
+        parts = pc.split_pattern(b["bs"], "\x1f")
         brand = pc.list_element(parts, 0)
         brand = brand.combine_chunks() if isinstance(
             brand, pa.ChunkedArray) else brand

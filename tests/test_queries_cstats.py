@@ -148,7 +148,7 @@ def test_pairs_within_groups_vs_itertools():
             groups.append(f"g{g}")
             items.append(m)
         for a, b in itertools.combinations(members, 2):
-            want.add((f"g{g}", f"{a}|{b}"))
+            want.add((f"g{g}", f"{a}\x1f{b}"))
     t = pa.table({"grp": groups, "item": items})
     got = queries_cstats.pairs_within_groups(t, "grp", "item")
     # pairs are per-group; recover group by re-deriving from the fixture

@@ -94,9 +94,10 @@ def test_radius_join_brute_force(ray_session):
     for qid, qx, qy in KNN_QUERIES:
         d = haversine_m(np.full(len(g), qx), np.full(len(g), qy),
                         g.x.values, g.y.values)
+        mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
         want = {(r.doc_id, int(r.span_idx))
                 for r, keep in zip(g.itertuples(),
-                                   d <= queries_geo.RADIUS_M) if keep}
+                                   mm <= queries_geo.RADIUS_MM) if keep}
         mine = {(r.doc_id, int(r.span_idx))
                 for r in got[got.query_id == qid].itertuples()}
         assert mine == want
