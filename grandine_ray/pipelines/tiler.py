@@ -39,9 +39,44 @@ from ..stages.mvt import (
     sorted_block_encode,
     tilespace_prepare,
 )
-from ..state.checkpoint import completed_partitions, partition_of_keys, write_partition
+from ..state.checkpoint import (
+    completed_partitions,
+    partition_of_keys,
+    write_partition,
+    write_tiles_partition,
+)
 
 DEFAULT_ZOOMS = list(range(0, 9))
+
+_EMPTY_MANIFEST_TABLE = pa.table({
+    "partition_id": pa.array([], pa.string()),
+    "input_fragment": pa.array([], pa.string()),
+    "cell_range_min": pa.array([], pa.uint64()),
+    "cell_range_max": pa.array([], pa.uint64()),
+    "rows": pa.array([], pa.int64()),
+    "bytes": pa.array([], pa.int64()),
+    "wall_s": pa.array([], pa.float64()),
+    "status": pa.array([], pa.string()),
+})
+
+
+def _pin_local(ds: rd.Dataset) -> rd.Dataset:
+    """Pin a small intermediate ONLY in single-node (local/test/bench) mode.
+
+    Two all-to-all exchanges in one streaming graph starve the upstream map
+    stage of CPU slots at low parallelism (measured 44 s vs 5 s for the
+    prepare stage at 8 cpus), so local runs pin the encoded-layer
+    intermediate between them. On a multi-node cluster the pipeline must
+    stream instead — pinning the full encoded tile set there is an
+    object-store spill storm at 100 TB scale.
+    """
+    try:
+        alive = [n for n in ray.nodes() if n.get("Alive", False)]
+    except Exception:  # not initialised yet — behave like local
+        alive = [None]
+    if len(alive) <= 1:
+        return ds.materialize()
+    return ds
 
 
 def read_documents(path: str) -> rd.Dataset:
@@ -83,11 +118,14 @@ def detect_hot_cells(
     threshold: int = 2000,
     seed: int = 42,
     features: rd.Dataset | None = None,
+    stats: dict | None = None,
 ) -> np.ndarray:
     """Sample pre-pass: estimate per-tile feature counts, return hot keys.
 
     ``threshold`` applies to the *estimated full* count (sample count
-    scaled by 1/fraction).
+    scaled by 1/fraction). The driver collects ONLY the post-threshold hot
+    keys — the full per-tile aggregate stays in the cluster (``stats``,
+    when given, records ``collected_rows`` so tests can pin that bound).
     """
     if features is not None:
         sample = features.random_sample(sample_fraction, seed=seed)
@@ -107,10 +145,21 @@ def detect_hot_cells(
     partials = tiled.map_batches(count_keys, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
-    agg = partials.groupby("tile_key").aggregate(Sum("n", alias_name="n")).to_pandas()
-    est = agg["n"].to_numpy() / sample_fraction
-    hot = agg["tile_key"].to_numpy()[est >= threshold]
-    return hot.astype(np.uint64)
+    agg = partials.groupby("tile_key").aggregate(Sum("n", alias_name="n"))
+
+    # apply the threshold INSIDE the pipeline: the driver collects only the
+    # hot keys (tiny by definition), never the full per-tile count aggregate
+    # (up to ~2.7e8 rows at z14 planet scale)
+    min_sample_n = threshold * sample_fraction
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(n >= min_sample_n))
+
+    hot_df = agg.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    if stats is not None:
+        stats["collected_rows"] = len(hot_df)
+    return hot_df["tile_key"].to_numpy().astype(np.uint64)
 
 
 def _add_salt(hot_ref, salt_k: int):
@@ -134,6 +183,44 @@ def _add_salt(hot_ref, salt_k: int):
         return batch.append_column("salt", pa.array(salt_col, pa.int32()))
 
     return salt
+
+
+def _prepared_layer_bufs(tiled: rd.Dataset) -> rd.Dataset:
+    """The "prepared" strategy's heavy half: shuffle-free per-feature
+    project+clip (uniform parallelism), then ONE sort on (tile_key, lhash)
+    of the clipped tile-space rows, then per-(tile, layer) merge+encode —
+    splits mega-tile stragglers n_layers-ways. Output rows are encoded
+    layer messages (tile_key, layer, layer_buf, n_features); a tiny
+    layer-concat per tile finishes them (assemble_tiles), either after a
+    second sort (compute-only path) or inside the per-partition write
+    groupby (run_tiler's fused write path)."""
+    from ..stages.mvt import sorted_block_layer_encode
+
+    prepared = tiled.map_batches(tilespace_prepare, batch_format="pyarrow")
+    return prepared.sort(["tile_key", "lhash"]).map_batches(
+        sorted_block_layer_encode, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
+def _tiled_rows(
+    feats: rd.Dataset,
+    zooms: list[int],
+    skip_partitions: set[int] | None,
+) -> rd.Dataset:
+    """coverage (1 feature row → N (z,x,y) rows) + the pre-shuffle resume
+    filter that drops rows of already-completed output partitions."""
+    tiled = feats.map_batches(make_coverage_fn(zooms), batch_format="pyarrow")
+    if skip_partitions:
+        skip = np.asarray(sorted(skip_partitions), dtype=np.int64)
+
+        def resume_filter(batch: pa.Table) -> pa.Table:
+            keys = batch["tile_key"].to_numpy(zero_copy_only=False)
+            pids = partition_of_keys(keys)
+            return batch.filter(pa.array(~np.isin(pids, skip)))
+
+        tiled = tiled.map_batches(resume_filter, batch_format="pyarrow")
+    return tiled
 
 
 def tile_dataset(
@@ -161,17 +248,7 @@ def tile_dataset(
     feats = docs if features is None else features
     if features is None:
         feats = features_dataset(docs)
-    tiled = feats.map_batches(make_coverage_fn(zooms), batch_format="pyarrow")
-
-    if skip_partitions:
-        skip = np.asarray(sorted(skip_partitions), dtype=np.int64)
-
-        def resume_filter(batch: pa.Table) -> pa.Table:
-            keys = batch["tile_key"].to_numpy(zero_copy_only=False)
-            pids = partition_of_keys(keys)
-            return batch.filter(pa.array(~np.isin(pids, skip)))
-
-        tiled = tiled.map_batches(resume_filter, batch_format="pyarrow")
+    tiled = _tiled_rows(feats, zooms, skip_partitions)
 
     # concurrency only applies to the legacy "salted" groupby path (its
     # class-based map_groups requires an explicit pool); the default
@@ -193,21 +270,9 @@ def tile_dataset(
             TileFinalize, batch_format="pyarrow", **kwargs
         )
     elif strategy == "prepared":
-        # shuffle-free heavy stage (uniform parallelism), then one sort on
-        # (tile_key, layer) of the clipped tile-space rows, then per-layer
-        # merge+encode (splits mega-tile stragglers n_layers-ways), then a
-        # tiny layer-concat pass per tile — stateless tasks throughout
-        from ..stages.mvt import assemble_tiles, sorted_block_layer_encode
+        from ..stages.mvt import assemble_tiles
 
-        prepared = tiled.map_batches(tilespace_prepare, batch_format="pyarrow")
-        layer_bufs = prepared.sort(["tile_key", "lhash"]).map_batches(
-            sorted_block_layer_encode, batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True,
-        )
-        # pin the (small: encoded layer messages) intermediate — two sorts in
-        # one streaming graph starve the upstream map stage of CPU slots at
-        # low parallelism (measured 44s vs 5s for the prepare stage at 8 cpus)
-        layer_bufs = layer_bufs.materialize()
+        layer_bufs = _pin_local(_prepared_layer_bufs(tiled))
         tiles = layer_bufs.sort("tile_key").map_batches(
             assemble_tiles, batch_format="pyarrow", batch_size=None,
             zero_copy_batch=True,
@@ -237,6 +302,43 @@ def run_tiler(
     """
     feats = read_features_any(docs_path, mapping_yaml=mapping_yaml)
     skip = completed_partitions(out_dir) if (out_dir and resume) else None
+    fragments = ";".join(input_fragments or [docs_path])
+
+    if out_dir is not None and not salt:
+        # FUSED WRITE PATH (default strategy): the write groupby replaces
+        # the compute path's second sort — partition is a pure function of
+        # tile_key, so grouping encoded layer messages by partition
+        # co-locates every layer of every tile in that partition, and the
+        # group task assembles AND writes in one step. Two all-to-alls
+        # total (the encode sort + this groupby) instead of three
+        # (sort, sort, write groupby), and the full-tile-set materialize()
+        # is gone with the exchange it served.
+        zooms = zooms if zooms is not None else DEFAULT_ZOOMS
+        tiled = _tiled_rows(feats, zooms, skip)
+        layer_bufs = _pin_local(_prepared_layer_bufs(tiled))
+
+        def add_partition(batch: pa.Table) -> pa.Table:
+            keys = batch["tile_key"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "partition", pa.array(partition_of_keys(keys), pa.int64())
+            )
+
+        def assemble_write(group: pa.Table) -> pa.Table:
+            from ..stages.mvt import assemble_tiles
+
+            if group.num_rows == 0:
+                return _EMPTY_MANIFEST_TABLE
+            pid = int(group["partition"][0].as_py())
+            tiles = assemble_tiles(group.drop_columns(["partition"]))
+            return write_tiles_partition(tiles, pid, out_dir, fragments)
+
+        manifest = layer_bufs.map_batches(
+            add_partition, batch_format="pyarrow"
+        ).groupby("partition").map_groups(
+            assemble_write, batch_format="pyarrow"
+        )
+        return manifest
+
     tiles = tile_dataset(features=feats, zooms=zooms, salt=salt,
                          skip_partitions=skip)
     if out_dir is None:
@@ -252,14 +354,13 @@ def run_tiler(
             "partition", pa.array(partition_of_keys(keys), pa.int64())
         )
 
-    # Pin the (small) tiles result before the partition-write groupby: two
-    # chained all-to-all exchanges in one streaming graph schedule poorly
-    # (measured 27s vs 16s at 8 cpus); tiles are ~KBs/row so pinning is safe.
-    tiles = tiles.materialize()
+    # Legacy (salted-strategy) write: pin the (small) tiles result before
+    # the partition-write groupby, then one groupby exchange to the writer.
+    tiles = _pin_local(tiles)
     with_part = tiles.map_batches(add_partition, batch_format="pyarrow")
     manifest = with_part.groupby("partition").map_groups(
         write_partition,
-        fn_args=(out_dir, ";".join(input_fragments or [docs_path])),
+        fn_args=(out_dir, fragments),
         batch_format="pyarrow",
     )
     return manifest

@@ -64,9 +64,17 @@ def write_partition(group: pa.Table, out_dir: str, fragments: str) -> pa.Table:
     stage doubles as the job-level metrics stream. Atomic: tmp + rename,
     manifest marker written only after the data file is durable.
     """
-    t0 = time.monotonic()
     pid = int(group["partition"][0].as_py())
     tiles = group.drop_columns(["partition"])
+    return write_tiles_partition(tiles, pid, out_dir, fragments)
+
+
+def write_tiles_partition(tiles: pa.Table, pid: int, out_dir: str,
+                          fragments: str) -> pa.Table:
+    """Write one partition's assembled tile rows + its manifest marker
+    (the shared core of :func:`write_partition` and the fused
+    assemble+write stage in pipelines/tiler.py)."""
+    t0 = time.monotonic()
     os.makedirs(os.path.join(out_dir, "tiles"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     final = os.path.join(out_dir, "tiles", f"p{pid}.parquet")

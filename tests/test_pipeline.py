@@ -177,3 +177,36 @@ def test_run_tiler_resume(tmp_path, corpus_dir):
         t1 = pq.read_table(f"{out1}/tiles/p{pid}.parquet")
         t2 = pq.read_table(f"{out2}/tiles/p{pid}.parquet")
         assert t1.equals(t2), f"partition {pid} differs after resume"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_detect_hot_cells_collects_only_hot(corpus_dir):
+    """The skew pre-pass must collect O(hot) rows to the driver, never the
+    full per-tile count aggregate (up to ~2.7e8 rows at z14 planet scale)."""
+    import ray.data as rd
+
+    from grandine_ray.pipelines.tiler import detect_hot_cells, features_dataset
+    from grandine_ray.stages.coverage import make_coverage_fn
+
+    zooms = [0, 4, 6]
+    docs = rd.read_parquet(f"{corpus_dir}/documents.parquet")
+    feats = features_dataset(docs)
+    n_tiles = (
+        feats.map_batches(make_coverage_fn(zooms), batch_format="pyarrow")
+        .select_columns(["tile_key"]).unique("tile_key")
+    )
+    n_tiles = len(n_tiles)
+    assert n_tiles > 50  # the aggregate domain is genuinely larger
+
+    stats: dict = {}
+    hot = detect_hot_cells(None, zooms, sample_fraction=1.0, threshold=30,
+                           features=feats, stats=stats)
+    # the driver saw exactly the hot keys, nothing more
+    assert stats["collected_rows"] == len(hot)
+    assert len(hot) < n_tiles / 4
+    # and the keys it found really are the hot ones (full-count ground truth)
+    cov = feats.map_batches(make_coverage_fn(zooms),
+                            batch_format="pyarrow").to_pandas()
+    counts = cov.groupby("tile_key").size()
+    want = set(counts[counts >= 30].index.astype(np.uint64))
+    assert set(hot.tolist()) == want
