@@ -25,6 +25,7 @@ from ..geom import wkb as wkbmod
 from ..index import xyz
 from ..sources import synth
 from ..stages import ann as ann_stage
+from ..stages import relational
 from ..stages import join as join_stage
 from ..stages import text as text_stage
 from ..stages.coverage import make_coverage_fn
@@ -588,7 +589,7 @@ def q_events_sliding(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
-def q_events_sessions(sf_dir: str, num_partitions: int = 32):
+def q_events_sessions(sf_dir: str, num_partitions: int | None = None):
     """Gap-based session windows (30 min) per user.
 
     Block-vectorized (VERDICT r2 wrong #2): users hash into
@@ -599,7 +600,7 @@ def q_events_sessions(sf_dir: str, num_partitions: int = 32):
     Python loop wearing a shuffle costume)."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
-    P = num_partitions
+    P = num_partitions or relational.adaptive_parts(sf_dir)
 
     def addpart(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False)
@@ -1473,7 +1474,8 @@ def q_revenue_by_nation(sf_dir: str):
         orders.map_batches(ord_slim, batch_format="pyarrow"),
         key="okey",
         left_carry={"cents": pa.int64()},
-        right_carry={"custkey": pa.int64()})
+        right_carry={"custkey": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     def cust_partial(b: pa.Table) -> pa.Table:
         ck = b["custkey"].to_numpy(zero_copy_only=False)
@@ -1502,7 +1504,8 @@ def q_revenue_by_nation(sf_dir: str):
         cust.map_batches(cust_slim, batch_format="pyarrow"),
         key="custkey",
         left_carry={"cents": pa.int64()},
-        right_carry={"nationkey": pa.int64()})
+        right_carry={"nationkey": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     from ray.data.aggregate import Sum
 
@@ -1576,7 +1579,7 @@ def q_events_rollup(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
-def q_events_lag(sf_dir: str, num_partitions: int = 32):
+def q_events_lag(sf_dir: str, num_partitions: int | None = None):
     """LAG window function: each event's value delta vs the SAME user's
     previous event (null for the first). One user-hash shuffle, one
     lexsort per partition, a shifted-compare mask — the sessionize
@@ -1584,7 +1587,7 @@ def q_events_lag(sf_dir: str, num_partitions: int = 32):
     (milli-units) on both engines."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
-    P = num_partitions
+    P = num_partitions or relational.adaptive_parts(sf_dir)
 
     def addpart(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False)
@@ -1622,7 +1625,7 @@ def q_events_lag(sf_dir: str, num_partitions: int = 32):
 FUNNEL_WINDOW_US = 10 * 60 * 1_000_000
 
 
-def q_events_funnel(sf_dir: str, num_partitions: int = 32):
+def q_events_funnel(sf_dir: str, num_partitions: int | None = None):
     """Sequential-pattern conversion count: per user, clicks preceded by
     a view within 10 minutes. One user-hash shuffle; within each
     partition both event streams sort once by (user, ts) and every
@@ -1631,7 +1634,7 @@ def q_events_funnel(sf_dir: str, num_partitions: int = 32):
     Python loop)."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_type"])
-    P = num_partitions
+    P = num_partitions or relational.adaptive_parts(sf_dir)
 
     def addpart(b: pa.Table) -> pa.Table:
         et = b["event_type"].to_numpy(zero_copy_only=False)
@@ -1709,7 +1712,8 @@ def q_inactive_customers(sf_dir: str):
         orders.map_batches(ord_keys, batch_format="pyarrow"),
         key="custkey",
         left_carry={"acctbal_cents": pa.int64()},
-        right_carry={}, how="anti")
+        right_carry={}, how="anti",
+        P=relational.adaptive_parts(sf_dir))
 
 
 def q_events_intervals(sf_dir: str):

@@ -391,7 +391,8 @@ def q_above_avg_docs(sf_dir: str):
         docs, agg.map_batches(widen, batch_format="pyarrow"),
         key="source",
         left_carry={"doc_id": pa.int64(), "n_chars": pa.int64()},
-        right_carry={"s": pa.int64(), "n": pa.int64()})
+        right_carry={"s": pa.int64(), "n": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     def above(b: pa.Table) -> pa.Table:
         keep = _np(pc.cast(b["n_chars"], pa.int64())) * _np(b["n"]) \
@@ -447,7 +448,8 @@ def q_dup_by_source(sf_dir: str):
         hashed.map_batches(doc_slim, batch_format="pyarrow"),
         counts, key="content_hash",
         left_carry={"source": pa.string()},
-        right_carry={"n": pa.int64()})
+        right_carry={"n": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     def src_partial(b: pa.Table) -> pa.Table:
         dup = (_np(b["n"]).astype(np.int64) > 1).astype(np.int64)
@@ -738,7 +740,8 @@ def q_trigram_novelty(sf_dir: str):
     joined = relational.hash_join_str(
         rows, df, key="tri",
         left_carry={"doc_id": pa.int64(), "n": pa.int64()},
-        right_carry={"df": pa.int64()})
+        right_carry={"df": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     def doc_partial(b: pa.Table) -> pa.Table:
         did = _np(b["doc_id"]).astype(np.int64)

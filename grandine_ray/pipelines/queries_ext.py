@@ -24,6 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..stages import relational
+
 
 # ------------------------------------------------------------ helpers
 
@@ -189,7 +191,8 @@ def q_promo_share(sf_dir: str):
         part.map_batches(part_slim, batch_format="pyarrow"),
         key="partkey",
         left_carry={"ym": pa.int64(), "cents": pa.int64()},
-        right_carry={"is_promo": pa.int64()})
+        right_carry={"is_promo": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     def ym_partial(b: pa.Table) -> pa.Table:
         ym = _np(b["ym"]).astype(np.int64)
@@ -279,7 +282,8 @@ def q_late_orders(sf_dir: str):
         orders.map_batches(ord_slim, batch_format="pyarrow"),
         key="okey",
         left_carry={"ms_us": pa.int64()},
-        right_carry={"od_us": pa.int64(), "priority": pa.string()})
+        right_carry={"od_us": pa.int64(), "priority": pa.string()},
+        P=relational.adaptive_parts(sf_dir))
 
     def count_partial(b: pa.Table) -> pa.Table:
         late = _np(b["ms_us"]) > _np(b["od_us"]) + LATE_SLIP_US
@@ -307,7 +311,7 @@ def q_late_orders(sf_dir: str):
 # ------------------------------------------- window: running cumulative
 
 
-def q_running_total(sf_dir: str, num_partitions: int = 32):
+def q_running_total(sf_dir: str, num_partitions: int | None = None):
     """Per-user running total (SUM OVER ROWS UNBOUNDED PRECEDING): one
     user-hash shuffle, one lexsort per partition, one integer cumsum
     with group-boundary offset subtraction — the events_lag pattern.
@@ -315,7 +319,7 @@ def q_running_total(sf_dir: str, num_partitions: int = 32):
     running sum is exact and order-independent across engines."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
-    P = num_partitions
+    P = num_partitions or relational.adaptive_parts(sf_dir)
 
     def addpart(b: pa.Table) -> pa.Table:
         u = _np(b["user_id"])
@@ -354,14 +358,14 @@ def q_running_total(sf_dir: str, num_partitions: int = 32):
 MW_PRECEDING = 2  # ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
 
 
-def q_moving_window(sf_dir: str, num_partitions: int = 32):
+def q_moving_window(sf_dir: str, num_partitions: int | None = None):
     """Bounded row-frame window (SUM + COUNT over ROWS BETWEEN 2
     PRECEDING AND CURRENT ROW per user): the running-total kernel with a
     trailing-edge subtraction — w_sum[i] = cs[i] - cs[max(group_start,
     i-2) - 1]. Integer milli units; no division, fully exact."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
-    P = num_partitions
+    P = num_partitions or relational.adaptive_parts(sf_dir)
     W = MW_PRECEDING
 
     def addpart(b: pa.Table) -> pa.Table:

@@ -80,7 +80,8 @@ def q_top_unshipped(sf_dir: str):
         key="custkey",
         left_carry={"okey": pa.int64(), "od_us": pa.int64(),
                     "o_orderpriority": pa.string()},
-        right_carry={}, how="semi")
+        right_carry={}, how="semi",
+        P=relational.adaptive_parts(sf_dir))
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_shipdate",
@@ -105,7 +106,8 @@ def q_top_unshipped(sf_dir: str):
     joined = relational.hash_join_i64(
         rev, seg_orders, key="okey",
         left_carry={"revenue_cents": pa.int64()},
-        right_carry={"od_us": pa.int64(), "o_orderpriority": pa.string()})
+        right_carry={"od_us": pa.int64(), "o_orderpriority": pa.string()},
+        P=relational.adaptive_parts(sf_dir))
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -170,7 +172,8 @@ def q_returned_items(sf_dir: str):
         orders.map_batches(ord_slim, batch_format="pyarrow"),
         key="okey",
         left_carry={"cents": pa.int64()},
-        right_carry={"custkey": pa.int64()})
+        right_carry={"custkey": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     def cust_partial(b: pa.Table) -> pa.Table:
         ck = _np(b["custkey"]).astype(np.int64)
@@ -199,7 +202,8 @@ def q_returned_items(sf_dir: str):
         rev, cust.map_batches(cust_slim, batch_format="pyarrow"),
         key="custkey",
         left_carry={"revenue_cents": pa.int64()},
-        right_carry={"c_name": pa.string(), "nationkey": pa.int64()})
+        right_carry={"c_name": pa.string(), "nationkey": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     import pyarrow.parquet as pq
 
@@ -272,7 +276,8 @@ def q_big_orders(sf_dir: str):
         key="okey",
         left_carry={"sum_qty": pa.int64()},
         right_carry={"custkey": pa.int64(), "od_us": pa.int64(),
-                     "total_cents": pa.int64()})
+                     "total_cents": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
@@ -286,7 +291,8 @@ def q_big_orders(sf_dir: str):
         key="custkey",
         left_carry={"okey": pa.int64(), "sum_qty": pa.int64(),
                     "od_us": pa.int64(), "total_cents": pa.int64()},
-        right_carry={"c_name": pa.string()})
+        right_carry={"c_name": pa.string()},
+        P=relational.adaptive_parts(sf_dir))
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -352,7 +358,8 @@ def q_brand_suppliers(sf_dir: str):
         part.map_batches(part_slim, batch_format="pyarrow"),
         key="partkey",
         left_carry={"suppkey": pa.int64()},
-        right_carry={"p_brand": pa.string()})
+        right_carry={"p_brand": pa.string()},
+        P=relational.adaptive_parts(sf_dir))
 
     def bs_partial(b: pa.Table) -> pa.Table:
         brand = b["p_brand"].combine_chunks() if isinstance(
@@ -433,7 +440,8 @@ def q_above_avg_balance(sf_dir: str):
     joined = relational.hash_join_i64(
         slimmed, agg, key="nationkey",
         left_carry={"cents": pa.int64()},
-        right_carry={"s": pa.int64(), "n": pa.int64()})
+        right_carry={"s": pa.int64(), "n": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     def above_partial(b: pa.Table) -> pa.Table:
         keep = _np(b["cents"]) * _np(b["n"]) > _np(b["s"])
@@ -512,7 +520,8 @@ def q_orders_cohort(sf_dir: str):
         cohort.map_batches(cohort_ym, batch_format="pyarrow"),
         key="custkey",
         left_carry={"ym": pa.int64()},
-        right_carry={"cohort_ym": pa.int64()})
+        right_carry={"cohort_ym": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     def count_partial(b: pa.Table) -> pa.Table:
         fused = (_np(b["cohort_ym"]).astype(np.int64) << np.int64(20)) \
@@ -611,7 +620,8 @@ def q_order_gaps(sf_dir: str):
         key="custkey",
         left_carry={"n_gaps": pa.int64(), "sum_gap_days": pa.int64(),
                     "max_gap_days": pa.int64()},
-        right_carry={"c_mktsegment": pa.string()})
+        right_carry={"c_mktsegment": pa.string()},
+        P=relational.adaptive_parts(sf_dir))
 
     agg = joined.groupby("c_mktsegment").aggregate(
         Sum("n_gaps", alias_name="n_gaps"),
@@ -693,7 +703,8 @@ def q_nation_trade(sf_dir: str):
         orders.map_batches(ord_slim, batch_format="pyarrow"),
         key="okey",
         left_carry={"sy": pa.int64(), "cents": pa.int64()},
-        right_carry={"custkey": pa.int64()})
+        right_carry={"custkey": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_nationkey"])
@@ -708,7 +719,8 @@ def q_nation_trade(sf_dir: str):
         j1, cust.map_batches(cust_slim, batch_format="pyarrow"),
         key="custkey",
         left_carry={"sy": pa.int64(), "cents": pa.int64()},
-        right_carry={"cnat": pa.int64()})
+        right_carry={"cnat": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
 
     def final_partial(b: pa.Table) -> pa.Table:
         sy = _np(b["sy"]).astype(np.int64)
@@ -835,7 +847,8 @@ def q_brand_concentration(sf_dir: str):
         part.map_batches(part_slim, batch_format="pyarrow"),
         key="partkey",
         left_carry={"suppkey": pa.int64(), "cnt": pa.int64()},
-        right_carry={"p_brand": pa.string()})
+        right_carry={"p_brand": pa.string()},
+        P=relational.adaptive_parts(sf_dir))
 
     def bs_partial(b: pa.Table) -> pa.Table:
         fused = _chunk(pc.binary_join_element_wise(
@@ -935,7 +948,8 @@ def q_sample_join(sf_dir: str):
         key="okey",
         left_carry={"l_linenumber": pa.int64(), "h": pa.int64(),
                     "cents": pa.int64()},
-        right_carry={"o_orderpriority": pa.string()})
+        right_carry={"o_orderpriority": pa.string()},
+        P=relational.adaptive_parts(sf_dir))
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({

@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..stages.relational import adaptive_parts
 from .queries_ext import _np, _ts_us
 
 
@@ -49,7 +50,7 @@ def _addpart(P: int):
 # ------------------------------------ LEAD / FIRST_VALUE / LAST_VALUE
 
 
-def q_events_lead(sf_dir: str, num_partitions: int = 32):
+def q_events_lead(sf_dir: str, num_partitions: int | None = None):
     """LEAD(value, 1) plus whole-partition FIRST_VALUE / LAST_VALUE per
     user. next is a one-slot shift masked at group ends; first indexes
     the group-start array directly; last reuses the group-start scan on
@@ -84,7 +85,7 @@ def q_events_lead(sf_dir: str, num_partitions: int = 32):
             "last_milli": pa.array(vm_s[ge] if n else vm_s, pa.int64()),
         })
 
-    return ev.map_batches(_addpart(num_partitions),
+    return ev.map_batches(_addpart(num_partitions or adaptive_parts(sf_dir)),
                           batch_format="pyarrow") \
         .groupby("_part").map_groups(lead, batch_format="pyarrow")
 
@@ -132,7 +133,7 @@ def q_rank_docs(sf_dir: str):
 EXT_PRECEDING = 3  # ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
 
 
-def q_window_extrema(sf_dir: str, num_partitions: int = 32):
+def q_window_extrema(sf_dir: str, num_partitions: int | None = None):
     """Sliding MIN/MAX over ROWS BETWEEN 3 PRECEDING AND CURRENT ROW per
     user: the frame is a constant 4 rows, so the extrema are W-1
     vectorized shift-and-compare passes with int64 sentinels outside the
@@ -165,7 +166,7 @@ def q_window_extrema(sf_dir: str, num_partitions: int = 32):
             "w_min_milli": pa.array(mn, pa.int64()),
         })
 
-    return ev.map_batches(_addpart(num_partitions),
+    return ev.map_batches(_addpart(num_partitions or adaptive_parts(sf_dir)),
                           batch_format="pyarrow") \
         .groupby("_part").map_groups(extrema, batch_format="pyarrow")
 
