@@ -788,12 +788,15 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs — exact, distributed as a
-    block-nested-loop self-join (driver holds block refs only; each
-    (block_i, block_j) task does one chunk×chunk matmul). The approximate
-    100-TB path is the HyperplaneLSH bucket groupby in stages/ann.py."""
+    """Embedding-cosine near-duplicate pairs — SIZE-SWITCHED like
+    pip_join_auto: ≤100k vectors (every sf here) runs the exact
+    block-nested-loop all-pairs self-join (driver holds block refs only;
+    each (block_i, block_j) task is one chunk×chunk matmul); above the
+    threshold it switches to the HyperplaneLSH bucket groupby (one
+    shuffle, exact in-bucket re-score — approximate recall, exact
+    precision)."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_stage.embedding_near_dup_pairs(emb, threshold=0.4, round_dp=3)
+    return ann_stage.embedding_near_dup_auto(emb, threshold=0.4, round_dp=3)
 
 
 def q_global_bbox(sf_dir: str):

@@ -342,6 +342,116 @@ def embedding_near_dup_pairs(emb, threshold: float = 0.4, round_dp: int = 3,
     )
 
 
+def embedding_near_dup_pairs_lsh(emb, threshold: float = 0.9,
+                                 round_dp: int = 3, n_bits: int = 8,
+                                 n_tables: int = 12, seed: int = 42):
+    """Approximate LSH-bucketed cosine near-dup pairs — the 100-TB path.
+
+    Each vector lands in ``n_tables`` (table, bucket) groups (one einsum
+    against broadcast hyperplanes); within a bucket the join is exact
+    (all-pairs matmul + threshold), so precision is 1 — only recall is
+    approximate, following the random-hyperplane collision bound
+    ``1 - (1 - (1 - θ/π)^n_bits)^n_tables`` per pair. At the dedup-typical
+    threshold ≥0.9 (θ ≤ 26°) the defaults give recall ≥0.94; LOW
+    thresholds (wide angles) need fewer bits / more tables — size the
+    parameters to the threshold, this function does not. A pair found in
+    several tables is collapsed by a final (vec_a, vec_b) groupby.
+
+    Scale shape: ONE shuffle of n_tables × corpus rows, embeddings
+    shipped as single fixed-width binary blobs (list<float> columns
+    re-serialize their whole value buffer in a shuffle — CLAUDE.md r1
+    pitfall); compute is Σ |bucket|² matmuls, never the global N².
+    Mega-buckets (a degenerate hyperplane draw) are a seed problem, not a
+    data problem — re-seed rather than salting.
+    """
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = normalize(_to_matrix(batch["embedding"], dtype=np.float64))
+        n, dim = m.shape
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_tables, dim, n_bits))
+        sig = _pack_signatures(m, planes)  # [tables, n]
+        t_idx = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+        key = (t_idx << np.int64(48)) | sig.reshape(-1)
+        row_bytes = 4 * dim
+        rep = np.tile(np.arange(n, dtype=np.int64), n_tables)
+        data = np.ascontiguousarray(m.astype(np.float32)[rep]).tobytes()
+        blob_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(row_bytes), n * n_tables, [None, pa.py_buffer(data)])
+        return pa.table({
+            "bkey": pa.array(key, pa.int64()),
+            "vec_id": pa.array(ids[rep], pa.int64()),
+            "vec": blob_arr,
+        })
+
+    def in_bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        n = g.num_rows
+        if n < 2:
+            return empty
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blob_col = g["vec"]
+        if isinstance(blob_col, pa.ChunkedArray):
+            blob_col = blob_col.combine_chunks()
+        row_bytes = blob_col.type.byte_width
+        raw = np.frombuffer(blob_col.buffers()[1], np.uint8)
+        start = blob_col.offset * row_bytes
+        m = raw[start:start + n * row_bytes].view(np.float32) \
+            .reshape(n, -1).astype(np.float64)
+        scores = np.round(m @ m.T, round_dp)
+        ai, bj = np.nonzero(scores >= threshold)
+        keep = ids[ai] < ids[bj]
+        if not keep.any():
+            return empty
+        return pa.table({
+            "vec_a": pa.array(ids[ai][keep], pa.int64()),
+            "vec_b": pa.array(ids[bj][keep], pa.int64()),
+            "cosine": pa.array(scores[ai, bj][keep], pa.float64()),
+        })
+
+    pairs = emb.map_batches(assign, batch_format="pyarrow") \
+        .groupby("bkey").map_groups(in_bucket_pairs, batch_format="pyarrow")
+    # a pair surfaces once per colliding table — collapse (cosine is the
+    # same rounded exact value everywhere, Max is just the dedup vehicle)
+    from ray.data.aggregate import Max
+
+    out = pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("cosine", alias_name="cosine"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_a": pc.cast(b["vec_a"], pa.int64()),
+            "vec_b": pc.cast(b["vec_b"], pa.int64()),
+            "cosine": pc.cast(b["cosine"], pa.float64()),
+        })
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+NEAR_DUP_EXACT_MAX_VECS = 100_000
+
+
+def embedding_near_dup_auto(emb, threshold: float = 0.4, round_dp: int = 3,
+                            exact_max_vecs: int = NEAR_DUP_EXACT_MAX_VECS,
+                            force: str | None = None, **lsh_kw):
+    """Size-switched near-dup join, mirroring pip_join_auto: the corpus
+    is pinned (blocks stay in the object store) and counted from block
+    metadata; ≤ ``exact_max_vecs`` runs the exact block-nested-loop
+    all-pairs join, above it the HyperplaneLSH bucket path (approximate
+    recall, exact precision). ``force`` ("exact" | "lsh") pins a path
+    for tests."""
+    mat = emb.materialize()
+    n = mat.count()
+    mode = force or ("exact" if n <= exact_max_vecs else "lsh")
+    if mode == "exact":
+        return embedding_near_dup_pairs(mat, threshold=threshold,
+                                        round_dp=round_dp)
+    return embedding_near_dup_pairs_lsh(mat, threshold=threshold,
+                                        round_dp=round_dp, **lsh_kw)
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures for bucketed ANN (scale path).
 

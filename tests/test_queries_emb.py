@@ -103,3 +103,62 @@ def test_label_moments_blob_merge_multiblock(ray_session):
             assert row.n == sel.sum()
             assert row.sum_micro == Mi[sel, d].sum()
             assert row.ssq_micro == (Mi[sel, d] ** 2).sum()
+
+def test_embedding_near_dup_lsh_equals_exact_on_planted(ray_session):
+    """The size-switched LSH bucket path must find exactly the planted
+    near-dup pairs the exact all-pairs join finds (same pairs, same
+    rounded cosines): precision is structurally exact (in-bucket exact
+    re-score) and the fixture's cos≈0.99 dups make the multi-table
+    recall bound ~1-7e-7 — deterministic under the fixed seeds."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((50, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base + 0.02 * rng.standard_normal(base.shape)
+    vecs = np.concatenate([base, dup]).astype(np.float32)
+    n = len(vecs)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+
+    def run(force):
+        ds = rd.from_arrow(tbl)
+        out = ann_stage.embedding_near_dup_auto(
+            ds, threshold=0.9, round_dp=3, force=force).to_pandas()
+        return {(int(a), int(b)): float(c) for a, b, c in
+                zip(out.vec_a, out.vec_b, out.cosine)}
+
+    exact = run("exact")
+    lsh = run("lsh")
+    assert len(exact) >= 50  # every planted dup found by the exact path
+    assert lsh == exact
+
+
+def test_embedding_near_dup_auto_switches_on_size(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((10, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = np.concatenate(
+        [base, base + 0.02 * rng.standard_normal(base.shape)]
+    ).astype(np.float32)
+    n = len(vecs)
+
+    def mk():
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }))
+
+    # at exact_max_vecs >= n the exact path runs; one vector fewer and
+    # the auto switch picks LSH — both paths agree on this dup fixture
+    small = ann_stage.embedding_near_dup_auto(
+        mk(), threshold=0.9, exact_max_vecs=n).to_pandas()
+    big = ann_stage.embedding_near_dup_auto(
+        mk(), threshold=0.9, exact_max_vecs=n - 1).to_pandas()
+    key = lambda df: sorted(zip(df.vec_a, df.vec_b, df.cosine))
+    assert key(small) == key(big)
+    assert len(small) > 0
