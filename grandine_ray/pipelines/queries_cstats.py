@@ -854,7 +854,8 @@ def q_video_frames(sf_dir: str):
         .map_batches(media_stage.fetch_media, batch_format="pyarrow",
                      batch_size=512) \
         .map_batches(media_stage.FrameSampler, batch_format="pyarrow",
-                     batch_size=512, concurrency=(1, 4))
+                     batch_size=512, concurrency=(1, 4),
+                     fn_constructor_kwargs={"deterministic_fake": True})
 
     def widen(b: pa.Table) -> pa.Table:
         frames = b["frames"]
@@ -895,7 +896,8 @@ def q_audio_windows(sf_dir: str):
         .map_batches(media_stage.fetch_media, batch_format="pyarrow",
                      batch_size=512) \
         .map_batches(media_stage.AudioChunker, batch_format="pyarrow",
-                     batch_size=512, concurrency=(1, 4))
+                     batch_size=512, concurrency=(1, 4),
+                     fn_constructor_kwargs={"deterministic_fake": True})
 
     def widen(b: pa.Table) -> pa.Table:
         return pa.table({

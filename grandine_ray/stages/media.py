@@ -3,15 +3,17 @@
 Media rides in the documents table as ``media`` spans whose ``media_ref``
 addresses an opaque binary payload. The Ray-side plumbing here — schema,
 actor signatures, batch sizing, output layout — is real and tested; the
-actual codec work (JPEG decode, resampling, frame extraction) is STUBBED
-because no image/audio libraries exist in this container:
+codec work (JPEG decode, frame extraction, PCM decode) goes through a
+SEAM resolved once per actor at init:
 
-* with ``deterministic_fake=True`` (default) each stage produces a
+* ``deterministic_fake=None`` (stage default) auto-detects: Pillow /
+  ffmpeg / soundfile when importable (real decode), else the
   deterministic fake derived from the payload bytes (stable across runs,
-  so tests can assert exact values);
-* with ``deterministic_fake=False`` the decode raises NotImplementedError
-  at the point where a real codec (Pillow/ffmpeg/soundfile) would be
-  called — swap the marked methods when the libs are available.
+  so tests can assert exact values — this container ships no codecs);
+* ``True`` pins the fake (the registered queries do this: their payloads
+  come from the fake byte store and are not decodable media);
+* ``False`` pins real decode and raises NotImplementedError when the
+  codec is unavailable.
 
 Scale notes: media payloads are large, so these stages run as actor pools
 with SMALL ``batch_size`` (payload × batch × concurrency must fit worker
@@ -24,6 +26,62 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+
+# ---------------------------------------------------------- codec seam
+#
+# Real codecs are auto-detected at actor init: if the library imports
+# (Pillow / soundfile) or the binary exists (ffmpeg), the stage decodes
+# real media; otherwise it falls back to the deterministic fake. Passing
+# deterministic_fake=True/False pins a path explicitly (False without a
+# codec available raises NotImplementedError at decode time).
+
+
+def available_image_codec():
+    """Pillow's Image module when importable, else None."""
+    try:
+        from PIL import Image
+        return Image
+    except Exception:
+        return None
+
+
+def available_audio_codec():
+    """soundfile when importable, else None."""
+    try:
+        import soundfile
+        return soundfile
+    except Exception:
+        return None
+
+
+def available_ffmpeg():
+    """Path to an ffmpeg binary, else None."""
+    import shutil
+    return shutil.which("ffmpeg")
+
+
+def _resolve_fake(deterministic_fake, probe):
+    """None → auto (fake only when no codec); bool → pinned."""
+    if deterministic_fake is None:
+        return probe() is None
+    return bool(deterministic_fake)
+
+
+def _fixed_list_u8(m: np.ndarray, width: int) -> pa.Array:
+    """[n, width] uint8 matrix → fixed_size_list<uint8>[width] zero-copy."""
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(m, dtype=np.uint8).reshape(-1),
+                 pa.uint8()), width)
+
+
+def _fsl_to_matrix(col, dtype=np.uint8) -> np.ndarray:
+    """fixed_size_list column → [n, k] numpy, offset-aware (flatten)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    k = col.type.list_size
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(dtype).reshape(-1, k)
 
 
 def _stable_bytes(ref: str, n: int = 64) -> bytes:
@@ -46,20 +104,28 @@ def fetch_media(batch: pa.Table) -> pa.Table:
 class ImageDecoder:
     """Actor stage: payload → decoded image tensor + metadata.
 
-    Real implementation point: ``_decode`` (Pillow / turbojpeg).
+    Codec seam: Pillow when importable (decode + resample to the stage's
+    fixed h×w RGB), else the deterministic fake (None → auto-detect,
+    resolved ONCE at actor init, not per batch).
     """
 
-    def __init__(self, deterministic_fake: bool = True, height: int = 16,
-                 width: int = 16):
-        self.fake = deterministic_fake
+    def __init__(self, deterministic_fake: bool | None = None,
+                 height: int = 16, width: int = 16):
+        self.fake = _resolve_fake(deterministic_fake, available_image_codec)
+        self.codec = None if self.fake else available_image_codec()
         self.h = height
         self.w = width
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if not self.fake:
-            raise NotImplementedError(
-                "image decode requires Pillow/libjpeg — not in this container"
-            )
+            if self.codec is None:
+                raise NotImplementedError(
+                    "image decode requires Pillow/libjpeg — not in this "
+                    "container")
+            import io
+            img = self.codec.open(io.BytesIO(payload)).convert("RGB")
+            img = img.resize((self.w, self.h))
+            return np.asarray(img, dtype=np.uint8)
         # deterministic fake: bytes → seeded uint8 tensor
         seed = int.from_bytes(payload[:8], "little")
         rng = np.random.default_rng(seed)
@@ -67,14 +133,15 @@ class ImageDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        imgs = [self._decode(p) for p in payloads]
-        flat = [im.reshape(-1).tolist() for im in imgs]
+        n = len(payloads)
+        imgs = np.empty((n, self.h * self.w * 3), np.uint8)
+        for i, p in enumerate(payloads):
+            imgs[i] = self._decode(p).reshape(-1)
         return (
             batch.append_column(
-                "image", pa.array(flat, pa.list_(pa.uint8(), self.h * self.w * 3))
-            )
-            .append_column("img_h", pa.array([self.h] * len(imgs), pa.int32()))
-            .append_column("img_w", pa.array([self.w] * len(imgs), pa.int32()))
+                "image", _fixed_list_u8(imgs, self.h * self.w * 3))
+            .append_column("img_h", pa.array([self.h] * n, pa.int32()))
+            .append_column("img_w", pa.array([self.w] * n, pa.int32()))
         )
 
 
@@ -88,15 +155,14 @@ class ImageResizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         h = batch["img_h"][0].as_py()
         w = batch["img_w"][0].as_py()
-        imgs = np.asarray(batch["image"].to_pylist(), dtype=np.uint8)
-        imgs = imgs.reshape(-1, h, w, 3)
+        imgs = _fsl_to_matrix(batch["image"]).reshape(-1, h, w, 3)
         yi = (np.arange(self.oh) * h // self.oh)
         xi = (np.arange(self.ow) * w // self.ow)
         resized = imgs[:, yi][:, :, xi]
         return batch.set_column(
             batch.schema.get_field_index("image"), "image",
-            pa.array([im.reshape(-1).tolist() for im in resized],
-                     pa.list_(pa.uint8(), self.oh * self.ow * 3)),
+            _fixed_list_u8(resized.reshape(len(imgs), -1),
+                           self.oh * self.ow * 3),
         ).set_column(
             batch.schema.get_field_index("img_h"), "img_h",
             pa.array([self.oh] * len(imgs), pa.int32()),
@@ -112,8 +178,8 @@ class ImageFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         h = batch["img_h"][0].as_py()
         w = batch["img_w"][0].as_py()
-        imgs = np.asarray(batch["image"].to_pylist(), dtype=np.uint8)
-        imgs = imgs.reshape(-1, h, w, 3).astype(np.float64)
+        imgs = _fsl_to_matrix(batch["image"]).reshape(-1, h, w, 3) \
+            .astype(np.float64)
         means = imgs.mean(axis=(1, 2))        # [n, 3]
         stds = imgs.std(axis=(1, 2))          # [n, 3]
         feats = np.concatenate([means, stds], axis=1)
@@ -124,20 +190,44 @@ class ImageFeatures:
 
 
 class FrameSampler:
-    """Actor stage: video payload → K evenly spaced fake frames.
+    """Actor stage: video payload → K evenly spaced frames.
 
-    Real implementation point: ``_frames`` (ffmpeg).
+    Codec seam: ffmpeg when on PATH (decode to K thumbnail PNGs via a
+    select filter), else the deterministic fake (None → auto-detect at
+    actor init).
     """
 
-    def __init__(self, k: int = 4, deterministic_fake: bool = True):
+    def __init__(self, k: int = 4, deterministic_fake: bool | None = None):
         self.k = k
-        self.fake = deterministic_fake
+        self.fake = _resolve_fake(deterministic_fake, available_ffmpeg)
+        self.ffmpeg = None if self.fake else available_ffmpeg()
 
     def _frames(self, payload: bytes) -> list[bytes]:
         if not self.fake:
-            raise NotImplementedError(
-                "video frame extraction requires ffmpeg — not in this container"
-            )
+            if self.ffmpeg is None:
+                raise NotImplementedError(
+                    "video frame extraction requires ffmpeg — not in this "
+                    "container")
+            import os
+            import subprocess
+            import tempfile
+            with tempfile.TemporaryDirectory() as d:
+                src = os.path.join(d, "in.bin")
+                with open(src, "wb") as f:
+                    f.write(payload)
+                subprocess.run(
+                    [self.ffmpeg, "-v", "error", "-i", src,
+                     "-vf", "thumbnail,select=1,scale=32:32",
+                     "-frames:v", str(self.k), "-vsync", "vfr",
+                     os.path.join(d, "f%03d.png")],
+                    check=True)
+                outs = sorted(f for f in os.listdir(d) if f.endswith(".png"))
+                frames = [open(os.path.join(d, f), "rb").read()
+                          for f in outs]
+            # pad (short clips) to the fixed k the schema promises
+            while len(frames) < self.k:
+                frames.append(frames[-1] if frames else b"")
+            return frames[:self.k]
         return [
             hashlib.blake2b(payload + bytes([i]), digest_size=16).digest()
             for i in range(self.k)
@@ -193,16 +283,21 @@ class AudioChunker:
     """
 
     def __init__(self, window: int = 64, hop: int = 32,
-                 deterministic_fake: bool = True):
+                 deterministic_fake: bool | None = None):
         self.window = window
         self.hop = hop
-        self.fake = deterministic_fake
+        self.fake = _resolve_fake(deterministic_fake, available_audio_codec)
+        self.codec = None if self.fake else available_audio_codec()
 
     def _pcm(self, payload: bytes) -> bytes:
         if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires soundfile/ffmpeg — not in this "
-                "container")
+            if self.codec is None:
+                raise NotImplementedError(
+                    "audio decode requires soundfile/ffmpeg — not in this "
+                    "container")
+            import io
+            data, _sr = self.codec.read(io.BytesIO(payload), dtype="int16")
+            return np.asarray(data, np.int16).tobytes()
         return payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -224,17 +319,23 @@ class AudioChunker:
         return pa.table(out)
 
 
-def media_pipeline(docs_ds, concurrency=(1, 4), batch_size: int = 256):
+def media_pipeline(docs_ds, concurrency=(1, 4), batch_size: int = 256,
+                   deterministic_fake: bool | None = True):
     """documents → media spans → fetch → decode → resize → features.
 
     Returns a Dataset with (doc_id, span_idx, media_ref, image, img_h,
     img_w, img_features). Demonstrates the full multimodal actor-pool
-    plumbing over the interleaved schema.
+    plumbing over the interleaved schema. ``deterministic_fake`` defaults
+    to True (NOT auto) because ``fetch_media`` is the fake byte store —
+    its payloads are not decodable media; pass None with a real fetch
+    stage to auto-detect codecs.
     """
     ds = docs_ds.map_batches(media_span_rows, batch_format="pyarrow")
     ds = ds.map_batches(fetch_media, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(ImageDecoder, batch_format="pyarrow",
-                        batch_size=batch_size, concurrency=concurrency)
+                        batch_size=batch_size, concurrency=concurrency,
+                        fn_constructor_kwargs={
+                            "deterministic_fake": deterministic_fake})
     ds = ds.map_batches(ImageResizer, batch_format="pyarrow",
                         batch_size=batch_size, concurrency=concurrency)
     ds = ds.map_batches(ImageFeatures, batch_format="pyarrow",

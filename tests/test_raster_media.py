@@ -112,3 +112,51 @@ def test_media_pipeline_end_to_end():
         span = by_doc[r["doc_id"]][r["span_idx"]]
         assert span["kind"] == "media"
         assert span["media_ref"] == r["media_ref"]
+
+
+def test_codec_seam_auto_detect_matches_environment():
+    """None → auto: in an environment without codecs every stage resolves
+    to the deterministic fake; with codecs it resolves to real decode."""
+    assert media.ImageDecoder().fake == (media.available_image_codec() is None)
+    assert media.FrameSampler().fake == (media.available_ffmpeg() is None)
+    assert media.AudioChunker().fake == (media.available_audio_codec() is None)
+
+
+@pytest.mark.skipif(media.available_image_codec() is None,
+                    reason="Pillow not installed in this container")
+def test_real_image_decode_roundtrip():
+    """With Pillow present, the decoder must decode a real PNG byte string
+    (built with Pillow itself) into the stage's fixed h×w×3 tensor."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+
+    Image = media.available_image_codec()
+    src = np.zeros((4, 4, 3), np.uint8)
+    src[:2, :, 0] = 255  # top half red
+    buf = io.BytesIO()
+    Image.fromarray(src).save(buf, format="PNG")
+    batch = pa.table({"media_ref": pa.array(["media://real"]),
+                      "payload": pa.array([buf.getvalue()], pa.binary())})
+    out = media.ImageDecoder(deterministic_fake=False)(batch)
+    img = np.asarray(out["image"][0].as_py(), np.uint8).reshape(16, 16, 3)
+    assert img[0, 0, 0] == 255 and img[15, 15, 0] == 0
+
+
+@pytest.mark.skipif(media.available_audio_codec() is None,
+                    reason="soundfile not installed in this container")
+def test_real_audio_decode_windows():
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+
+    sf = media.available_audio_codec()
+    pcm = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
+    buf = io.BytesIO()
+    sf.write(buf, pcm, 8000, format="WAV")
+    batch = pa.table({"media_ref": pa.array(["media://wav"]),
+                      "payload": pa.array([buf.getvalue()], pa.binary())})
+    out = media.AudioChunker(deterministic_fake=False)(batch)
+    assert out.num_rows > 0 and out["energy"][0].as_py() > 0
