@@ -258,7 +258,8 @@ def pip_join_bruteforce(points, polys) -> set:
     return out
 
 
-def pip_join_partitioned(points_ds, polys_ds, cell_zoom: int = PIP_CELL_ZOOM):
+def pip_join_partitioned(points_ds, polys_ds, cell_zoom: int = PIP_CELL_ZOOM,
+                         hot_cells=None, salt_k: int = 8):
     """Both-sides-large PIP join: partition BOTH sides by XYZ cell.
 
     Points hash to their single cell; polygons are replicated to every
@@ -268,16 +269,36 @@ def pip_join_partitioned(points_ds, polys_ds, cell_zoom: int = PIP_CELL_ZOOM):
     a point belongs to exactly one cell.
 
     Both inputs are features datasets (doc_id, span_idx, geom_wkb,
-    bbox_*). Skewed hot cells can additionally be salted upstream by
-    splitting the point side per cell (polygons replicate per salt).
+    bbox_*).
+
+    SKEW: ``hot_cells`` (int64 cell keys, e.g. from a sampled count
+    pre-pass like pipelines/tiler.detect_hot_cells) splits each hot
+    cell's POINTS round-robin over ``salt_k`` sub-groups while the
+    polygons covering that cell replicate into all of them — a dense
+    urban cell's matmul-equivalent spreads over salt_k workers at the
+    cost of shipping its (few) polygons salt_k times. Output is
+    identical for any salt (each point still meets every polygon of its
+    cell exactly once). ``salt_k`` ≤ 256 (the sub-key is 8 bits).
     """
+    if not 1 <= salt_k <= 256:
+        raise ValueError("salt_k must be in [1, 256]")
+    hot = None
+    if hot_cells is not None and len(hot_cells):
+        hot = np.unique(np.asarray(hot_cells, dtype=np.int64))
+
     def pt_cells(batch: pa.Table) -> pa.Table:
         px = batch["bbox_minx"].to_numpy(zero_copy_only=False)
         py = batch["bbox_miny"].to_numpy(zero_copy_only=False)
         cx, cy = xyz.tile_xy(px, py, cell_zoom)
+        cell = (cx << np.int64(32)) | cy
+        key = cell << np.int64(8)
+        if hot is not None:
+            mask = np.isin(cell, hot)
+            sub = np.arange(len(cell), dtype=np.int64) % salt_k
+            key = key | np.where(mask, sub, 0)
         return pa.table(
             {
-                "cell": pa.array((cx << np.int64(32)) | cy, pa.int64()),
+                "cell": pa.array(key, pa.int64()),
                 "side": pa.array(np.zeros(len(px), np.int8), pa.int8()),
                 "doc_id": batch["doc_id"],
                 "span_idx": batch["span_idx"],
@@ -295,15 +316,26 @@ def pip_join_partitioned(points_ds, polys_ds, cell_zoom: int = PIP_CELL_ZOOM):
             batch["bbox_maxy"].to_numpy(zero_copy_only=False),
             cell_zoom,
         )
+        cell = (cx << np.int64(32)) | cy
+        key = cell << np.int64(8)
+        if hot is not None:
+            # rows landing in a hot cell replicate into every salt sub-group
+            mask = np.isin(cell, hot)
+            reps = np.where(mask, salt_k, 1).astype(np.int64)
+            offs = np.cumsum(reps) - reps
+            total = int(reps.sum())
+            rel = np.arange(total, dtype=np.int64) - np.repeat(offs, reps)
+            key = np.repeat(key, reps) | rel
+            row = row[np.repeat(np.arange(len(row), dtype=np.int64), reps)]
         take = pa.array(row)
         return pa.table(
             {
-                "cell": pa.array((cx << np.int64(32)) | cy, pa.int64()),
-                "side": pa.array(np.ones(len(row), np.int8), pa.int8()),
+                "cell": pa.array(key, pa.int64()),
+                "side": pa.array(np.ones(len(key), np.int8), pa.int8()),
                 "doc_id": batch["doc_id"].take(take),
                 "span_idx": batch["span_idx"].take(take),
-                "x": pa.array(np.zeros(len(row))),
-                "y": pa.array(np.zeros(len(row))),
+                "x": pa.array(np.zeros(len(key))),
+                "y": pa.array(np.zeros(len(key))),
                 "geom_wkb": batch["geom_wkb"].take(take),
             }
         )
@@ -433,13 +465,16 @@ def knn_topk(points_ds, query_ids, qx, qy, k: int = 5, concurrency=None):
 
     partial = points_ds.map_batches(score, batch_format="pyarrow")
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dist_m", "doc_id", "span_idx"]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def topk(g: pa.Table) -> pa.Table:
+        d = g["dist_m"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        si = g["span_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((si, doc, d))[:k]
+        out = g.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64)))
 
-    return partial.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(topk, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- bbox join

@@ -408,3 +408,76 @@ def test_asof_join_semantics(ray_session):
     assert pd.isna(got[2]) and pd.isna(got[3]) and pd.isna(got[4])
     assert out["right_value"].tolist()[0] == 1.5
     assert out["right_value"].tolist()[1] == 2.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pip_join_partitioned_salted_equals_unsalted():
+    """Skewed fixture: ~50% of points pile into ONE z6 cell. Salting that
+    hot cell must leave the join output byte-identical (each point still
+    meets every polygon of its cell exactly once) while spreading the hot
+    cell's work over salt_k sub-groups. Mirrors the hash_join_i64 salt
+    tests."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from grandine_ray.index import xyz
+    from grandine_ray.stages.join import pip_join_partitioned
+
+    rng = np.random.default_rng(5)
+    n = 400
+    # half the points inside a 1-degree box (one hot z6 cell), half spread
+    hot_x = 10.2 + rng.uniform(0, 0.8, n // 2)
+    hot_y = 48.1 + rng.uniform(0, 0.8, n // 2)
+    cold_x = rng.uniform(-170, 170, n - n // 2)
+    cold_y = rng.uniform(-80, 80, n - n // 2)
+    px = np.concatenate([hot_x, cold_x])
+    py = np.concatenate([hot_y, cold_y])
+
+    def feats_table(ids, minx, miny, maxx, maxy, wkbs, gtype):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "span_idx": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+            "geom_type": pa.array([gtype] * len(ids), pa.int32()),
+            "geom_wkb": pa.array(wkbs, pa.binary()),
+            "bbox_minx": pa.array(minx), "bbox_miny": pa.array(miny),
+            "bbox_maxx": pa.array(maxx), "bbox_maxy": pa.array(maxy),
+        })
+
+    points = feats_table([f"p{i}" for i in range(n)], px, py, px, py,
+                         [b""] * n, 1)
+
+    def box_wkb(x0, y0, x1, y1):
+        ring = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)],
+                        dtype=np.float64)
+        return wkb.encode_polygon([ring])
+
+    # polygons: two covering chunks of the hot box + a few cold ones
+    polys = []
+    pminx, pminy, pmaxx, pmaxy, wkbs = [], [], [], [], []
+    boxes = [(10.1, 48.0, 10.7, 48.6), (10.5, 48.3, 11.1, 49.0),
+             (-60.0, -20.0, -40.0, 0.0), (100.0, 10.0, 120.0, 30.0)]
+    for i, (x0, y0, x1, y1) in enumerate(boxes):
+        polys.append(f"g{i}")
+        pminx.append(x0); pminy.append(y0); pmaxx.append(x1); pmaxy.append(y1)
+        wkbs.append(box_wkb(x0, y0, x1, y1))
+    polygons = feats_table(polys, pminx, pminy, pmaxx, pmaxy, wkbs, 3)
+
+    # the planted hot cell really is hot (>=40% of points share it)
+    cx, cy = xyz.tile_xy(px, py, 6)
+    cells = (cx << np.int64(32)) | cy
+    vals, counts = np.unique(cells, return_counts=True)
+    hot = vals[counts >= n * 0.4]
+    assert len(hot) == 1
+
+    def run(**kw):
+        return sorted(
+            (r["doc_id"], r["span_idx"], r["polygon_id"])
+            for r in pip_join_partitioned(
+                rd.from_arrow(points), rd.from_arrow(polygons), 6, **kw
+            ).take_all())
+
+    plain = run()
+    salted = run(hot_cells=hot, salt_k=8)
+    assert plain and salted == plain
+    # sanity: hot points matched the overlapping polygons
+    assert any(pid == "g0#0" for _, _, pid in plain)
