@@ -54,6 +54,18 @@ _ROLE_OUTER = 0
 _ROLE_INNER = 1
 
 
+@ray.remote
+def _member_ids_task(*blocks) -> np.ndarray:
+    """Unique relation-member way ids from member BLOCKS, on a worker:
+    the driver passes block refs and receives back an object-store ref —
+    it never materializes a member row."""
+    parts = [b["way_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+             for b in blocks if b.num_rows]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
 def _blob_ds(pbf_path: str) -> rd.Dataset:
     idx = [
         {"path": pbf_path, "off": off, "size": size}
@@ -205,13 +217,12 @@ def spatialize(pbf_path: str, mapping_yaml: str,
 
     # relation member ways need refs from the full way table. Broadcast
     # semi-join: relations are a tiny sliver of a planet file, so the
-    # member-id set is small — ray.put once, np.isin in every task.
-    member_ids = np.unique(np.asarray(
-        [r["way_id"] for r in
-         rel_members.select_columns(["way_id"]).take_all()],
-        dtype=np.int64,
-    ))
-    member_ref = ray.put(member_ids)
+    # member-id set is small — built ON A WORKER from the (already
+    # materialized) member block refs and broadcast as an object-store
+    # ref; the driver never holds a member row (the _slim_payload_task
+    # pattern, stages/join.py).
+    member_ref = _member_ids_task.remote(
+        *rel_members.get_internal_block_refs())
 
     def member_refs(batch: pa.Table) -> pa.Table:
         ids = ray.get(member_ref)
