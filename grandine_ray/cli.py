@@ -193,6 +193,10 @@ def make_tile_server(tiles_dir, port: int = 0):
                 body = open(_os.path.join(viewer_dir, "index.html"), "rb").read()
                 self._send(200, body, "text/html")
                 return
+            if path == "/style.json":
+                body = open(_os.path.join(viewer_dir, "style.json"), "rb").read()
+                self._send(200, body, "application/json")
+                return
             if path.startswith("/tiles/"):
                 rel = _os.path.normpath(path[len("/tiles/"):])
                 # containment check: reject absolute paths (normpath keeps

@@ -95,6 +95,13 @@ const zStub = {};
 const document = { getElementById: id => (id === "map" ? canvasStub : zStub) };
 const window = { innerWidth: 512, innerHeight: 512, addEventListener: () => {} };
 const fetch = url => {
+  if (url === "style.json") {
+    try {
+      const t = fs.readFileSync(path.join(tilesDir, "style.json"), "utf8");
+      return Promise.resolve({ ok: true,
+        json: () => Promise.resolve(JSON.parse(t)) });
+    } catch (e) { return Promise.resolve({ ok: false }); }
+  }
   const f = path.join(tilesDir, url.replace(/^tiles\//, ""));
   try {
     const b = fs.readFileSync(f);
@@ -249,6 +256,156 @@ def test_viewer_render_commands_and_pixels_match_python(tmp_path):
         [r for r in hole.shape]).prod()  # not fully filled
 
 
+_TYPE_NAME = {1: "Point", 2: "LineString", 3: "Polygon"}
+
+
+def _feature_props(lay, ft):
+    tags = ft["tags"]
+    return {lay["keys"][tags[i]]: lay["values"][tags[i + 1]]
+            for i in range(0, len(tags) - 1, 2)}
+
+
+def _style_rules(style, layer_name, lay, ft):
+    """Mirror of the viewer's styleRulesFor()/filterMatches()."""
+    out = []
+    for sl in style["layers"]:
+        if sl.get("source-layer") != layer_name:
+            continue
+        fl = sl.get("filter")
+        if fl is None:
+            out.append(sl)
+        elif fl[0] == "==":
+            if fl[1] == "$type":
+                if _TYPE_NAME.get(ft["type"]) == fl[2]:
+                    out.append(sl)
+            elif _feature_props(lay, ft).get(fl[1]) == fl[2]:
+                out.append(sl)
+    return out
+
+
+def _expected_styled_records(tiles, style):
+    """Python re-derivation of draw() with a loaded style.json: matched
+    features paint via the style rules (in document order, all matches),
+    unmatched features fall back to the legacy palette."""
+    rec = [["set", "fillStyle", "#10141a"], ["fillRect", 0, 0, 512, 512]]
+    for ty in (0, 1, 2):
+        for tx in (0, 1, 2):
+            px, py = tx * 256, ty * 256
+            rec.append(["set", "strokeStyle", "#1d242e"])
+            rec.append(["strokeRect", px, py, 256, 256])
+            layers = tiles.get((tx, ty))
+            if layers is None:
+                continue
+            for name, lay in layers.items():
+                s = 256 / lay["extent"]
+                color = _COLORS.get(name, _COLORS["default"])
+                for ft in lay["features"]:
+                    ps = _py_paths(ft["geometry"])
+
+                    def trace():
+                        rec.append(["beginPath"])
+                        for p in ps:
+                            rec.append(["moveTo", px + p[0][0] * s,
+                                        py + p[0][1] * s])
+                            for q in p[1:]:
+                                rec.append(["lineTo", px + q[0] * s,
+                                            py + q[1] * s])
+                            if ft["type"] == 3:
+                                rec.append(["closePath"])
+
+                    rules = _style_rules(style, name, lay, ft)
+                    if rules:
+                        for sl in rules:
+                            paint = sl.get("paint", {})
+                            if sl["type"] == "circle":
+                                rec.append(["set", "fillStyle",
+                                            paint.get("circle-color", "#000")])
+                                rr = paint.get("circle-radius", 1)
+                                for p in ps:
+                                    rec.append(["fillRect",
+                                                px + p[0][0] * s - rr,
+                                                py + p[0][1] * s - rr,
+                                                2 * rr, 2 * rr])
+                            elif sl["type"] == "fill":
+                                trace()
+                                rec.append(["set", "fillStyle",
+                                            paint.get("fill-color", "#000")])
+                                rec.append(["fill", "evenodd"])
+                            elif sl["type"] == "line":
+                                trace()
+                                rec.append(["set", "strokeStyle",
+                                            paint.get("line-color", "#000")])
+                                rec.append(["set", "lineWidth",
+                                            paint.get("line-width", 1)])
+                                rec.append(["stroke"])
+                        continue
+                    trace()
+                    if ft["type"] == 1:
+                        rec.append(["set", "fillStyle", color])
+                        for p in ps:
+                            rec.append(["fillRect", px + p[0][0] * s - 1.5,
+                                        py + p[0][1] * s - 1.5, 3, 3])
+                    elif ft["type"] == 3:
+                        rec.append(["set", "fillStyle", color + "55"])
+                        rec.append(["fill", "evenodd"])
+                        rec.append(["set", "strokeStyle", color])
+                        rec.append(["set", "lineWidth", 1])
+                        rec.append(["stroke"])
+                    else:
+                        rec.append(["set", "strokeStyle", color])
+                        rec.append(["set", "lineWidth", 1.2])
+                        rec.append(["stroke"])
+    return rec
+
+
+@pytest.mark.skipif(NODE is None, reason="no node runtime")
+def test_viewer_styled_render_matches_python(tmp_path):
+    """With the repo's shipped style.json present, the viewer's draw() must
+    paint matched features via the style rules (class filters, $type
+    filters, document-order multi-rule) and unmatched features via the
+    legacy palette — pinned against an independent Python re-derivation
+    (role parity with the reference's MapLibre viewer/style.json)."""
+    t11 = {
+        "default": [
+            {"props": (), "type": 3,
+             "rings": [np.array([[-60.0, 20.0], [-30.0, 20.0],
+                                 [-30.0, 45.0], [-60.0, 45.0]])]},
+            {"props": (), "type": 2,
+             "rings": [np.array([[-80.0, 10.0], [-10.0, 55.0]])]},
+            {"props": (), "type": 1,
+             "rings": [np.array([[-45.0, 30.0]])]},
+        ],
+        "transportation": [
+            {"props": (("class", "primary"),), "type": 2,
+             "rings": [np.array([[-70.0, 15.0], [-20.0, 35.0]])]},
+            {"props": (("class", "secondary"),), "type": 2,
+             "rings": [np.array([[-70.0, 25.0], [-20.0, 45.0]])]},
+            {"props": (("class", "service"),), "type": 2,   # unmatched
+             "rings": [np.array([[-70.0, 35.0], [-20.0, 55.0]])]},
+        ],
+    }
+    tdir = tmp_path / "2" / "1"
+    tdir.mkdir(parents=True)
+    (tdir / "1.mvt").write_bytes(mvt.encode_tile(2, 1, 1, t11))
+    style_src = "grandine_ray/viewer/style.json"
+    style = json.loads(open("/root/repo/" + style_src).read())
+    (tmp_path / "style.json").write_text(json.dumps(style))
+    harness = tmp_path / "h.js"
+    harness.write_text(_RENDER_HARNESS)
+    out = subprocess.run(
+        [NODE, str(harness), "grandine_ray/viewer/index.html", str(tmp_path)],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    js_rec = json.loads(out.stdout)
+    decoded = {
+        (1, 1): mvt.decode_tile((tmp_path / "2" / "1" / "1.mvt").read_bytes()),
+    }
+    expected = _expected_styled_records(decoded, style)
+    assert js_rec == expected
+    # sanity: the style actually drove paints (orange primary line present)
+    assert ["set", "strokeStyle", "orange"] in js_rec
+
+
 def _serve(tmp_path):
     import threading
 
@@ -290,5 +447,9 @@ def test_serve_tile_and_traversal_rejected(tmp_path):
         assert st == 404
         st, body = get("/")
         assert st == 200 and b"<html" in body.lower()
+        st, body = get("/style.json")
+        assert st == 200
+        doc = json.loads(body)
+        assert doc["version"] == 8 and doc["layers"]
     finally:
         srv.shutdown()
