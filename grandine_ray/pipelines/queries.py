@@ -492,6 +492,116 @@ def q_dedup_clusters(sf_dir: str):
     return text_stage.dedup_clusters(pairs)
 
 
+def q_cluster_size_hist(sf_dir: str):
+    """Duplicate-cluster size distribution — the shape report a dedup
+    run is judged by (how much of the corpus sits in 2-clusters vs
+    mega-clusters). Chains the connected-components labels
+    (q_dedup_clusters) through two count reduces: per-cluster size,
+    then clusters per size. Singleton docs (no near-dup pair) are not
+    graph nodes and are absent on both engines."""
+    from ray.data.aggregate import Sum
+
+    labels = q_dedup_clusters(sf_dir)
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        cid = b["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, cnt = np.unique(cid, return_counts=True)
+        return pa.table({"cluster_id": pa.array(keys, pa.int64()),
+                         "sz": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    sizes = labels.map_batches(size_partial, batch_format="pyarrow") \
+        .groupby("cluster_id").aggregate(Sum("sz", alias_name="sz"))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        sz = b["sz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, cnt = np.unique(sz, return_counts=True)
+        return pa.table({"cluster_size": pa.array(keys, pa.int64()),
+                         "n_clusters": pa.array(cnt.astype(np.int64),
+                                                pa.int64())})
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_size": pc.cast(b["cluster_size"], pa.int64()),
+            "n_clusters": pc.cast(b["n_clusters"], pa.int64()),
+        })
+
+    return sizes.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("cluster_size") \
+        .aggregate(Sum("n_clusters", alias_name="n_clusters")) \
+        .map_batches(widen, batch_format="pyarrow").sort("cluster_size")
+
+
+MIX_TEMP_MULT = 3       # quota_s = min(n_s, MULT * isqrt(n_s)) — α≈0.5
+_MIX_HASH_MOD = np.int64(4_194_304)        # doc_id folded to 22 bits so
+_MIX_HASH_MULT = np.int64(2_654_435_761)   # the Knuth product stays in
+_MIX_HASH_RING = np.int64(4_294_967_296)   # int64 on BOTH engines
+
+
+def q_mix_sources(sf_dir: str):
+    """Temperature-flattened source mixing (the pretraining domain-mix
+    step): each source's keep quota is min(n_s, 3·⌊√n_s⌋) — the α=0.5
+    temperature curve that upweights small sources relative to their
+    natural share — and a doc survives iff its deterministic Knuth hash
+    lands under the quota on the ring of its source size. Per-source
+    counts are one tiny aggregate (the source domain is small by
+    construction); the keep filter is a single vectorized pass; output
+    reports per-source totals, quotas, kept counts and kept chars.
+    ⌊√n⌋ is integer-exact on both engines for any realistic n (isqrt
+    here, FLOOR(SQRT(n)) in SQL — IEEE sqrt of n < 2^52 cannot round
+    across the integer boundary)."""
+    import math
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        keys, cnt = np.unique(src, return_counts=True)
+        return pa.table({"source": pa.array(list(keys), pa.string()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = docs.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n")).take_all()
+    nmap = {r["source"]: int(r["n"]) for r in counts}
+    qmap = {s: min(n, MIX_TEMP_MULT * math.isqrt(n))
+            for s, n in nmap.items()}
+
+    def keep_partial(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        n_arr = np.array([nmap[s] for s in uniq], np.int64)[inv]
+        q_arr = np.array([qmap[s] for s in uniq], np.int64)[inv]
+        h = ((did % _MIX_HASH_MOD) * _MIX_HASH_MULT) % _MIX_HASH_RING
+        keep = (h % n_arr) < q_arr
+        ku, kinv = np.unique(src[keep], return_inverse=True)
+        kept = np.bincount(kinv, minlength=len(ku)).astype(np.int64)
+        kchars = np.bincount(kinv, weights=chars[keep],
+                             minlength=len(ku)).astype(np.int64)
+        return pa.table({"source": pa.array(list(ku), pa.string()),
+                         "n_kept": pa.array(kept, pa.int64()),
+                         "chars_kept": pa.array(kchars, pa.int64())})
+
+    agg = docs.map_batches(keep_partial, batch_format="pyarrow") \
+        .groupby("source") \
+        .aggregate(Sum("n_kept", alias_name="n_kept"),
+                   Sum("chars_kept", alias_name="chars_kept"))
+
+    def attach(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pylist()
+        return pa.table({
+            "source": pa.array(src, pa.string()),
+            "n_total": pa.array([nmap[s] for s in src], pa.int64()),
+            "quota": pa.array([qmap[s] for s in src], pa.int64()),
+            "n_kept": pc.cast(b["n_kept"], pa.int64()),
+            "chars_kept": pc.cast(b["chars_kept"], pa.int64()),
+        })
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
 def q_simhash(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(text_stage.simhasher_batch, batch_format="pyarrow")
@@ -1774,6 +1884,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "cluster_size_hist": q_cluster_size_hist,
+    "mix_sources": q_mix_sources,
     "filter_corpus": q_filter_corpus,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
@@ -2144,6 +2256,40 @@ WITH RECURSIVE
   )
 SELECT n AS doc_id, MIN(m) AS cluster_id
 FROM reach GROUP BY n""",
+    "cluster_size_hist": """
+WITH RECURSIVE
+  e AS (
+    SELECT doc_a AS a, doc_b AS b
+    FROM read_parquet('/tmp/graft_expected/minhash_pairs.parquet')
+    UNION ALL
+    SELECT doc_b, doc_a
+    FROM read_parquet('/tmp/graft_expected/minhash_pairs.parquet')
+  ),
+  nodes AS (SELECT DISTINCT a AS n FROM e),
+  reach(n, m) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m
+  ),
+  lab AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+          FROM reach GROUP BY n),
+  sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         FROM lab GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY cluster_size""",
+    "mix_sources": """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+q AS (SELECT source, n,
+             LEAST(n, 3 * CAST(FLOOR(SQRT(n)) AS BIGINT)) AS quota
+      FROM c)
+SELECT d.source, CAST(q.n AS BIGINT) AS n_total,
+       CAST(q.quota AS BIGINT) AS quota,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+FROM documents d JOIN q ON d.source = q.source
+WHERE ((d.doc_id % 4194304) * 2654435761) % 4294967296 % q.n < q.quota
+GROUP BY d.source, q.n, q.quota""",
     "filter_corpus": r"""
 WITH scored AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text,

@@ -224,3 +224,71 @@ def test_jaccard_exact_jaccard_values_match_scalar(ray_session):
     pair = [r for r in out if r["doc_a"] == 1 and r["doc_b"] == 2]
     assert len(pair) == 1
     assert pair[0]["jaccard"] == round(text.jaccard(a, b), 4)
+
+
+def test_cluster_size_hist_matches_union_find(ray_session):
+    """q_cluster_size_hist must equal an independent union-find over the
+    same near-dup pair set (sf0.001 documents)."""
+    import ray.data as rd
+
+    from grandine_ray.pipelines.queries import (q_cluster_size_hist,
+                                                q_dedup_clusters)
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = text.minhash_near_dup(docs, threshold=0.5).to_pandas()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+    sizes = Counter(find(x) for x in list(parent))
+    want = Counter(sizes.values())
+
+    got = q_cluster_size_hist(sf).to_pandas()
+    assert dict(zip(got["cluster_size"], got["n_clusters"])) == dict(want)
+    # and the labels themselves agree with the union-find roots
+    lab = q_dedup_clusters(sf).to_pandas()
+    assert {int(d): int(c) for d, c in
+            zip(lab["doc_id"], lab["cluster_id"])} \
+        == {x: find(x) for x in list(parent)}
+
+
+def test_mix_sources_matches_pandas_recompute(ray_session):
+    """Temperature mixing: quota, keep mask and per-source sums must
+    equal a direct pandas recomputation of the documented rule."""
+    import math
+
+    import pandas as pd
+
+    from grandine_ray.pipelines.queries import q_mix_sources
+
+    sf = "/root/testdata/sf0.001"
+    df = pd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    n = df.groupby("source")["doc_id"].count()
+    quota = n.combine(n, lambda v, _: min(v, 3 * math.isqrt(int(v))))
+    h = ((df["doc_id"] % 4194304) * 2654435761) % 4294967296
+    keep = df[(h % df["source"].map(n)) < df["source"].map(quota)]
+    want = keep.groupby("source").agg(
+        n_kept=("doc_id", "count"), chars_kept=("n_chars", "sum"))
+
+    got = q_mix_sources(sf).to_pandas().set_index("source").sort_index()
+    assert list(got.index) == sorted(want.index)
+    assert got["n_kept"].tolist() == want.sort_index()["n_kept"].tolist()
+    assert got["chars_kept"].tolist() == \
+        want.sort_index()["chars_kept"].tolist()
+    assert got["n_total"].tolist() == [int(n[s]) for s in got.index]
+    assert got["quota"].tolist() == [int(quota[s]) for s in got.index]
+    # the flattening actually bites: every source kept strictly fewer
+    assert (got["n_kept"] < got["n_total"]).any()
