@@ -2527,6 +2527,7 @@ FROM feat GROUP BY layer""",
 from .queries_ext import QUERIES_EXT, ORACLE_SQL_EXT  # noqa: E402
 from .queries_rel import QUERIES_REL, ORACLE_SQL_REL  # noqa: E402
 from .queries_rel2 import QUERIES_REL2, ORACLE_SQL_REL2  # noqa: E402
+from .queries_rel3 import QUERIES_REL3, ORACLE_SQL_REL3  # noqa: E402
 from .queries_win import QUERIES_WIN, ORACLE_SQL_WIN  # noqa: E402
 from .queries_cstats import QUERIES_CSTATS, ORACLE_SQL_CSTATS  # noqa: E402
 from .queries_emb import QUERIES_EMB, ORACLE_SQL_EMB  # noqa: E402
@@ -2539,6 +2540,8 @@ QUERIES.update(QUERIES_REL)
 ORACLE_SQL.update(ORACLE_SQL_REL)
 QUERIES.update(QUERIES_REL2)
 ORACLE_SQL.update(ORACLE_SQL_REL2)
+QUERIES.update(QUERIES_REL3)
+ORACLE_SQL.update(ORACLE_SQL_REL3)
 QUERIES.update(QUERIES_WIN)
 ORACLE_SQL.update(ORACLE_SQL_WIN)
 QUERIES.update(QUERIES_CSTATS)
