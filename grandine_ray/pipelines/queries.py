@@ -531,6 +531,169 @@ def q_cluster_size_hist(sf_dir: str):
         .map_batches(widen, batch_format="pyarrow").sort("cluster_size")
 
 
+PASSAGE_W = 10          # words per passage chunk (last chunk = remainder)
+
+
+def q_passage_dedup(sf_dir: str):
+    """Passage-level exact dedup with document reconstruction (the
+    RefinedWeb/C4 line-dedup shape re-expressed for this corpus's
+    single-line documents): each document splits into consecutive
+    10-word chunks, a chunk's FIRST occurrence corpus-wide (min fused
+    (doc_id, chunk_idx)) survives, every later duplicate is cut, and
+    surviving chunks rejoin in order — documents losing every chunk
+    drop out. Two hash exchanges, both over the chunk table (the honest
+    cost of passage dedup): winner-select partitions by the 64-bit
+    chunk hash (blake2b — same exact-key contract as exact_dedup) and
+    takes the min fused id per hash in one lexsort per partition;
+    reconstruction partitions by doc and order-joins each doc's
+    surviving chunks with one ListArray binary_join per partition (no
+    per-doc loop)."""
+    from .queries_ext import _fuse20
+
+    import hashlib
+
+    P = relational.adaptive_parts(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def chunker(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(b["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat = toks.flatten()              # offset-aware (ADVICE r3)
+        n = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nch = (n + PASSAGE_W - 1) // PASSAGE_W
+        total = int(nch.sum())
+        doc_rep = np.repeat(doc, nch)
+        cum = np.concatenate(([0], np.cumsum(nch)))[:-1]
+        ci = np.arange(total, dtype=np.int64) - np.repeat(cum, nch)
+        tok_start = np.concatenate(([0], np.cumsum(n)))[:-1]
+        starts = np.repeat(tok_start, nch) + ci * PASSAGE_W
+        offsets = np.concatenate((starts, [int(n.sum())])).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        chunk = pc.binary_join(lst, " ")
+        h = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(
+                s.encode("utf-8"), digest_size=8).digest(), "little")
+             for s in chunk.to_pylist()),
+            dtype=np.uint64, count=total)
+        return pa.table({
+            "chash": pa.array(h.view(np.int64), pa.int64()),
+            "fused": pa.array(_fuse20(doc_rep, ci, "passage (doc, ci)"),
+                              pa.int64()),
+            "chunk": chunk,
+            "_part": pa.array((h % np.uint64(P)).astype(np.int32),
+                              pa.int32()),
+        })
+
+    def winners(t: pa.Table) -> pa.Table:
+        h = t["chash"].to_numpy(zero_copy_only=False)
+        f = t["fused"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((f, h))
+        h_s = h[order]
+        first = np.ones(len(h_s), bool)
+        if len(h_s):
+            first[1:] = h_s[1:] != h_s[:-1]
+        keep = order[first]
+        doc = f[keep] >> np.int64(20)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "ci": pa.array(f[keep] & np.int64((1 << 20) - 1), pa.int64()),
+            "chunk": t["chunk"].take(pa.array(keep)),
+            "_p2": pa.array((doc % P).astype(np.int32), pa.int32()),
+        })
+
+    def reconstruct(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        ci = t["ci"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ci, doc))
+        doc_s = doc[order]
+        starts = np.ones(len(doc_s), bool)
+        if len(doc_s):
+            starts[1:] = doc_s[1:] != doc_s[:-1]
+        idx = np.nonzero(starts)[0]
+        offsets = np.r_[idx, len(doc_s)].astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            t["chunk"].take(pa.array(order)).combine_chunks())
+        counts = np.diff(np.r_[idx, len(doc_s)]).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_s[idx], pa.int64()),
+            "text_dedup": pc.binary_join(lst, " "),
+            "n_chunks_kept": pa.array(counts, pa.int64()),
+        })
+
+    return docs.map_batches(chunker, batch_format="pyarrow") \
+        .groupby("_part").map_groups(winners, batch_format="pyarrow") \
+        .groupby("_p2").map_groups(reconstruct, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+REP_NCHARS_OFF = np.int64(1 << 19)       # n_chars inverted below 2^19 so
+REP_DOC_W = np.int64(1 << 43)            # min(fused) = (max chars, min id)
+
+
+def q_cluster_representatives(sf_dir: str):
+    """One representative per duplicate cluster: the longest document
+    (n_chars), ties to the smallest doc_id — the keep-rule a real dedup
+    pass applies to near-dup clusters. Chains the connected-components
+    labels through one hash join (attach n_chars) and a per-cluster
+    integer argmin over the fused key (2^19 - n_chars) * 2^43 + doc_id
+    (the q2/min-cost fuse pattern: lexicographic argmin as a single
+    Min aggregate, overflow guarded loudly)."""
+    from ray.data.aggregate import Count, Min
+
+    labels = q_dedup_clusters(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def docs_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_chars": pc.cast(b["n_chars"], pa.int64()),
+        })
+
+    P = relational.adaptive_parts(sf_dir)
+    j = relational.hash_join_i64(
+        labels, docs.map_batches(docs_slim, batch_format="pyarrow"),
+        key="doc_id", left_carry={"cluster_id": pa.int64()},
+        right_carry={"n_chars": pa.int64()}, P=P)
+
+    def fuse(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nc) and (int(nc.max()) >= int(REP_NCHARS_OFF)
+                        or int(d.max()) >= int(REP_DOC_W)):
+            raise ValueError("cluster_representatives: fuse width "
+                             "exceeded (n_chars >= 2^19 or doc_id >= "
+                             "2^43) — widen the packing")
+        return pa.table({
+            "cluster_id": pc.cast(b["cluster_id"], pa.int64()),
+            "rep_key": pa.array((REP_NCHARS_OFF - nc) * REP_DOC_W + d,
+                                pa.int64()),
+        })
+
+    agg = j.map_batches(fuse, batch_format="pyarrow") \
+        .groupby("cluster_id") \
+        .aggregate(Min("rep_key", alias_name="rep_key"),
+                   Count(alias_name="cluster_size"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        k = b["rep_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cluster_id": pc.cast(b["cluster_id"], pa.int64()),
+            "rep_doc_id": pa.array(k % REP_DOC_W, pa.int64()),
+            "rep_n_chars": pa.array(REP_NCHARS_OFF - k // REP_DOC_W,
+                                    pa.int64()),
+            "cluster_size": pc.cast(b["cluster_size"], pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow") \
+        .sort("cluster_id")
+
+
 MIX_TEMP_MULT = 3       # quota_s = min(n_s, MULT * isqrt(n_s)) — α≈0.5
 _MIX_HASH_MOD = np.int64(4_194_304)        # doc_id folded to 22 bits so
 _MIX_HASH_MULT = np.int64(2_654_435_761)   # the Knuth product stays in
@@ -1885,6 +2048,8 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "cluster_size_hist": q_cluster_size_hist,
+    "passage_dedup": q_passage_dedup,
+    "cluster_representatives": q_cluster_representatives,
     "mix_sources": q_mix_sources,
     "filter_corpus": q_filter_corpus,
     "simhash": q_simhash,
@@ -2278,6 +2443,55 @@ WITH RECURSIVE
 SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM sz GROUP BY cluster_size""",
+    "passage_dedup": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), chunks AS (
+  SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS ci,
+         string_agg(tok, ' ' ORDER BY i) AS chunk
+  FROM toks GROUP BY doc_id, (i - 1) // 10
+), winners AS (
+  SELECT chunk, MIN(doc_id * 1048576 + ci) AS w
+  FROM chunks GROUP BY chunk
+)
+SELECT c.doc_id,
+       string_agg(c.chunk, ' ' ORDER BY c.ci) AS text_dedup,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks_kept
+FROM chunks c JOIN winners ON c.chunk = winners.chunk
+WHERE c.doc_id * 1048576 + c.ci = winners.w
+GROUP BY c.doc_id
+ORDER BY c.doc_id""",
+    "cluster_representatives": """
+WITH RECURSIVE
+  e AS (
+    SELECT doc_a AS a, doc_b AS b
+    FROM read_parquet('/tmp/graft_expected/minhash_pairs.parquet')
+    UNION ALL
+    SELECT doc_b, doc_a
+    FROM read_parquet('/tmp/graft_expected/minhash_pairs.parquet')
+  ),
+  nodes AS (SELECT DISTINCT a AS n FROM e),
+  reach(n, m) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m
+  ),
+  lab AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+          FROM reach GROUP BY n),
+  rep AS (
+    SELECT lab.cluster_id,
+           MIN((524288 - d.n_chars) * 8796093022208 + d.doc_id) AS k,
+           COUNT(*) AS cluster_size
+    FROM lab JOIN documents d ON lab.doc_id = d.doc_id
+    GROUP BY lab.cluster_id
+  )
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(k % 8796093022208 AS BIGINT) AS rep_doc_id,
+       CAST(524288 - k // 8796093022208 AS BIGINT) AS rep_n_chars,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM rep ORDER BY cluster_id""",
     "mix_sources": """
 WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
 q AS (SELECT source, n,

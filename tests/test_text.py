@@ -292,3 +292,67 @@ def test_mix_sources_matches_pandas_recompute(ray_session):
     assert got["quota"].tolist() == [int(quota[s]) for s in got.index]
     # the flattening actually bites: every source kept strictly fewer
     assert (got["n_kept"] < got["n_total"]).any()
+
+
+def test_passage_dedup_matches_bruteforce(ray_session):
+    """q_passage_dedup must equal a pure-python brute-force pass over
+    the whole sf0.001 corpus (independent of both DuckDB and the Ray
+    kernels): chunk in 10-word windows, first corpus-wide occurrence by
+    (doc_id, chunk_idx) wins, docs rebuilt from surviving chunks."""
+    import pandas as pd
+
+    from grandine_ray.pipelines.queries import PASSAGE_W, q_passage_dedup
+
+    sf = "/root/testdata/sf0.001"
+    df = pd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]) \
+        .sort_values("doc_id")
+    seen = {}
+    want = {}
+    for doc, text in zip(df["doc_id"], df["text"]):
+        toks = text.split(" ")
+        kept = []
+        for ci in range(0, len(toks), PASSAGE_W):
+            chunk = " ".join(toks[ci:ci + PASSAGE_W])
+            key = (int(doc), ci // PASSAGE_W)
+            if seen.setdefault(chunk, key) == key:
+                kept.append(chunk)
+        if kept:
+            want[int(doc)] = (" ".join(kept), len(kept))
+
+    got = q_passage_dedup(sf).to_pandas()
+    assert len(got) == len(want)
+    for doc, text, n in zip(got["doc_id"], got["text_dedup"],
+                            got["n_chunks_kept"]):
+        assert want[int(doc)] == (text, int(n)), doc
+    # dedup actually bites at this scale: some doc must lose a chunk
+    assert any(want[int(d)][0] != t
+               for d, t in zip(df["doc_id"], df["text"])
+               if int(d) in want)
+
+
+def test_cluster_representatives_argmin_rule(ray_session):
+    """The representative of every cluster must be its member with the
+    most chars, ties to the smallest doc_id (recomputed directly from
+    the labels + documents in pandas)."""
+    import pandas as pd
+
+    from grandine_ray.pipelines.queries import (q_cluster_representatives,
+                                                q_dedup_clusters)
+
+    sf = "/root/testdata/sf0.001"
+    lab = q_dedup_clusters(sf).to_pandas()
+    nchars = pd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "n_chars"]) \
+        .set_index("doc_id")["n_chars"]
+    want = {}
+    for cid, grp in lab.groupby("cluster_id"):
+        members = sorted((-int(nchars[d]), int(d))
+                         for d in grp["doc_id"])
+        want[int(cid)] = (members[0][1], -members[0][0], len(grp))
+
+    got = q_cluster_representatives(sf).to_pandas()
+    assert len(got) == len(want)
+    for cid, rep, nc, sz in zip(got["cluster_id"], got["rep_doc_id"],
+                                got["rep_n_chars"], got["cluster_size"]):
+        assert want[int(cid)] == (int(rep), int(nc), int(sz)), cid
