@@ -367,6 +367,36 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(final, batch_format="pandas")
 
 
+ANN_FILTER_LABELS = (2, 3, 5)
+
+
+def q_ann_filtered(sf_dir: str):
+    """Filtered vector search: exact top-k cosine per query over only
+    the embeddings whose label passes a metadata predicate (the
+    pre-filter ANN shape every retrieval/curation pipeline needs —
+    filter pushed down into the scan, so the scorer never sees an
+    excluded row; same broadcast-query-matrix contract as ann_topk)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(expr="vec_id < 4").take_all()
+    qids = [r["vec_id"] for r in qrows]
+    qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    allowed = np.array(ANN_FILTER_LABELS, np.int64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(np.isin(lab, allowed)))
+
+    filt = emb.map_batches(keep, batch_format="pyarrow")
+    out = ann_stage.brute_force_topk(filt, qids, qm, k=10)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["score"].round(4)
+        return g[["query_id", "vec_id", "rank", "score"]]
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup candidates verified by n-gram Jaccard ≥ 0.5 —
     fully distributed: capped in-band pair generation, distinct groupby,
@@ -2045,6 +2075,7 @@ QUERIES = {
     "top_docs": q_top_docs,
     "lang_dist": q_lang_dist,
     "ann_topk": q_ann_topk,
+    "ann_filtered": q_ann_filtered,
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "cluster_size_hist": q_cluster_size_hist,
@@ -2325,6 +2356,20 @@ scored AS (
                             ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
                                      e.vec_id) AS rank
   FROM q CROSS JOIN embeddings e
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank, ROUND(CAST(score AS DOUBLE), 4) AS score
+FROM scored WHERE rank <= 10""",
+    "ann_filtered": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS score,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                     e.vec_id) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label IN (2, 3, 5)
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        CAST(rank AS BIGINT) AS rank, ROUND(CAST(score AS DOUBLE), 4) AS score

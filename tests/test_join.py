@@ -481,3 +481,36 @@ def test_pip_join_partitioned_salted_equals_unsalted():
     assert plain and salted == plain
     # sanity: hot points matched the overlapping polygons
     assert any(pid == "g0#0" for _, _, pid in plain)
+
+
+def test_ann_filtered_respects_predicate_and_ranks(ray_session):
+    """Filtered vector search: every hit's label passes the predicate,
+    and per query the hits equal the brute-force numpy top-k over ONLY
+    the allowed rows (sf0.001 embeddings)."""
+    import numpy as np
+    import pandas as pd
+
+    from grandine_ray.pipelines.queries import (ANN_FILTER_LABELS,
+                                                q_ann_filtered)
+
+    sf = "/root/testdata/sf0.001"
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    got = q_ann_filtered(sf).to_pandas()
+
+    allowed = emb[emb["label"].isin(ANN_FILTER_LABELS)]
+    labels = emb.set_index("vec_id")["label"]
+    assert got["vec_id"].map(labels).isin(ANN_FILTER_LABELS).all()
+
+    M = np.stack(allowed["embedding"].to_numpy())
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = allowed["vec_id"].to_numpy()
+    for qid in sorted(got["query_id"].unique()):
+        q = np.asarray(
+            emb.loc[emb["vec_id"] == qid, "embedding"].iloc[0], float)
+        s = Mn @ (q / np.linalg.norm(q))
+        order = np.lexsort((ids, -s))[:10]
+        want = list(ids[order])
+        have = got[got["query_id"] == qid].sort_values("rank")
+        assert list(have["vec_id"]) == want
+        np.testing.assert_allclose(
+            have["score"].to_numpy(), np.round(s[order], 4), atol=1e-4)
