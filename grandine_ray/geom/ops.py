@@ -158,3 +158,49 @@ def line_center(pts: np.ndarray) -> tuple[float, float]:
     py = ((y + yn) * cross).sum()
     z = 1.0 / (3.0 * s)
     return px * z, py * z
+
+
+def polygon_area2_micro(gb) -> tuple:
+    """Per-geometry shoelace statistics in EXACT integer arithmetic.
+
+    Coordinates are integer-ized per vertex (floor(v * 1e6 + 0.5) —
+    micro-degrees, the repo's cross-engine float-parity rule) and the
+    shoelace cross terms are summed as int64, so the result is
+    bit-identical to any engine applying the same integer recipe (the
+    DuckDB oracle mirrors it over the ground-truth vertex table).
+
+    Returns ``(n_rings, n_vertices, area2_sum)`` int64 arrays per
+    geometry, where ``area2_sum`` is the sum over the geometry's rings of
+    ``abs(sum(x_i*y_{i+1} - x_{i+1}*y_i))`` with wraparound inside each
+    (unclosed) ring — twice the absolute ring area in micro-deg².
+    """
+    n = len(gb.types)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    xi = np.floor(gb.coords[:, 0] * 1e6 + 0.5).astype(np.int64)
+    yi = np.floor(gb.coords[:, 1] * 1e6 + 0.5).astype(np.int64)
+    # |xi| <= 180e6, |yi| <= 90e6 -> |cross term| <= 3.3e16; a ring of
+    # up to ~2.8e2 vertices stays far below 2^63. Guard loudly anyway.
+    ro = np.asarray(gb.ring_offsets, np.int64)
+    go = np.asarray(gb.geom_offsets, np.int64)
+    total = len(xi)
+    if np.abs(xi).max(initial=0) > 200_000_000 or \
+            np.abs(yi).max(initial=0) > 200_000_000:
+        raise ValueError("polygon_area2_micro: coordinate out of range")
+    nxt = np.arange(1, total + 1, dtype=np.int64)
+    last = ro[1:] - 1          # last vertex index of each ring
+    nxt[last] = ro[:-1]        # wraparound to ring start
+    cross = xi * yi[nxt] - xi[nxt] * yi
+    ring_area2 = np.add.reduceat(cross, ro[:-1])
+    ring_area2[ro[:-1] == ro[1:]] = 0  # defensive: empty ring
+    abs2 = np.abs(ring_area2)
+    n_rings = (go[1:] - go[:-1]).astype(np.int64)
+    area2 = np.zeros(n, np.int64)
+    nz = n_rings > 0
+    if nz.any():
+        area2[nz] = np.add.reduceat(abs2, go[:-1][nz])
+    starts = ro[go[:-1]]
+    stops = ro[go[1:]]
+    n_vertices = (stops - starts).astype(np.int64)
+    return n_rings, n_vertices, area2

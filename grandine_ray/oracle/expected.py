@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v11"  # v11: +lang_confusion (v10: +audio_windows)
+_VERSION = "v12"  # v12: +quality_score, target_affinity (v11: +lang_confusion)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -766,6 +766,65 @@ def expected_lang_confusion(docs_parquet) -> pa.Table:
     })
 
 
+def _qs_weight(bucket: int) -> int:
+    """Scalar mirror of stages/corpus.py quality_weights — pure integer
+    arithmetic, recomputed independently here."""
+    return (bucket * 2654435761 + 99991) % 2001 - 1000
+
+
+def _doc_words(t: str) -> list:
+    words = _WS.sub(" ", (t or "").lower()).strip().split(" ")
+    return [] if words == [""] else words
+
+
+def expected_quality_score(docs_parquet) -> pa.Table:
+    """Scalar hashed-BoW linear scorer: per word occurrence,
+    weight[_poly(word) % 4096]; keep = score > 0."""
+    ids, texts = _doc_texts(docs_parquet)
+    d_l, n_l, s_l, k_l = [], [], [], []
+    for i, t in zip(ids, texts):
+        words = _doc_words(t)
+        score = sum(_qs_weight(_poly(w) % 4096) for w in words)
+        d_l.append(i)
+        n_l.append(len(words))
+        s_l.append(score)
+        k_l.append(int(score > 0))
+    return pa.table({
+        "doc_id": pa.array(d_l, pa.int64()),
+        "n_words": pa.array(n_l, pa.int64()),
+        "score": pa.array(s_l, pa.int64()),
+        "keep": pa.array(k_l, pa.int64()),
+    })
+
+
+def expected_target_affinity(docs_parquet) -> pa.Table:
+    """Scalar DSIR-flavored affinity: target = lang='en' docs; ppm[b] =
+    floor(count_b/total * 1e6 + 0.5) over hashed unigram buckets;
+    affinity = Σ ppm[bucket(word)] over raw word occurrences."""
+    t = pq.read_table(docs_parquet, columns=["doc_id", "text", "lang"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    T = [0] * 4096
+    for txt, lg in zip(texts, langs):
+        if lg == "en":
+            for w in _doc_words(txt):
+                T[_poly(w) % 4096] += 1
+    total = sum(T)
+    ppm = [math.floor(c / total * 1e6 + 0.5) if total else 0 for c in T]
+    d_l, n_l, a_l = [], [], []
+    for i, txt in zip(ids, texts):
+        words = _doc_words(txt)
+        d_l.append(i)
+        n_l.append(len(words))
+        a_l.append(sum(ppm[_poly(w) % 4096] for w in words))
+    return pa.table({
+        "doc_id": pa.array(d_l, pa.int64()),
+        "n_words": pa.array(n_l, pa.int64()),
+        "affinity": pa.array(a_l, pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "lang_confusion": ("docs", expected_lang_confusion),
@@ -784,6 +843,8 @@ GENERATORS = {
     "gopher_quality": ("docs", expected_gopher_quality),
     "geohash_cells": ("corpus", expected_geohash_cells),
     "corpus_build": ("docs", expected_corpus_build),
+    "quality_score": ("docs", expected_quality_score),
+    "target_affinity": ("docs", expected_target_affinity),
 }
 
 

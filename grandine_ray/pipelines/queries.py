@@ -2811,3 +2811,7 @@ QUERIES.update(QUERIES_EVT)
 ORACLE_SQL.update(ORACLE_SQL_EVT)
 QUERIES.update(QUERIES_GEO)
 ORACLE_SQL.update(_oracle_sql_geo())
+from .queries_ml import QUERIES_ML, _oracle_sql_ml  # noqa: E402
+
+QUERIES.update(QUERIES_ML)
+ORACLE_SQL.update(_oracle_sql_ml())

@@ -533,3 +533,119 @@ def _ngram_hashes_raw(texts, n: int):
     gdoc = wdoc[: len(wstart) - n + 1]
     same = wdoc[n - 1:] == gdoc
     return _hash_slices(A, Binvpow, g0[same], g1[same]), gdoc[same]
+
+
+# -------------------------------------------- hashed-BoW model scoring
+
+QS_BUCKETS = 4096
+# deterministic pseudo-random integer weights in [-1000, 1000] — the
+# "trained model" stand-in; computed identically (pure integer
+# arithmetic) by the engine and the scalar oracle
+QS_MULT = 2654435761
+QS_OFF = 99991
+QS_MOD = 2001
+
+
+def quality_weights() -> np.ndarray:
+    b = np.arange(QS_BUCKETS, dtype=np.int64)
+    return (b * QS_MULT + QS_OFF) % QS_MOD - 1000
+
+
+def hashed_bow_quality(batch: pa.Table, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """fastText-style linear quality scorer over hashed bag-of-words
+    features: score = Σ_occurrences weight[word_hash % D], all-integer
+    (exact across engines). One vectorized prefix-hash pass per batch;
+    keep = score > 0."""
+    texts = batch[text_col].to_pylist()
+    m = len(texts)
+    H, doc_of = _ngram_hashes_raw(texts, 1)
+    W = quality_weights()
+    n_words = np.bincount(doc_of, minlength=m).astype(np.int64) \
+        if len(doc_of) else np.zeros(m, np.int64)
+    # float64 bincount sums of ints bounded by 1e3 * words/doc — exact
+    # far below 2^53
+    score = np.zeros(m, np.int64)
+    if len(H):
+        w = W[(H % np.uint64(QS_BUCKETS)).astype(np.int64)]
+        score = np.bincount(doc_of, weights=w.astype(np.float64),
+                            minlength=m).astype(np.int64)
+    return pa.table({
+        id_col: pc.cast(batch[id_col], pa.int64()),
+        "n_words": pa.array(n_words, pa.int64()),
+        "score": pa.array(score, pa.int64()),
+        "keep": pa.array((score > 0).astype(np.int64), pa.int64()),
+    })
+
+
+def _target_hist_task(*blocks) -> np.ndarray:
+    """Sum per-block (bucket, cnt) partials into the D-bucket target
+    histogram and return the integer ppm distribution — runs on a
+    worker from block refs (never collected on the driver)."""
+    T = np.zeros(QS_BUCKETS, np.int64)
+    for t in blocks:
+        if t.num_rows:
+            b = t["bucket"].to_numpy(zero_copy_only=False)
+            c = t["cnt"].to_numpy(zero_copy_only=False)
+            np.add.at(T, b, c)
+    total = int(T.sum())
+    if total == 0:
+        return np.zeros(QS_BUCKETS, np.int64)
+    return np.floor(T / total * 1e6 + 0.5).astype(np.int64)
+
+
+_TARGET_PPM: dict = {}
+
+
+def _cached_ppm(ref) -> np.ndarray:
+    key = ref.hex()
+    if key not in _TARGET_PPM:
+        _TARGET_PPM[key] = ray.get(ref)
+    return _TARGET_PPM[key]
+
+
+def target_affinity(docs, target, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """DSIR-flavored importance scoring: affinity of every document to a
+    target domain = Σ_word-occurrences target_ppm[word_hash % D], where
+    target_ppm is the target corpus's hashed-unigram distribution in
+    integer parts-per-million. The D-bucket histogram is built on a
+    worker from block refs and broadcast once (decontaminate pattern) —
+    zero shuffles, O(D) driver-independent state."""
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        H, _ = _ngram_hashes_raw(b[text_col].to_pylist(), 1)
+        if not len(H):
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        bk = (H % np.uint64(QS_BUCKETS)).astype(np.int64)
+        T = np.bincount(bk, minlength=QS_BUCKETS)
+        nz = np.nonzero(T)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(T[nz], pa.int64())})
+
+    part = target.map_batches(bucket_counts, batch_format="pyarrow")
+    blocks = part.materialize().get_internal_block_refs()
+    fn = ray.remote(num_cpus=1)(_target_hist_task)
+    ppm_ref = fn.remote(*blocks)
+
+    def score(b: pa.Table) -> pa.Table:
+        ppm = _cached_ppm(ppm_ref)
+        texts = b[text_col].to_pylist()
+        m = len(texts)
+        H, doc_of = _ngram_hashes_raw(texts, 1)
+        n_words = np.bincount(doc_of, minlength=m).astype(np.int64) \
+            if len(doc_of) else np.zeros(m, np.int64)
+        aff = np.zeros(m, np.int64)
+        if len(H):
+            p = ppm[(H % np.uint64(QS_BUCKETS)).astype(np.int64)]
+            # ppm <= 1e6, occurrences/doc <= ~1e4 -> < 2^53, exact
+            aff = np.bincount(doc_of, weights=p.astype(np.float64),
+                              minlength=m).astype(np.int64)
+        return pa.table({
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "affinity": pa.array(aff, pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
