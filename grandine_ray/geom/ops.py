@@ -204,3 +204,41 @@ def polygon_area2_micro(gb) -> tuple:
     stops = ro[go[1:]]
     n_vertices = (stops - starts).astype(np.int64)
     return n_rings, n_vertices, area2
+
+
+def linestring_length_mm(gb) -> tuple:
+    """Per-geometry geodesic length: haversine per segment, floored to
+    integer millimetres PER SEGMENT (the cross-engine contract used by
+    knn/radius joins — floor(d*1000+0.5)), then integer-summed.
+
+    Returns ``(n_segments, length_mm)`` int64 arrays per geometry. A
+    geometry's segments are consecutive vertex pairs inside each ring
+    (no wraparound — linestrings are open).
+    """
+    n = len(gb.types)
+    z = np.zeros(n, np.int64)
+    if n == 0:
+        return z, z.copy()
+    ro = np.asarray(gb.ring_offsets, np.int64)
+    go = np.asarray(gb.geom_offsets, np.int64)
+    total = len(gb.coords)
+    if total < 2:
+        return z, z.copy()
+    # segment start index s is every vertex that is not the last of its ring
+    is_last = np.zeros(total, bool)
+    is_last[ro[1:] - 1] = True
+    s = np.nonzero(~is_last)[0]
+    if len(s) == 0:
+        return z, z.copy()
+    x, y = gb.coords[:, 0], gb.coords[:, 1]
+    d = haversine_m(x[s], y[s], x[s + 1], y[s + 1])
+    mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+    # ring of each segment -> geometry of each ring
+    ring_of_seg = np.searchsorted(ro, s, side="right") - 1
+    geom_of_ring = np.searchsorted(go, np.arange(len(ro) - 1),
+                                   side="right") - 1
+    geom_of_seg = geom_of_ring[ring_of_seg]
+    n_segments = np.bincount(geom_of_seg, minlength=n).astype(np.int64)
+    length = np.zeros(n, np.int64)
+    np.add.at(length, geom_of_seg, mm)
+    return n_segments, length

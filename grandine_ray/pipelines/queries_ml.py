@@ -111,7 +111,85 @@ def q_polygon_area(sf_dir: str):
     return polys.map_batches(area, batch_format="pyarrow")
 
 
+BLOOM_SHIP_LO = "1995-01-01"
+BLOOM_SHIP_HI = "1995-04-01"
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-accelerated semi join: orders with at least one lineitem
+    shipped in [1995-01-01, 1995-04-01). The 128 KiB Bloom bitmap over
+    the qualifying orderkeys is built on a worker from block refs and
+    broadcast; the map-side pre-filter drops the orders that cannot
+    match BEFORE the exact hash semi join, so the exchange carries only
+    plausible probe rows (the 100-TB semi-join shape). Output is exact:
+    Bloom false positives are removed by the verify join."""
+    from ..stages import relational
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    lo = np.datetime64(BLOOM_SHIP_LO, "us").astype(np.int64)
+    hi = np.datetime64(BLOOM_SHIP_HI, "us").astype(np.int64)
+
+    def li_keys(b: pa.Table) -> pa.Table:
+        sd = relational._ts_us(b["l_shipdate"])
+        keep = (sd >= lo) & (sd < hi)
+        keys = np.unique(
+            relational._np(b["l_orderkey"]).astype(np.int64)[keep])
+        return pa.table({"k": pa.array(keys, pa.int64())})
+
+    keys_ds = li.map_batches(li_keys, batch_format="pyarrow")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def ord_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    slim = orders.map_batches(ord_slim, batch_format="pyarrow")
+    prefiltered = relational.bloom_semi_filter(slim, keys_ds,
+                                               key="o_orderkey")
+    return relational.hash_join_i64(
+        prefiltered, keys_ds.map_batches(
+            lambda b: pa.table({"o_orderkey": b["k"]}),
+            batch_format="pyarrow"),
+        key="o_orderkey",
+        left_carry={"o_orderpriority": pa.string()},
+        right_carry={}, how="semi",
+        P=relational.adaptive_parts(sf_dir))
+
+
+def q_line_length(sf_dir: str):
+    """Per-linestring geodesic length (haversine per segment, integer
+    millimetres floored per segment — the knn/radius cross-engine
+    contract — then integer-summed) plus segment count, from the
+    engine's own WKB decode path; SQL parity via the haversine macro
+    over the ground-truth vertex table."""
+    from .queries import _features_ds
+
+    lines = _features_ds(sf_dir).filter(expr="geom_type == 2")
+
+    def length(b: pa.Table) -> pa.Table:
+        blobs = [v.as_py() for v in b["geom_wkb"]]
+        gb = wkbmod.decode_wkb_batch(blobs)
+        n_segments, mm = geo_ops.linestring_length_mm(gb)
+        keep = n_segments > 0  # SQL's segment join drops 1-vertex lines
+        t = pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "n_segments": pa.array(n_segments, pa.int64()),
+            "length_mm": pa.array(mm, pa.int64()),
+        })
+        return t.filter(pa.array(keep))
+
+    return lines.map_batches(length, batch_format="pyarrow")
+
+
 QUERIES_ML = {
+    "bloom_semi_join": q_bloom_semi_join,
+    "line_length": q_line_length,
     "quality_score": q_quality_score,
     "target_affinity": q_target_affinity,
     "ann_range": q_ann_range,
@@ -120,7 +198,37 @@ QUERIES_ML = {
 
 
 def _oracle_sql_ml() -> dict[str, str]:
-    from .queries import _GEOMS
+    from .queries import _GEOMS, _HAVERSINE
+
+    hav = _HAVERSINE.format(lat1="v.y", lon1="v.x", lat2="w.y", lon2="w.x")
+    line_length_sql = f"""
+WITH lb AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, xs, ys
+  FROM {_GEOMS} WHERE geom_type = 2
+),
+verts AS (
+  SELECT doc_id, span_idx, UNNEST(xs) AS x, UNNEST(ys) AS y,
+         UNNEST(generate_series(1, len(xs))) AS pos
+  FROM lb
+),
+segs AS (
+  SELECT v.doc_id, v.span_idx,
+         CAST(FLOOR(({hav}) * 1000.0 + 0.5) AS BIGINT) AS mm
+  FROM verts v
+  JOIN verts w ON w.doc_id = v.doc_id AND w.span_idx = v.span_idx
+              AND w.pos = v.pos + 1
+)
+SELECT doc_id, span_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(mm) AS BIGINT) AS length_mm
+FROM segs GROUP BY doc_id, span_idx"""
+
+    bloom_semi_sql = f"""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority
+FROM orders WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{BLOOM_SHIP_LO}'
+    AND l_shipdate < TIMESTAMP '{BLOOM_SHIP_HI}')"""
 
     polygon_area_sql = f"""
 WITH pb AS (
@@ -177,6 +285,8 @@ WHERE list_cosine_similarity(q.qe, e.embedding) >= {ANN_RANGE_THRESHOLD}"""
     return {
         "polygon_area": polygon_area_sql,
         "ann_range": ann_range_sql,
+        "line_length": line_length_sql,
+        "bloom_semi_join": bloom_semi_sql,
         # independent scalar ground truths (oracle/expected.py)
         "quality_score":
             "SELECT * FROM read_parquet('/tmp/graft_expected/quality_score.parquet')",

@@ -327,3 +327,82 @@ def interval_join(left, ts_col: str, left_carry: dict[str, pa.DataType],
 
     return unioned.groupby("_bucket").map_groups(resolve,
                                                  batch_format="pyarrow")
+
+
+# ------------------------------------------------------- Bloom pre-filter
+
+BLOOM_M_LOG2 = 20   # 2^20 bits = 128 KiB bitmap
+BLOOM_K = 4
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (public splitmix64 constants)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(keys: np.ndarray, m_log2: int, k: int) -> np.ndarray:
+    """[k, n] bit positions via double hashing (h1 + i*h2, h2 odd)."""
+    x = keys.astype(np.int64).view(np.uint64)
+    h1 = _splitmix64(x)
+    h2 = _splitmix64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    mask = np.uint64((1 << m_log2) - 1)
+    return np.stack([(h1 + np.uint64(i) * h2) & mask for i in range(k)])
+
+
+def _bloom_build_task(m_log2: int, k: int, *blocks) -> np.ndarray:
+    """OR per-block key sets into one packed uint64 bitmap — runs on a
+    worker from block refs (the bitmap, not the keys, is what ships)."""
+    bm = np.zeros(1 << max(m_log2 - 6, 0), np.uint64)
+    for t in blocks:
+        if not t.num_rows:
+            continue
+        keys = t["k"].to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(keys, m_log2, k).ravel()
+        np.bitwise_or.at(bm, pos >> np.uint64(6),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return bm
+
+
+_BLOOM_CACHE: dict = {}
+
+
+def _cached_bloom(ref) -> np.ndarray:
+    key = ref.hex()
+    if key not in _BLOOM_CACHE:
+        import ray
+
+        _BLOOM_CACHE[key] = ray.get(ref)
+    return _BLOOM_CACHE[key]
+
+
+def bloom_semi_filter(left, right_keys, key: str,
+                      m_log2: int = BLOOM_M_LOG2, k: int = BLOOM_K):
+    """Map-side Bloom pre-filter for a semi join: keep every ``left`` row
+    whose ``key`` MIGHT appear in ``right_keys`` (a Dataset with an
+    int64 column ``k``). No false negatives; false positives pass
+    through, so compose with ``hash_join_i64(..., how="semi")`` for the
+    exact answer. The 128 KiB bitmap is built on a worker from block
+    refs and broadcast once — at 100 TB this is the stage that keeps the
+    exact semi join's shuffle from carrying the 99% of probe rows that
+    can't match."""
+    import ray
+
+    blocks = right_keys.materialize().get_internal_block_refs()
+    fn = ray.remote(num_cpus=1)(_bloom_build_task)
+    bm_ref = fn.remote(m_log2, k, *blocks)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bm = _cached_bloom(bm_ref)
+        keys = b[key].to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(keys, m_log2, k)
+        hit = np.ones(len(keys), bool)
+        for i in range(k):
+            p = pos[i]
+            hit &= (bm[p >> np.uint64(6)]
+                    >> (p & np.uint64(63))) & np.uint64(1) != 0
+        return b.filter(pa.array(hit))
+
+    return left.map_batches(probe, batch_format="pyarrow")

@@ -128,3 +128,91 @@ def test_polygon_area_end_to_end(ray_session):
     assert (got.n_rings >= 1).all()
     assert (got.n_vertices >= 3).all()
     assert (got.area2_sum > 0).all()
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    from grandine_ray.stages.relational import (_bloom_build_task,
+                                                _bloom_positions)
+
+    keys = np.arange(1000, dtype=np.int64) * 7 + 3
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    bm = _bloom_build_task(20, 4, t)
+
+    def probe(ks):
+        pos = _bloom_positions(ks, 20, 4)
+        hit = np.ones(len(ks), bool)
+        for i in range(4):
+            p = pos[i]
+            hit &= (bm[p >> np.uint64(6)]
+                    >> (p & np.uint64(63))) & np.uint64(1) != 0
+        return hit
+
+    assert probe(keys).all()  # no false negatives, ever
+    others = np.arange(100_000, 200_000, dtype=np.int64)
+    assert probe(others).mean() < 1e-3  # 1k keys in 2^20 bits, k=4
+
+
+def test_bloom_semi_join_equals_plain_semi(ray_session):
+    """The Bloom pre-filter must not change the answer — compare against
+    the same semi join without the pre-filter."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from grandine_ray.stages import relational
+
+    got = queries_ml.q_bloom_semi_join(SF).to_pandas()
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    lo = np.datetime64(queries_ml.BLOOM_SHIP_LO, "us").astype(np.int64)
+    hi = np.datetime64(queries_ml.BLOOM_SHIP_HI, "us").astype(np.int64)
+
+    def li_keys(b):
+        sd = relational._ts_us(b["l_shipdate"])
+        keep = (sd >= lo) & (sd < hi)
+        keys = np.unique(
+            relational._np(b["l_orderkey"]).astype(np.int64)[keep])
+        return pa.table({"o_orderkey": pa.array(keys, pa.int64())})
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    slim = orders.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "o_orderpriority": b["o_orderpriority"]}),
+        batch_format="pyarrow")
+    plain = relational.hash_join_i64(
+        slim, li.map_batches(li_keys, batch_format="pyarrow"),
+        key="o_orderkey", left_carry={"o_orderpriority": pa.string()},
+        right_carry={}, how="semi", P=4).to_pandas()
+
+    a = sorted(map(tuple, got[["o_orderkey", "o_orderpriority"]].values))
+    b = sorted(map(tuple, plain[["o_orderkey", "o_orderpriority"]].values))
+    assert a == b and len(a) > 0
+
+
+def test_linestring_length_kernel_known_values():
+    from grandine_ray.geom import ops as gops
+
+    class GB:
+        pass
+
+    gb = GB()
+    gb.types = np.array([2, 2], np.uint8)
+    gb.coords = np.array([[0, 0], [1, 0], [1, 1], [10, 10], [10, 11]],
+                         float)
+    gb.ring_offsets = np.array([0, 3, 5])
+    gb.geom_offsets = np.array([0, 1, 2])
+    ns, L = gops.linestring_length_mm(gb)
+    assert ns.tolist() == [2, 1]
+    d1 = (int(np.floor(gops.haversine_m(0, 0, 1, 0) * 1000 + 0.5))
+          + int(np.floor(gops.haversine_m(1, 0, 1, 1) * 1000 + 0.5)))
+    d2 = int(np.floor(gops.haversine_m(10, 10, 10, 11) * 1000 + 0.5))
+    assert L.tolist() == [d1, d2]
+
+
+def test_line_length_end_to_end(ray_session):
+    got = queries_ml.q_line_length(SF).to_pandas()
+    assert len(got) > 0
+    assert (got.n_segments >= 1).all()
+    assert (got.length_mm > 0).all()
