@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v12"  # v12: +quality_score, target_affinity (v11: +lang_confusion)
+_VERSION = "v13"  # v13: +type_pagerank (v12: +quality_score, target_affinity)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -825,6 +825,43 @@ def expected_target_affinity(docs_parquet) -> pa.Table:
     })
 
 
+def expected_type_pagerank(events_parquet) -> pa.Table:
+    """Scalar PageRank over the event-type transition graph, mirroring
+    the integer spec exactly: per-user events ordered by (ts, event_id),
+    consecutive-pair counts, rank mass in micro-units, floor division
+    per edge, damping 85/100, 20 iterations, dangling mass dropped."""
+    t = pq.read_table(events_parquet,
+                      columns=["event_id", "user_id", "ts", "event_type"])
+    rows = sorted(zip(t["user_id"].to_pylist(),
+                      t["ts"].cast(pa.int64()).to_pylist(),
+                      t["event_id"].to_pylist(),
+                      t["event_type"].to_pylist()))
+    counts: dict = {}
+    for (u1, _, _, a), (u2, _, _, b) in zip(rows, rows[1:]):
+        if u1 == u2:
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    nodes = sorted({k[0] for k in counts} | {k[1] for k in counts})
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "rank_micro": pa.array([], pa.int64())})
+    out_w = {a: 0 for a in nodes}
+    for (a, _), c in counts.items():
+        out_w[a] += c
+    rank = {a: 1_000_000 // n for a in nodes}
+    base = 15 * 1_000_000 // (100 * n)
+    for _ in range(20):
+        nxt = {a: base for a in nodes}
+        for (a, b), c in counts.items():
+            if out_w[a]:
+                nxt[b] += 85 * rank[a] * c // (100 * out_w[a])
+        rank = nxt
+    return pa.table({
+        "event_type": pa.array(nodes, pa.string()),
+        "rank_micro": pa.array([rank[a] for a in nodes], pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "lang_confusion": ("docs", expected_lang_confusion),
@@ -845,6 +882,7 @@ GENERATORS = {
     "corpus_build": ("docs", expected_corpus_build),
     "quality_score": ("docs", expected_quality_score),
     "target_affinity": ("docs", expected_target_affinity),
+    "type_pagerank": ("events", expected_type_pagerank),
 }
 
 
@@ -860,7 +898,13 @@ def ensure_expected(corpus_dir: str,
     for name, (kind, fn) in GENERATORS.items():
         if names is not None and name not in names:
             continue
-        src = corpus_dir if kind == "corpus" else docs_parquet
+        if kind == "corpus":
+            src = corpus_dir
+        elif kind == "events":
+            src = docs_parquet.replace("documents.parquet",
+                                       "events.parquet")
+        else:
+            src = docs_parquet
         pq.write_table(fn(src), out / f"{name}.parquet")
     if names is None:
         marker.touch()

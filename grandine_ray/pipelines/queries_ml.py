@@ -187,9 +187,132 @@ def q_line_length(sf_dir: str):
     return lines.map_batches(length, batch_format="pyarrow")
 
 
+PMI_TOPK = 100
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Pointwise-mutual-information association scores for the top-100
+    corpus bigrams (collocation mining — the lexical-association pass of
+    a corpus-analysis pipeline). All counting is distributed (per-block
+    dictionary-encode partials → vocabulary-sized groupbys, the corpus
+    never moves); only the bounded top-k bigram list and its ≤2k member
+    unigram counts reach the driver, where the PMI ratio is computed in
+    arbitrary-precision integers: pmi_micro = floor(c_xy·Nu²·1e6 /
+    (Nb·c_x·c_y)) — exact across engines (DuckDB mirrors it in
+    HUGEINT)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        _, _, codes, dictionary = _batch_terms(b, "text")
+        cnt = np.bincount(codes, minlength=len(dictionary))
+        return pa.table({"term": dictionary,
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, _, _ = _batch_terms(b, "text")
+        L = len(flat)
+        if L < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, L - 1), flat.slice(1, L - 1), " ")
+        same_doc = doc_of[1:] == doc_of[:-1]
+        pairs = pairs.filter(pa.array(same_doc))
+        enc = pc.dictionary_encode(pairs)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"bigram": enc.dictionary,
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    uni = docs.map_batches(uni_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n")) \
+        .materialize()  # vocabulary-sized; reused for total + lookup
+    bi = docs.map_batches(bi_partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+
+    nu = int(uni.sum("n"))
+    nb = int(bi.sum("n"))
+    top = bi.sort(["n", "bigram"], descending=[True, False]) \
+        .limit(PMI_TOPK).take_all()
+    words = sorted({w for r in top for w in r["bigram"].split(" ")})
+    wset = pa.array(words, pa.string())
+
+    def keep_terms(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["term"], value_set=wset))
+
+    cu = {r["term"]: int(r["n"])
+          for r in uni.map_batches(keep_terms,
+                                   batch_format="pyarrow").take_all()}
+    out_b, out_n, out_p = [], [], []
+    for r in top:
+        w1, w2 = r["bigram"].split(" ")
+        c_xy = int(r["n"])
+        pmi = c_xy * nu * nu * 1_000_000 // (nb * cu[w1] * cu[w2])
+        out_b.append(r["bigram"])
+        out_n.append(c_xy)
+        out_p.append(pmi)
+    return pa.table({
+        "bigram": pa.array(out_b, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+        "pmi_micro": pa.array(out_p, pa.int64()),
+    })
+
+
+PAGERANK_ITERS = 20
+PAGERANK_SCALE = 1_000_000
+
+
+def q_type_pagerank(sf_dir: str):
+    """PageRank over the event-type transition graph (nodes = event
+    types, edge weights = Markov transition counts from
+    type_transitions' one-user-hash-shuffle kernel). The graph is
+    O(types²) by construction, so the fixed-point iteration runs on the
+    collected edge list in EXACT integer arithmetic (rank mass in
+    micro-units, floor division per edge, damping 85/100) — the same
+    bounded-driver-state contract as kmeans' k-row centroids. Oracled by
+    an independent scalar reimplementation from the raw events
+    (oracle/expected.py)."""
+    from .queries_evt import q_type_transitions
+
+    edges = q_type_transitions(sf_dir).take_all()
+    nodes = sorted({r["from_type"] for r in edges}
+                   | {r["to_type"] for r in edges})
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "rank_micro": pa.array([], pa.int64())})
+    w = np.zeros((n, n), np.int64)
+    for r in edges:
+        w[idx[r["from_type"]], idx[r["to_type"]]] = int(r["n"])
+    out_w = w.sum(axis=1)
+    rank = np.full(n, PAGERANK_SCALE // n, np.int64)
+    base = 15 * PAGERANK_SCALE // (100 * n)
+    for _ in range(PAGERANK_ITERS):
+        nxt = np.full(n, base, np.int64)
+        for u in range(n):
+            if out_w[u] == 0:
+                continue  # dangling: its 85% mass is dropped (spec'd)
+            contrib = (85 * int(rank[u]) * w[u]) // (100 * int(out_w[u]))
+            nxt += contrib
+        rank = nxt
+    return pa.table({
+        "event_type": pa.array(nodes, pa.string()),
+        "rank_micro": pa.array(rank, pa.int64()),
+    })
+
+
 QUERIES_ML = {
     "bloom_semi_join": q_bloom_semi_join,
     "line_length": q_line_length,
+    "bigram_pmi": q_bigram_pmi,
+    "type_pagerank": q_type_pagerank,
     "quality_score": q_quality_score,
     "target_affinity": q_target_affinity,
     "ann_range": q_ann_range,
@@ -282,11 +405,37 @@ SELECT CAST(q.query_id AS BIGINT) AS query_id,
 FROM q CROSS JOIN embeddings e
 WHERE list_cosine_similarity(q.qe, e.embedding) >= {ANN_RANGE_THRESHOLD}"""
 
+    bigram_pmi_sql = r"""
+WITH words AS (
+  SELECT regexp_split_to_array(TRIM(lower(text)), '\s+') AS ws
+  FROM documents WHERE TRIM(text) <> ''),
+uni AS (SELECT UNNEST(ws) AS term FROM words),
+ucnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY term),
+big AS (
+  SELECT UNNEST([ws[i] || ' ' || ws[i+1]
+                 for i in generate_series(1, len(ws) - 1)]) AS bigram
+  FROM words WHERE len(ws) >= 2),
+bcnt AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+         FROM big GROUP BY bigram),
+top AS (SELECT bigram, n FROM bcnt ORDER BY n DESC, bigram LIMIT 100),
+tot AS (SELECT (SELECT COUNT(*) FROM uni) AS nu,
+               (SELECT COUNT(*) FROM big) AS nb)
+SELECT t.bigram, t.n,
+       CAST((CAST(t.n AS HUGEINT) * nu * nu * 1000000)
+            // (CAST(nb AS HUGEINT) * u1.cu * u2.cu) AS BIGINT)
+         AS pmi_micro
+FROM top t, tot, ucnt u1, ucnt u2
+WHERE u1.term = split_part(t.bigram, ' ', 1)
+  AND u2.term = split_part(t.bigram, ' ', 2)"""
+
     return {
         "polygon_area": polygon_area_sql,
         "ann_range": ann_range_sql,
         "line_length": line_length_sql,
         "bloom_semi_join": bloom_semi_sql,
+        "bigram_pmi": bigram_pmi_sql,
+        "type_pagerank":
+            "SELECT * FROM read_parquet('/tmp/graft_expected/type_pagerank.parquet')",
         # independent scalar ground truths (oracle/expected.py)
         "quality_score":
             "SELECT * FROM read_parquet('/tmp/graft_expected/quality_score.parquet')",

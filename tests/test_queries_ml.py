@@ -216,3 +216,67 @@ def test_line_length_end_to_end(ray_session):
     assert len(got) > 0
     assert (got.n_segments >= 1).all()
     assert (got.length_mm > 0).all()
+
+
+def test_bigram_pmi_scalar_spot_check(ray_session):
+    """Recompute PMI for every returned bigram from raw python Counters
+    on the same corpus and compare exactly."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    got = queries_ml.q_bigram_pmi(SF).to_pandas()
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    uni, big = Counter(), Counter()
+    for t in texts:
+        ws = t.lower().split()
+        uni.update(ws)
+        big.update(a + " " + b for a, b in zip(ws, ws[1:]))
+    nu, nb = sum(uni.values()), sum(big.values())
+    top = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    want = {bg: (c, c * nu * nu * 1_000_000
+                 // (nb * uni[bg.split(" ")[0]] * uni[bg.split(" ")[1]]))
+            for bg, c in top}
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert (r.n, r.pmi_micro) == want[r.bigram]
+
+
+def test_type_pagerank_invariants(ray_session):
+    got = queries_ml.q_type_pagerank(SF).to_pandas()
+    assert len(got) > 0
+    assert (got.rank_micro > 0).all()
+    # total rank mass stays within the damped fixed-point bounds:
+    # at least the teleport mass, at most the initial mass (floor
+    # division only loses mass)
+    total = int(got.rank_micro.sum())
+    n = len(got)
+    assert n * (15 * 1_000_000 // (100 * n)) <= total <= 1_000_000
+
+
+def test_type_pagerank_uniform_two_cycle():
+    """A 2-node cycle with equal weights must converge to equal ranks —
+    exercised through the same integer kernel the query uses."""
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "ts": pa.array([ts0 + np.timedelta64(i, "s") for i in range(4)],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "a", "b"], pa.string()),
+        "value": pa.array([0.0] * 4, pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    })
+    from grandine_ray.oracle.expected import expected_type_pagerank
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "events.parquet")
+        pq.write_table(tbl, p)
+        out = expected_type_pagerank(p).to_pydict()
+    # a->b twice, b->a once: asymmetric counts but every edge is each
+    # node's only out-edge, so the cycle equalizes
+    assert out["event_type"] == ["a", "b"]
+    assert abs(out["rank_micro"][0] - out["rank_micro"][1]) < 2000
