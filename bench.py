@@ -12,6 +12,7 @@ sf — generated/cached BEFORE timing):
   text       token counting + quality scoring + minhash signatures
   corpus     tfidf + decontaminate + gopher signals over documents
   relational TPC-H family (Q1 pricing, nation star join, Q3 top-k)
+  ml         hashed-BoW quality scoring + target affinity + bloom semi join
 
 `--scaling` re-runs the suite in fresh processes at num_cpus=8 and 32 and
 reports throughput scaling efficiency (sandbox substitute for N vs 4N
@@ -217,6 +218,17 @@ def run_suite() -> dict:
     n_rel += queries_rel.q_top_unshipped(sf_dir).count()
     queries["relational"] = round(time.perf_counter() - t0, 3)
     extras["relational_rows"] = int(n_rel)
+
+    # ---- ml/curation (round 4: hashed-BoW scoring, affinity, bloom) -----
+    from grandine_ray.pipelines import queries_ml
+
+    t0 = time.perf_counter()
+    n_ml = 0
+    n_ml += queries_ml.q_quality_score(sf_dir).count()
+    n_ml += queries_ml.q_target_affinity(sf_dir).count()
+    n_ml += queries_ml.q_bloom_semi_join(sf_dir).count()
+    queries["ml"] = round(time.perf_counter() - t0, 3)
+    extras["ml_rows"] = int(n_ml)
 
     total = round(sum(queries.values()), 3)
     # machine-state probe: single-core numpy-sort time (this VM's delivered
