@@ -308,7 +308,79 @@ def q_type_pagerank(sf_dir: str):
     })
 
 
+SMOOTH_Z = 10
+
+
+def q_cell_smooth(sf_dir: str):
+    """3×3 focal (neighborhood) sum over the occupied z-10 tile grid —
+    raster-style smoothing of point density on the XYZ grid (hot-spot
+    detection input). Distributed shape: per-batch point→tile partials →
+    one count groupby (O(occupied tiles) rows), then each occupied tile
+    emits its 9 neighbor contributions and a second groupby sums them —
+    O(9·occupied), corpus never moves twice. Output keeps occupied
+    tiles only, so grid-boundary semantics never arise (both engines sum
+    over the same occupied set)."""
+    from ray.data.aggregate import Sum
+
+    from ..index.xyz import tile_xy
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    z = SMOOTH_Z
+
+    def tiles(b: pa.Table) -> pa.Table:
+        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        x, y = tile_xy(lon, lat, z)
+        key = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    occ = pts.map_batches(tiles, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        """Each occupied tile contributes its count to its 9 neighbors;
+        the center row additionally carries cn=n so ONE groupby yields
+        both the focal sum and the tile's own count (n > 0 ⇔ occupied —
+        no driver-side key set, no second join)."""
+        k = b["k"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = k >> 32, k & 0xFFFFFFFF
+        ks, ns, cs = [], [], []
+        # +1 coordinate shift keeps every neighbor key non-negative at
+        # grid edges (x or y == 0)
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                ks.append(((x + dx) << 32) | (y + dy))
+                ns.append(n)
+                cs.append(n if dx == 1 and dy == 1
+                          else np.zeros(len(n), np.int64))
+        return pa.table({"k": pa.array(np.concatenate(ks), pa.int64()),
+                         "n": pa.array(np.concatenate(ns), pa.int64()),
+                         "cn": pa.array(np.concatenate(cs), pa.int64())})
+
+    smooth = occ.map_batches(fan_out, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="smoothed"),
+                                Sum("cn", alias_name="n"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["n"], 0))  # occupied tiles only
+        kk = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "z": pa.array(np.full(len(kk), z, np.int64), pa.int64()),
+            "x": pa.array((kk >> 32) - 1, pa.int64()),
+            "y": pa.array((kk & 0xFFFFFFFF) - 1, pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "smoothed": pc.cast(t["smoothed"], pa.int64()),
+        })
+
+    return smooth.map_batches(widen, batch_format="pyarrow")
+
+
 QUERIES_ML = {
+    "cell_smooth": q_cell_smooth,
     "bloom_semi_join": q_bloom_semi_join,
     "line_length": q_line_length,
     "bigram_pmi": q_bigram_pmi,
@@ -321,7 +393,23 @@ QUERIES_ML = {
 
 
 def _oracle_sql_ml() -> dict[str, str]:
-    from .queries import _GEOMS, _HAVERSINE
+    from .queries import _GEOMS, _HAVERSINE, _TILE_XY, _TILE_Y
+
+    tx = _TILE_XY.format(lon="pts.lon")
+    ty = _TILE_Y.format(lat="pts.lat")
+    cell_smooth_sql = f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+cnt AS (
+  SELECT {tx} AS x, {ty} AS y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts, zz GROUP BY 1, 2)
+SELECT CAST(zz.z AS BIGINT) AS z, a.x, a.y, a.n,
+       CAST(SUM(b.n) AS BIGINT) AS smoothed
+FROM cnt a
+JOIN cnt b ON b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1, zz
+GROUP BY zz.z, a.x, a.y, a.n"""
 
     hav = _HAVERSINE.format(lat1="v.y", lon1="v.x", lat2="w.y", lon2="w.x")
     line_length_sql = f"""
@@ -434,6 +522,7 @@ WHERE u1.term = split_part(t.bigram, ' ', 1)
         "line_length": line_length_sql,
         "bloom_semi_join": bloom_semi_sql,
         "bigram_pmi": bigram_pmi_sql,
+        "cell_smooth": cell_smooth_sql,
         "type_pagerank":
             "SELECT * FROM read_parquet('/tmp/graft_expected/type_pagerank.parquet')",
         # independent scalar ground truths (oracle/expected.py)

@@ -280,3 +280,17 @@ def test_type_pagerank_uniform_two_cycle():
     # node's only out-edge, so the cycle equalizes
     assert out["event_type"] == ["a", "b"]
     assert abs(out["rank_micro"][0] - out["rank_micro"][1]) < 2000
+
+
+def test_cell_smooth_brute_force(ray_session):
+    """Independent oracle: python dict focal sums over the engine's own
+    tile counts."""
+    got = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y): r.n for r in got.itertuples()}
+    assert len(occ) == len(got)
+    for r in got.itertuples():
+        want = sum(occ.get((r.x + dx, r.y + dy), 0)
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        assert r.smoothed == want
+        assert r.smoothed >= r.n >= 1
+    assert (got.z == queries_ml.SMOOTH_Z).all()
