@@ -379,8 +379,130 @@ def q_cell_smooth(sf_dir: str):
     return smooth.map_batches(widen, batch_format="pyarrow")
 
 
+BASKET_TOPK = 50
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket analysis: top-50 co-ordered part pairs with lift
+    (the association-mining shape — PMI's transactional sibling).
+    Distributed: one orderkey hash shuffle co-locates each order's
+    items, pair expansion is a vectorized triangular fan-out (orders
+    hold ≤7 items in TPC-H, so the fan-out is O(21·orders) worst case),
+    then a fused-pair-key groupby. Only the bounded top-k list and its
+    member parts' order counts reach the driver; lift is computed in
+    arbitrary-precision integers (DuckDB HUGEINT mirror):
+    lift_micro = floor(c_ab · n_orders · 1e6 / (c_a · c_b))."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import relational
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    P = relational.adaptive_parts(sf_dir)
+
+    def addpart(b: pa.Table) -> pa.Table:
+        ok = relational._np(b["l_orderkey"]).astype(np.int64)
+        return b.append_column(
+            "_part", pa.array((ok % P).astype(np.int32), pa.int32()))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ok = relational._np(t["l_orderkey"]).astype(np.int64)
+        pk = relational._np(t["l_partkey"]).astype(np.int64)
+        if pk.max(initial=0) >= 1 << 31:
+            raise ValueError("basket_pairs: partkey >= 2^31 breaks the "
+                             "fused pair key")
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # distinct (order, part)
+        keep = np.ones(len(ok), bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        n = len(ok)
+        if n == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # triangular pair fan-out: element at p pairs with the `rem[p]`
+        # same-order elements after it
+        new_grp = np.ones(n, bool)
+        new_grp[1:] = ok[1:] != ok[:-1]
+        starts = np.nonzero(new_grp)[0]
+        glen = np.diff(np.append(starts, n))
+        gend = np.repeat(starts + glen, glen)
+        rem = gend - np.arange(n) - 1
+        total = int(rem.sum())
+        if total == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        L = np.repeat(np.arange(n), rem)
+        cum = np.cumsum(rem)
+        r_off = np.arange(total) - np.repeat(cum - rem, rem) + 1
+        R = L + r_off
+        fused = (pk[L] << 32) | pk[R]  # pk[L] < pk[R] within an order
+        uk, cnt = np.unique(fused, return_counts=True)
+        return pa.table({"pair": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    pcnt = li.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pairs, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("n", alias_name="n"))
+    top = pcnt.sort(["n", "pair"], descending=[True, False]) \
+        .limit(BASKET_TOPK).take_all()
+
+    # per-part distinct-order counts, filtered map-side to member parts
+    members = sorted({int(r["pair"]) >> 32 for r in top}
+                     | {int(r["pair"]) & 0xFFFFFFFF for r in top})
+    mset = np.asarray(members, np.int64)
+    ref = ray.put(mset)
+
+    def part_orders(t: pa.Table) -> pa.Table:
+        ms = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ok = relational._np(t["l_orderkey"]).astype(np.int64)
+        pk = relational._np(t["l_partkey"]).astype(np.int64)
+        fused = np.unique((pk << 32) | (ok & 0xFFFFFFFF)) \
+            if ok.max(initial=0) < 1 << 32 else None
+        if fused is None:
+            raise ValueError("basket_pairs: orderkey >= 2^32")
+        pks = fused >> 32
+        pos = np.searchsorted(ms, pks)
+        pos = np.minimum(pos, max(len(ms) - 1, 0))
+        hit = (ms[pos] == pks) if len(ms) else np.zeros(len(pks), bool)
+        pks = pks[hit]
+        uk, cnt = np.unique(pks, return_counts=True)
+        return pa.table({"pk": pa.array(uk, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ccnt = {int(r["pk"]): int(r["c"])
+            for r in li.map_batches(addpart, batch_format="pyarrow")
+            .groupby("_part").map_groups(part_orders,
+                                         batch_format="pyarrow")
+            .groupby("pk").aggregate(_Sum("c", alias_name="c"))
+            .take_all()}
+    import pyarrow.parquet as _pq
+
+    n_orders = _pq.ParquetFile(f"{sf_dir}/orders.parquet") \
+        .metadata.num_rows
+    out_a, out_b, out_n, out_l = [], [], [], []
+    for r in top:
+        fused, c_ab = int(r["pair"]), int(r["n"])
+        a, b = fused >> 32, fused & 0xFFFFFFFF
+        lift = c_ab * n_orders * 1_000_000 // (ccnt[a] * ccnt[b])
+        out_a.append(a)
+        out_b.append(b)
+        out_n.append(c_ab)
+        out_l.append(lift)
+    return pa.table({
+        "pa": pa.array(out_a, pa.int64()),
+        "pb": pa.array(out_b, pa.int64()),
+        "n": pa.array(out_n, pa.int64()),
+        "lift_micro": pa.array(out_l, pa.int64()),
+    })
+
+
 QUERIES_ML = {
     "cell_smooth": q_cell_smooth,
+    "basket_pairs": q_basket_pairs,
     "bloom_semi_join": q_bloom_semi_join,
     "line_length": q_line_length,
     "bigram_pmi": q_bigram_pmi,
@@ -523,6 +645,23 @@ WHERE u1.term = split_part(t.bigram, ' ', 1)
         "bloom_semi_join": bloom_semi_sql,
         "bigram_pmi": bigram_pmi_sql,
         "cell_smooth": cell_smooth_sql,
+        "basket_pairs": f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+pcnt AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n
+         FROM pairs GROUP BY pa, pb),
+top AS (SELECT * FROM pcnt ORDER BY n DESC, pa, pb LIMIT {BASKET_TOPK}),
+icnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+         FROM items GROUP BY l_partkey),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS no FROM orders)
+SELECT CAST(t.pa AS BIGINT) AS pa, CAST(t.pb AS BIGINT) AS pb, t.n,
+       CAST((CAST(t.n AS HUGEINT) * no * 1000000) // (ia.c * ib.c)
+            AS BIGINT) AS lift_micro
+FROM top t, tot, icnt ia, icnt ib
+WHERE ia.l_partkey = t.pa AND ib.l_partkey = t.pb""",
         "type_pagerank":
             "SELECT * FROM read_parquet('/tmp/graft_expected/type_pagerank.parquet')",
         # independent scalar ground truths (oracle/expected.py)

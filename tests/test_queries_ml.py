@@ -294,3 +294,30 @@ def test_cell_smooth_brute_force(ray_session):
         assert r.smoothed == want
         assert r.smoothed >= r.n >= 1
     assert (got.z == queries_ml.SMOOTH_Z).all()
+
+
+def test_basket_pairs_scalar_spot_check(ray_session):
+    """Recompute pair counts + lift from python sets on raw lineitem."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from itertools import combinations
+
+    got = queries_ml.q_basket_pairs(SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"])
+    orders = {}
+    for ok, pk in zip(li["l_orderkey"].to_pylist(),
+                      li["l_partkey"].to_pylist()):
+        orders.setdefault(ok, set()).add(pk)
+    pc_, ic = Counter(), Counter()
+    for parts in orders.values():
+        for a, b in combinations(sorted(parts), 2):
+            pc_[(a, b)] += 1
+        ic.update(parts)
+    n_orders = pq.read_metadata(f"{SF}/orders.parquet").num_rows
+    top = sorted(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    want = {ab: (c, c * n_orders * 1_000_000 // (ic[ab[0]] * ic[ab[1]]))
+            for ab, c in top}
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert (r.n, r.lift_micro) == want[(r.pa, r.pb)]
