@@ -500,9 +500,76 @@ def q_basket_pairs(sf_dir: str):
     })
 
 
+def _skyline2d(price: np.ndarray, size: np.ndarray):
+    """Indices of the 2-D Pareto frontier (minimize price, maximize
+    size). b dominates a iff b.price<=a.price, b.size>=a.size and one
+    inequality is strict; ties on BOTH axes are all kept. One lexsort +
+    running-max scan."""
+    n = len(price)
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.lexsort((-size, price))
+    p_s, s_s = price[order], size[order]
+    keep = np.zeros(n, bool)
+    best = np.iinfo(np.int64).min
+    i = 0
+    while i < n:
+        j = i
+        while j < n and p_s[j] == p_s[i]:
+            j += 1
+        gmax = s_s[i]  # sorted size-desc within the price group
+        if gmax > best:
+            k = i
+            while k < j and s_s[k] == gmax:
+                keep[k] = True
+                k += 1
+            best = gmax
+        i = j
+    return order[np.nonzero(keep)[0]]
+
+
+def q_part_skyline(sf_dir: str):
+    """Pareto frontier of the part table (minimize retail price,
+    maximize size) — the skyline-query shape. Distributed by the
+    skyline closure property: each block reduces to its LOCAL frontier
+    (one lexsort + scan, typically O(log n) rows), and the global
+    frontier is the frontier of the union of local frontiers — computed
+    on the collected candidates (bounded by blocks × local frontier
+    size). Price is integer cents on both engines."""
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_retailprice",
+                                     "p_size"])
+
+    def local(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = np.floor(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5).astype(np.int64)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = _skyline2d(price, size)
+        return pa.table({
+            "p_partkey": pa.array(pk[idx], pa.int64()),
+            "price_cents": pa.array(price[idx], pa.int64()),
+            "p_size": pa.array(size[idx], pa.int64()),
+        })
+
+    cand = parts.map_batches(local, batch_format="pyarrow").take_all()
+    pk = np.asarray([r["p_partkey"] for r in cand], np.int64)
+    price = np.asarray([r["price_cents"] for r in cand], np.int64)
+    size = np.asarray([r["p_size"] for r in cand], np.int64)
+    idx = _skyline2d(price, size)
+    by_pk = idx[np.argsort(pk[idx])]
+    return pa.table({
+        "p_partkey": pa.array(pk[by_pk], pa.int64()),
+        "price_cents": pa.array(price[by_pk], pa.int64()),
+        "p_size": pa.array(size[by_pk], pa.int64()),
+    })
+
+
 QUERIES_ML = {
     "cell_smooth": q_cell_smooth,
     "basket_pairs": q_basket_pairs,
+    "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
     "line_length": q_line_length,
     "bigram_pmi": q_bigram_pmi,
@@ -645,6 +712,18 @@ WHERE u1.term = split_part(t.bigram, ' ', 1)
         "bloom_semi_join": bloom_semi_sql,
         "bigram_pmi": bigram_pmi_sql,
         "cell_smooth": cell_smooth_sql,
+        "part_skyline": """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT a.p_partkey, a.price_cents, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))""",
         "basket_pairs": f"""
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (

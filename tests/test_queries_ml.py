@@ -321,3 +321,39 @@ def test_basket_pairs_scalar_spot_check(ray_session):
     assert len(got) == len(want)
     for r in got.itertuples():
         assert (r.n, r.lift_micro) == want[(r.pa, r.pb)]
+
+
+def test_skyline2d_kernel_brute_force():
+    from grandine_ray.pipelines.queries_ml import _skyline2d
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 60))
+        price = rng.integers(0, 10, n).astype(np.int64)
+        size = rng.integers(0, 10, n).astype(np.int64)
+        idx = set(_skyline2d(price, size).tolist())
+        for a in range(n):
+            dominated = any(
+                price[b] <= price[a] and size[b] >= size[a]
+                and (price[b] < price[a] or size[b] > size[a])
+                for b in range(n))
+            assert (a in idx) == (not dominated), (trial, a)
+
+
+def test_part_skyline_closure_property(ray_session):
+    """Global frontier == frontier computed on the full table at once."""
+    import pyarrow.parquet as pq
+
+    from grandine_ray.pipelines.queries_ml import _skyline2d
+
+    got = queries_ml.q_part_skyline(SF).to_pandas()
+    t = pq.read_table(f"{SF}/part.parquet",
+                      columns=["p_partkey", "p_retailprice", "p_size"])
+    price = np.floor(np.asarray(t["p_retailprice"].to_pylist()) * 100.0
+                     + 0.5).astype(np.int64)
+    size = np.asarray(t["p_size"].to_pylist(), np.int64)
+    pk = np.asarray(t["p_partkey"].to_pylist(), np.int64)
+    idx = _skyline2d(price, size)
+    want = sorted(zip(pk[idx], price[idx], size[idx]))
+    assert sorted(zip(got.p_partkey, got.price_cents, got.p_size)) == want
+    assert len(got) > 0
