@@ -430,55 +430,50 @@ def q_basket_pairs(sf_dir: str):
         gend = np.repeat(starts + glen, glen)
         rem = gend - np.arange(n) - 1
         total = int(rem.sum())
-        if total == 0:
-            return pa.table({"pair": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        L = np.repeat(np.arange(n), rem)
-        cum = np.cumsum(rem)
-        r_off = np.arange(total) - np.repeat(cum - rem, rem) + 1
-        R = L + r_off
-        fused = (pk[L] << 32) | pk[R]  # pk[L] < pk[R] within an order
-        uk, cnt = np.unique(fused, return_counts=True)
-        return pa.table({"pair": pa.array(uk, pa.int64()),
-                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+        if total:
+            L = np.repeat(np.arange(n), rem)
+            cum = np.cumsum(rem)
+            r_off = np.arange(total) - np.repeat(cum - rem, rem) + 1
+            R = L + r_off
+            # pk[L] < pk[R] within an order
+            fused = (pk[L] << 32) | pk[R]
+            uk, cnt = np.unique(fused, return_counts=True)
+        else:
+            uk = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+        # per-part distinct-order counts ride the SAME shuffle: partkeys
+        # are >= 1 in TPC-H, so key = pk << 32 (pb = 0) never collides
+        # with a real pair key
+        upk, pcnt_loc = np.unique(pk, return_counts=True)
+        return pa.table({
+            "pair": pa.array(np.concatenate([uk, upk << 32]), pa.int64()),
+            "n": pa.array(np.concatenate(
+                [cnt, pcnt_loc]).astype(np.int64), pa.int64()),
+        })
 
     pcnt = li.map_batches(addpart, batch_format="pyarrow") \
         .groupby("_part").map_groups(pairs, batch_format="pyarrow") \
-        .groupby("pair").aggregate(Sum("n", alias_name="n"))
-    top = pcnt.sort(["n", "pair"], descending=[True, False]) \
+        .groupby("pair").aggregate(Sum("n", alias_name="n")) \
+        .materialize()  # pair-vocabulary sized; consumed twice below
+    def real_pairs(b: pa.Table) -> pa.Table:
+        k = b["pair"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((k & 0xFFFFFFFF) != 0))
+
+    top = pcnt.map_batches(real_pairs, batch_format="pyarrow") \
+        .sort(["n", "pair"], descending=[True, False]) \
         .limit(BASKET_TOPK).take_all()
 
-    # per-part distinct-order counts, filtered map-side to member parts
+    # member parts' order counts from the sentinel rows, filtered map-side
     members = sorted({int(r["pair"]) >> 32 for r in top}
                      | {int(r["pair"]) & 0xFFFFFFFF for r in top})
-    mset = np.asarray(members, np.int64)
-    ref = ray.put(mset)
+    mkeys = pa.array([m << 32 for m in members], pa.int64())
 
-    def part_orders(t: pa.Table) -> pa.Table:
-        ms = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        ok = relational._np(t["l_orderkey"]).astype(np.int64)
-        pk = relational._np(t["l_partkey"]).astype(np.int64)
-        fused = np.unique((pk << 32) | (ok & 0xFFFFFFFF)) \
-            if ok.max(initial=0) < 1 << 32 else None
-        if fused is None:
-            raise ValueError("basket_pairs: orderkey >= 2^32")
-        pks = fused >> 32
-        pos = np.searchsorted(ms, pks)
-        pos = np.minimum(pos, max(len(ms) - 1, 0))
-        hit = (ms[pos] == pks) if len(ms) else np.zeros(len(pks), bool)
-        pks = pks[hit]
-        uk, cnt = np.unique(pks, return_counts=True)
-        return pa.table({"pk": pa.array(uk, pa.int64()),
-                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+    def member_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["pair"], value_set=mkeys))
 
-    from ray.data.aggregate import Sum as _Sum
-
-    ccnt = {int(r["pk"]): int(r["c"])
-            for r in li.map_batches(addpart, batch_format="pyarrow")
-            .groupby("_part").map_groups(part_orders,
-                                         batch_format="pyarrow")
-            .groupby("pk").aggregate(_Sum("c", alias_name="c"))
-            .take_all()}
+    ccnt = {int(r["pair"]) >> 32: int(r["n"])
+            for r in pcnt.map_batches(member_rows,
+                                      batch_format="pyarrow").take_all()}
     import pyarrow.parquet as _pq
 
     n_orders = _pq.ParquetFile(f"{sf_dir}/orders.parquet") \
