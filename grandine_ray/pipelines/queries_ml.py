@@ -379,6 +379,103 @@ def q_cell_smooth(sf_dir: str):
     return smooth.map_batches(widen, batch_format="pyarrow")
 
 
+def q_moran_i(sf_dir: str):
+    """Moran's I spatial autocorrelation of point density over the
+    occupied z-10 tile grid (8-neighborhood weights, occupied tiles
+    only) — the clustering-vs-dispersion statistic of spatial analysis,
+    in EXACT integer arithmetic via cross-multiplication: with
+    N = occupied tiles, S = Σn, deviations scale to d_i = N·n_i − S, and
+    I = (N / W) · Σ_ij d_i d_j / Σ d_i² over neighbor pairs. Distributed
+    shape: the same 9-cell fan-out + one groupby as cell_smooth (each
+    tile also contributes a 1 so deg_i arrives in the same pass);
+    per-tile terms are int64-guarded partial sums, the final ratio is
+    arbitrary-precision Python int (DuckDB HUGEINT mirror). Output is
+    one row: (n_tiles, w_pairs, moran_micro = floor(N·num·1e6 /
+    (W·den)))."""
+    from ray.data.aggregate import Sum
+
+    from ..index.xyz import tile_xy
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    z = SMOOTH_Z
+
+    def tiles(b: pa.Table) -> pa.Table:
+        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        x, y = tile_xy(lon, lat, z)
+        key = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    occ = pts.map_batches(tiles, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = k >> 32, k & 0xFFFFFFFF
+        ks, ns, os_, cs = [], [], [], []
+        one = np.ones(len(n), np.int64)
+        zero = np.zeros(len(n), np.int64)
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                center = dx == 1 and dy == 1
+                ks.append(((x + dx) << 32) | (y + dy))
+                ns.append(zero if center else n)   # neighbor count sum
+                os_.append(zero if center else one)  # neighbor degree
+                cs.append(n if center else zero)   # own count
+        return pa.table({
+            "k": pa.array(np.concatenate(ks), pa.int64()),
+            "nb": pa.array(np.concatenate(ns), pa.int64()),
+            "deg": pa.array(np.concatenate(os_), pa.int64()),
+            "cn": pa.array(np.concatenate(cs), pa.int64()),
+        })
+
+    agg = occ.map_batches(fan_out, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("nb", alias_name="nb"),
+                                Sum("deg", alias_name="deg"),
+                                Sum("cn", alias_name="n"))
+
+    # global S and N first (tiny second pass over the same aggregate
+    # would re-execute; collect the bounded per-tile terms instead — the
+    # occupied z-10 grid is ≤ 2^20 rows by construction)
+    rows = agg.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 0)),
+        batch_format="pyarrow").take_all()
+    N = len(rows)
+    if N == 0:
+        return pa.table({"n_tiles": pa.array([], pa.int64()),
+                         "w_pairs": pa.array([], pa.int64()),
+                         "moran_micro": pa.array([], pa.int64())})
+    n_i = np.asarray([r["n"] for r in rows], np.int64)
+    nb_i = np.asarray([r["nb"] for r in rows], np.int64)
+    deg_i = np.asarray([r["deg"] for r in rows], np.int64)
+    S = int(n_i.sum())
+    d = N * n_i - S
+    # Σ_j∈nbr d_j = N·nb_i − deg_i·S (exact); int64 guards
+    dn = N * nb_i - deg_i * S
+    if np.abs(d).max(initial=0) > 1 << 40 or \
+            np.abs(dn).max(initial=0) > 1 << 45:
+        raise ValueError("moran_i: deviation terms exceed int64 guard")
+    num = int(np.sum([int(a) * int(b) for a, b in zip(d, dn)]))
+    den = int(np.sum([int(a) * int(a) for a in d]))
+    W = int(deg_i.sum())
+    # DuckDB's // TRUNCATES toward zero while Python's floors — match
+    # the SQL by truncating explicitly (num may be negative)
+    if W and den:
+        q = abs(N * num * 1_000_000) // (W * den)
+        moran = q if num >= 0 else -q
+    else:
+        moran = 0
+    return pa.table({
+        "n_tiles": pa.array([N], pa.int64()),
+        "w_pairs": pa.array([W], pa.int64()),
+        "moran_micro": pa.array([moran], pa.int64()),
+    })
+
+
 BASKET_TOPK = 50
 
 
@@ -563,6 +660,7 @@ def q_part_skyline(sf_dir: str):
 
 QUERIES_ML = {
     "cell_smooth": q_cell_smooth,
+    "moran_i": q_moran_i,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -700,8 +798,41 @@ FROM top t, tot, ucnt u1, ucnt u2
 WHERE u1.term = split_part(t.bigram, ' ', 1)
   AND u2.term = split_part(t.bigram, ' ', 2)"""
 
+    moran_sql = f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+cnt AS (
+  SELECT {tx} AS x, {ty} AS y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts, zz GROUP BY 1, 2),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nt,
+               CAST(SUM(n) AS HUGEINT) AS s FROM cnt),
+nbr AS (
+  SELECT a.x, a.y, a.n,
+         CAST(SUM(b.n) AS HUGEINT) AS nb,
+         CAST(COUNT(*) AS HUGEINT) AS deg
+  FROM cnt a JOIN cnt b
+    ON b.x BETWEEN a.x - 1 AND a.x + 1
+   AND b.y BETWEEN a.y - 1 AND a.y + 1
+   AND NOT (b.x = a.x AND b.y = a.y)
+  GROUP BY a.x, a.y, a.n),
+sums AS (
+  SELECT SUM((tot.nt * nbr.n - tot.s)
+             * (tot.nt * nbr.nb - nbr.deg * tot.s)) AS num,
+         SUM(nbr.deg) AS w
+  FROM nbr, tot),
+dd AS (
+  SELECT SUM((tot.nt * cnt.n - tot.s) * (tot.nt * cnt.n - tot.s)) AS den
+  FROM cnt, tot)
+SELECT CAST(tot.nt AS BIGINT) AS n_tiles,
+       CAST(sums.w AS BIGINT) AS w_pairs,
+       CAST((tot.nt * sums.num * 1000000) // (sums.w * dd.den) AS BIGINT)
+         AS moran_micro
+FROM tot, sums, dd"""
+
     return {
         "polygon_area": polygon_area_sql,
+        "moran_i": moran_sql,
         "ann_range": ann_range_sql,
         "line_length": line_length_sql,
         "bloom_semi_join": bloom_semi_sql,

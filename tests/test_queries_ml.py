@@ -357,3 +357,32 @@ def test_part_skyline_closure_property(ray_session):
     want = sorted(zip(pk[idx], price[idx], size[idx]))
     assert sorted(zip(got.p_partkey, got.price_cents, got.p_size)) == want
     assert len(got) > 0
+
+
+def test_moran_i_brute_force(ray_session):
+    """Recompute Moran's I from cell_smooth's occupied-tile counts with
+    a python dict (8-neighborhood, occupied tiles only)."""
+    got = queries_ml.q_moran_i(SF).to_pandas()
+    assert len(got) == 1
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y): r.n for r in grid.itertuples()}
+    N, S = len(occ), sum(occ.values())
+    num = den = W = 0
+    for (x, y), n in occ.items():
+        d = N * n - S
+        den += d * d
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                nj = occ.get((x + dx, y + dy))
+                if nj is not None:
+                    num += d * (N * nj - S)
+                    W += 1
+    q = abs(N * num * 1_000_000) // (W * den)
+    want = q if num >= 0 else -q
+    r = got.iloc[0]
+    assert (r.n_tiles, r.w_pairs, r.moran_micro) == (N, W, want)
+    # point clusters exist in the synth corpus: expect positive
+    # autocorrelation
+    assert r.moran_micro != 0
