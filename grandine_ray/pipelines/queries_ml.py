@@ -476,6 +476,130 @@ def q_moran_i(sf_dir: str):
     })
 
 
+CLUSTER_MINPTS = 2
+CLUSTER_MAX_ITERS = 24
+
+
+def q_tile_clusters(sf_dir: str):
+    """Grid-density clustering (the DBSCAN shape on the tile grid):
+    connected components of 8-adjacent z-10 tiles holding >= 2 points.
+    Distributed min-label propagation exactly like dedup_clusters: each
+    round every core tile broadcasts its label to its 9-cell
+    neighborhood through ONE fan-out + groupby-min (the center row
+    carries the old label and the point count), and the loop stops when
+    no label changed (diameter-bounded; loud error past the iteration
+    cap). Output: one row per cluster (root tile coords, tile count,
+    point count). Exact — the DuckDB oracle is a recursive-CTE
+    transitive closure."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..index.xyz import tile_xy
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    z = SMOOTH_Z
+
+    def tiles(b: pa.Table) -> pa.Table:
+        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        x, y = tile_xy(lon, lat, z)
+        key = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    occ = pts.map_batches(tiles, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+
+    def core_init(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["n"], CLUSTER_MINPTS))
+        return pa.table({
+            "k": t["k"],
+            "label": t["k"],
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    state = occ.map_batches(core_init,
+                            batch_format="pyarrow").materialize()
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = k >> 32, k & 0xFFFFFFFF
+        zero = np.zeros(len(k), np.int64)
+        ks, ls, olds, cns, ns = [], [], [], [], []
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                center = dx == 1 and dy == 1
+                ks.append(((x + dx) << 32) | (y + dy))
+                ls.append(lab)
+                olds.append(lab if center else zero)
+                cns.append(np.ones(len(k), np.int64) if center else zero)
+                ns.append(n if center else zero)
+        return pa.table({
+            "k": pa.array(np.concatenate(ks), pa.int64()),
+            "label": pa.array(np.concatenate(ls), pa.int64()),
+            "old": pa.array(np.concatenate(olds), pa.int64()),
+            "cn": pa.array(np.concatenate(cns), pa.int64()),
+            "n": pa.array(np.concatenate(ns), pa.int64()),
+        })
+
+    def keep_core(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["cn"], 0))
+        kk = t["k"].to_numpy(zero_copy_only=False)
+        # undo the +1 fan-out shift so state keys stay stable
+        real = (((kk >> 32) - 1) << 32) | ((kk & 0xFFFFFFFF) - 1)
+        return pa.table({
+            "k": pa.array(real, pa.int64()),
+            "label": pc.cast(t["label"], pa.int64()),
+            "old": pc.cast(t["old"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    for _ in range(CLUSTER_MAX_ITERS):
+        nxt = state.map_batches(fan_out, batch_format="pyarrow") \
+            .groupby("k").aggregate(Min("label", alias_name="label"),
+                                    Max("old", alias_name="old"),
+                                    Sum("cn", alias_name="cn"),
+                                    Sum("n", alias_name="n")) \
+            .map_batches(keep_core, batch_format="pyarrow").materialize()
+        changed = nxt.map_batches(
+            lambda b: pa.table({"c": pa.array(
+                [int(pc.sum(pc.cast(pc.less(b["label"], b["old"]),
+                                    pa.int64())).as_py() or 0)],
+                pa.int64())}),
+            batch_format="pyarrow").sum("c")
+        state = nxt.drop_columns(["old"]).materialize()
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"tile_clusters: no convergence in {CLUSTER_MAX_ITERS} "
+            "iterations (cluster diameter exceeds the cap)")
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({"label": b["label"],
+                         "one": pa.array(np.ones(b.num_rows, np.int64),
+                                         pa.int64()),
+                         "n": b["n"]})
+
+    agg = state.map_batches(final, batch_format="pyarrow") \
+        .groupby("label").aggregate(Sum("one", alias_name="n_tiles"),
+                                    Sum("n", alias_name="n_points"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cluster_x": pa.array(lab >> 32, pa.int64()),
+            "cluster_y": pa.array(lab & 0xFFFFFFFF, pa.int64()),
+            "n_tiles": pc.cast(b["n_tiles"], pa.int64()),
+            "n_points": pc.cast(b["n_points"], pa.int64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
 BASKET_TOPK = 50
 
 
@@ -661,6 +785,7 @@ def q_part_skyline(sf_dir: str):
 QUERIES_ML = {
     "cell_smooth": q_cell_smooth,
     "moran_i": q_moran_i,
+    "tile_clusters": q_tile_clusters,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -830,9 +955,36 @@ SELECT CAST(tot.nt AS BIGINT) AS n_tiles,
          AS moran_micro
 FROM tot, sums, dd"""
 
+    tile_clusters_sql = f"""
+WITH RECURSIVE zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+cnt AS (
+  SELECT {tx} AS x, {ty} AS y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts, zz GROUP BY 1, 2),
+core AS (SELECT x, y, x * 4294967296 + y AS k, n
+         FROM cnt WHERE n >= {CLUSTER_MINPTS}),
+edges AS (
+  SELECT a.k AS src, b.k AS dst
+  FROM core a JOIN core b
+    ON b.x BETWEEN a.x - 1 AND a.x + 1
+   AND b.y BETWEEN a.y - 1 AND a.y + 1),
+reach(a, b) AS (
+  SELECT k, k FROM core
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+labels AS (SELECT a, MIN(b) AS label FROM reach GROUP BY a)
+SELECT CAST(label // 4294967296 AS BIGINT) AS cluster_x,
+       CAST(label % 4294967296 AS BIGINT) AS cluster_y,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(core.n) AS BIGINT) AS n_points
+FROM labels JOIN core ON core.k = labels.a
+GROUP BY label"""
+
     return {
         "polygon_area": polygon_area_sql,
         "moran_i": moran_sql,
+        "tile_clusters": tile_clusters_sql,
         "ann_range": ann_range_sql,
         "line_length": line_length_sql,
         "bloom_semi_join": bloom_semi_sql,

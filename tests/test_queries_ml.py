@@ -386,3 +386,33 @@ def test_moran_i_brute_force(ray_session):
     # point clusters exist in the synth corpus: expect positive
     # autocorrelation
     assert r.moran_micro != 0
+
+
+def test_tile_clusters_bfs_brute_force(ray_session):
+    """Independent BFS connected-components oracle over the engine's
+    own occupied-tile counts."""
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y): r.n for r in grid.itertuples()}
+    core = {k for k, n in occ.items() if n >= queries_ml.CLUSTER_MINPTS}
+    seen, want = set(), {}
+    for start in core:
+        if start in seen:
+            continue
+        stack, comp = [start], []
+        seen.add(start)
+        while stack:
+            c = stack.pop()
+            comp.append(c)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (c[0] + dx, c[1] + dy)
+                    if nb in core and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+        root = min((x << 32) | y for x, y in comp)
+        want[(root >> 32, root & 0xFFFFFFFF)] = (
+            len(comp), sum(occ[c] for c in comp))
+    got = queries_ml.q_tile_clusters(SF).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.cluster_x, r.cluster_y)] == (r.n_tiles, r.n_points)
