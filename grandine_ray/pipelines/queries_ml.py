@@ -476,6 +476,114 @@ def q_moran_i(sf_dir: str):
     })
 
 
+QUADKEY_Z = 12
+
+
+def q_quadkey_cells(sf_dir: str):
+    """Bing-style quadkey addresses for point features at z-12 (the
+    interleaved-bit tile naming used by Bing/Azure maps; the base-4
+    string prefix property gives ancestor containment for free). Fully
+    vectorized: digit matrix from bit shifts, one tobytes/frombuffer
+    reshape to fixed-width strings — no per-row loop."""
+    from ..index.xyz import tile_xy
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    z = QUADKEY_Z
+
+    def keys(b: pa.Table) -> pa.Table:
+        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        x, y = tile_xy(lon, lat, z)
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        n = len(x)
+        digits = np.empty((n, z), np.uint8)
+        for i in range(1, z + 1):  # z=12 iterations, each vectorized
+            digits[:, i - 1] = (((x >> (z - i)) & 1)
+                                + 2 * ((y >> (z - i)) & 1) + 48)
+        qk = np.frombuffer(digits.tobytes(), dtype=f"S{z}")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "quadkey": pa.array([s.decode() for s in qk], pa.string()),
+        })
+
+    return pts.map_batches(keys, batch_format="pyarrow")
+
+
+def q_grid_morphology(sf_dir: str):
+    """Morphological profile of the occupied z-10 tile grid — the
+    raster dilation/erosion pass (coverage growth / interior core) in
+    one 9-cell fan-out + one groupby: n_occupied, n_dilated (occupied ∪
+    8-neighborhood), n_eroded (occupied tiles whose 8 neighbors are all
+    occupied). One summary row; SQL parity via DISTINCT self-joins."""
+    from ray.data.aggregate import Sum
+
+    from ..index.xyz import tile_xy
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    z = SMOOTH_Z
+
+    def tiles(b: pa.Table) -> pa.Table:
+        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        x, y = tile_xy(lon, lat, z)
+        key = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        uk = np.unique(key)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "one": pa.array(np.ones(len(uk), np.int64),
+                                         pa.int64())})
+
+    occ = pts.map_batches(tiles, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("one", alias_name="one"))
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        x, y = k >> 32, k & 0xFFFFFFFF
+        one = np.ones(len(k), np.int64)
+        zero = np.zeros(len(k), np.int64)
+        ks, degs, cns = [], [], []
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                center = dx == 1 and dy == 1
+                ks.append(((x + dx) << 32) | (y + dy))
+                degs.append(zero if center else one)
+                cns.append(one if center else zero)
+        return pa.table({
+            "k": pa.array(np.concatenate(ks), pa.int64()),
+            "deg": pa.array(np.concatenate(degs), pa.int64()),
+            "cn": pa.array(np.concatenate(cns), pa.int64()),
+        })
+
+    agg = occ.map_batches(fan_out, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("deg", alias_name="deg"),
+                                Sum("cn", alias_name="cn"))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        cn = b["cn"].to_numpy(zero_copy_only=False)
+        deg = b["deg"].to_numpy(zero_copy_only=False)
+        occ_n = int((cn > 0).sum())
+        dil = len(cn)  # every key the fan-out touched
+        ero = int(((cn > 0) & (deg == 8)).sum())
+        return pa.table({
+            "n_occupied": pa.array([occ_n], pa.int64()),
+            "n_dilated": pa.array([dil], pa.int64()),
+            "n_eroded": pa.array([ero], pa.int64()),
+        })
+
+    parts = agg.map_batches(summarize, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_occupied": pa.array(
+            [sum(r["n_occupied"] for r in parts)], pa.int64()),
+        "n_dilated": pa.array(
+            [sum(r["n_dilated"] for r in parts)], pa.int64()),
+        "n_eroded": pa.array(
+            [sum(r["n_eroded"] for r in parts)], pa.int64()),
+    })
+
+
 CLUSTER_MINPTS = 2
 CLUSTER_MAX_ITERS = 24
 
@@ -786,6 +894,8 @@ QUERIES_ML = {
     "cell_smooth": q_cell_smooth,
     "moran_i": q_moran_i,
     "tile_clusters": q_tile_clusters,
+    "quadkey_cells": q_quadkey_cells,
+    "grid_morphology": q_grid_morphology,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -981,10 +1091,43 @@ SELECT CAST(label // 4294967296 AS BIGINT) AS cluster_x,
 FROM labels JOIN core ON core.k = labels.a
 GROUP BY label"""
 
+    quadkey_sql = f"""
+WITH zz AS (SELECT {QUADKEY_Z} AS z),
+pts AS (SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+               xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+t AS (SELECT doc_id, span_idx, {tx} AS x, {ty} AS y, zz.z AS z
+      FROM pts, zz)
+SELECT doc_id, span_idx,
+       array_to_string(
+         [CAST(((x >> (z - i)) & 1) + 2 * ((y >> (z - i)) & 1)
+               AS VARCHAR) for i in generate_series(1, z)], '') AS quadkey
+FROM t"""
+
+    morphology_sql = f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+occ AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM pts, zz),
+offs(d) AS (VALUES (-1), (0), (1)),
+dil AS (SELECT DISTINCT a.x + dx.d AS x, a.y + dy.d AS y
+        FROM occ a, offs dx, offs dy),
+ero AS (
+  SELECT a.x, a.y FROM occ a
+  JOIN occ b ON b.x BETWEEN a.x - 1 AND a.x + 1
+            AND b.y BETWEEN a.y - 1 AND a.y + 1
+            AND NOT (b.x = a.x AND b.y = a.y)
+  GROUP BY a.x, a.y HAVING COUNT(*) = 8)
+SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
+       CAST((SELECT COUNT(*) FROM dil) AS BIGINT) AS n_dilated,
+       CAST((SELECT COUNT(*) FROM ero) AS BIGINT) AS n_eroded"""
+
     return {
         "polygon_area": polygon_area_sql,
         "moran_i": moran_sql,
         "tile_clusters": tile_clusters_sql,
+        "quadkey_cells": quadkey_sql,
+        "grid_morphology": morphology_sql,
         "ann_range": ann_range_sql,
         "line_length": line_length_sql,
         "bloom_semi_join": bloom_semi_sql,

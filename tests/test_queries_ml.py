@@ -416,3 +416,53 @@ def test_tile_clusters_bfs_brute_force(ray_session):
     assert len(got) == len(want)
     for r in got.itertuples():
         assert want[(r.cluster_x, r.cluster_y)] == (r.n_tiles, r.n_points)
+
+
+def test_quadkey_prefix_property(ray_session):
+    """Quadkey ancestor containment: a point's z-12 quadkey truncated
+    to k chars equals the quadkey of its z-k tile; digits are valid
+    base-4."""
+    from grandine_ray.index.xyz import tile_xy
+    import pyarrow.parquet as pq
+
+    got = queries_ml.q_quadkey_cells(SF).to_pandas()
+    assert len(got) > 0
+    assert got.quadkey.str.len().eq(queries_ml.QUADKEY_Z).all()
+    assert got.quadkey.str.match(r"^[0-3]+$").all()
+    # recompute one digit level independently: first char = z-1 tile id
+    from grandine_ray.pipelines.queries import _features_ds
+    feats = _features_ds(SF).filter(expr="geom_type == 1").to_pandas()
+    feats["span_idx"] = feats.span_idx.astype("int64")
+    feats = feats.merge(got, on=["doc_id", "span_idx"])
+    assert len(feats) == len(got)
+    lon = feats.bbox_minx.to_numpy()
+    lat = feats.bbox_miny.to_numpy()
+    for k in (1, 5):
+        x, y = tile_xy(lon, lat, k)
+        digits_ok = 0
+        for qk, xi, yi in zip(feats.quadkey, x.astype(int),
+                              y.astype(int)):
+            # decode prefix of length k back to (x, y) at zoom k
+            px = py = 0
+            for ch in qk[:k]:
+                d = int(ch)
+                px = (px << 1) | (d & 1)
+                py = (py << 1) | (d >> 1)
+            digits_ok += (px == xi and py == yi)
+        assert digits_ok == len(feats)
+
+
+def test_grid_morphology_brute_force(ray_session):
+    got = queries_ml.q_grid_morphology(SF).to_pandas()
+    assert len(got) == 1
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y) for r in grid.itertuples()}
+    dil = {(x + dx, y + dy) for (x, y) in occ
+           for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+    ero = {c for c in occ
+           if all((c[0] + dx, c[1] + dy) in occ
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                  if (dx, dy) != (0, 0))}
+    r = got.iloc[0]
+    assert (r.n_occupied, r.n_dilated, r.n_eroded) == \
+        (len(occ), len(dil), len(ero))
