@@ -708,6 +708,77 @@ def q_tile_clusters(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+ANOMALY_MILLI = 100_000  # value > 100.0
+
+
+def q_anomaly_runs(sf_dir: str):
+    """Gaps-and-islands anomaly detection: per user, the maximal runs
+    of consecutive events (ordered by ts, event_id) whose value exceeds
+    the threshold — run count, longest run, total anomalous events.
+    One user-hash shuffle + one lexsort + run-length arithmetic per
+    partition (the islands never leave their partition); integer-milli
+    threshold compares identically across engines. SQL parity is the
+    classic two-ROW_NUMBER islands trick."""
+    from ..stages import relational
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    P = relational.adaptive_parts(sf_dir)
+
+    def addpart(b: pa.Table) -> pa.Table:
+        u = relational._np(b["user_id"]).astype(np.int64)
+        return b.append_column(
+            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+
+    def runs(t: pa.Table) -> pa.Table:
+        u = relational._np(t["user_id"]).astype(np.int64)
+        ts = relational._ts_us(t["ts"])
+        eid = relational._np(t["event_id"]).astype(np.int64)
+        vm = np.floor(relational._np(t["value"]) * 1000.0
+                      + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, hot = u[order], vm[order] > ANOMALY_MILLI
+        n = len(u_s)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_runs": pa.array([], pa.int64()),
+                             "longest_run": pa.array([], pa.int64()),
+                             "n_anomalous": pa.array([], pa.int64())})
+        new_user = np.ones(n, bool)
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        prev_hot = np.zeros(n, bool)
+        prev_hot[1:] = hot[:-1]
+        start = hot & (new_user | ~prev_hot)
+        s_idx = np.nonzero(start)[0]
+        # run end: next index where hot stops or user changes
+        stop = np.nonzero(~hot | new_user)[0]
+        ends = np.searchsorted(stop, s_idx, side="right")
+        e_idx = np.where(ends < len(stop), stop[np.minimum(
+            ends, len(stop) - 1)], n)
+        run_len = e_idx - s_idx
+        run_user = u_s[s_idx]
+        uk, inv = np.unique(run_user, return_inverse=True)
+        n_runs = np.bincount(inv)
+        longest = np.zeros(len(uk), np.int64)
+        np.maximum.at(longest, inv, run_len)
+        total = np.bincount(inv, weights=run_len).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uk, pa.int64()),
+            "n_runs": pa.array(n_runs.astype(np.int64), pa.int64()),
+            "longest_run": pa.array(longest, pa.int64()),
+            "n_anomalous": pa.array(total, pa.int64()),
+        })
+
+    out = ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(runs, batch_format="pyarrow")
+
+    def widen(b: pa.Table) -> pa.Table:
+        return b.select(["user_id", "n_runs", "longest_run",
+                         "n_anomalous"])
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 BASKET_TOPK = 50
 
 
@@ -896,6 +967,7 @@ QUERIES_ML = {
     "tile_clusters": q_tile_clusters,
     "quadkey_cells": q_quadkey_cells,
     "grid_morphology": q_grid_morphology,
+    "anomaly_runs": q_anomaly_runs,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -1128,6 +1200,26 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "tile_clusters": tile_clusters_sql,
         "quadkey_cells": quadkey_sql,
         "grid_morphology": morphology_sql,
+        "anomaly_runs": f"""
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, event_id, ts,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events),
+m AS (
+  SELECT user_id, (vm > {ANOMALY_MILLI}) AS hot,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, (vm > {ANOMALY_MILLI})
+                            ORDER BY ts, event_id) AS rnh
+  FROM e),
+isl AS (
+  SELECT user_id, rn - rnh AS grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM m WHERE hot GROUP BY user_id, rn - rnh)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS longest_run,
+       CAST(SUM(len) AS BIGINT) AS n_anomalous
+FROM isl GROUP BY user_id""",
         "ann_range": ann_range_sql,
         "line_length": line_length_sql,
         "bloom_semi_join": bloom_semi_sql,

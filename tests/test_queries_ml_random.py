@@ -107,3 +107,32 @@ def test_part_skyline_random_vs_duckdb(ray_session, tmp_path, seed):
                    want[["p_partkey", "price_cents", "p_size"]]
                    .values.tolist()))
     assert g == w
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_anomaly_runs_random_vs_duckdb(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 300))
+    users = rng.integers(0, max(2, n // 15), n).astype(np.int64)
+    # duplicate timestamps on purpose: event_id must break ties
+    ts = (rng.integers(0, 40, n).astype(np.int64) * 3_600_000_000
+          + rng.integers(0, 3, n) * 1_000_000)
+    # values hugging the threshold on both sides, incl. exact boundary
+    vals = np.round(rng.choice(
+        [99.9995, 100.0, 100.0005, 150.0, 10.0], n), 4)
+    ev = pa.table({
+        "event_id": pa.array(rng.permutation(n).astype(np.int64),
+                             pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "value": pa.array(vals, pa.float64()),
+    })
+    _write(str(tmp_path), "events", ev)
+    got = queries_ml.q_anomaly_runs(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(_oracle_sql_ml()["anomaly_runs"]).df()
+    assert len(got) == len(want)
+    cols = ["user_id", "n_runs", "longest_run", "n_anomalous"]
+    assert sorted(map(tuple, got[cols].values.tolist())) == \
+        sorted(map(tuple, want[cols].values.tolist()))
