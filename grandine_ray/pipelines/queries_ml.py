@@ -708,6 +708,115 @@ def q_tile_clusters(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+def q_sliding_distinct(sf_dir: str):
+    """Distinct users per sliding 1h window (every 30 min) — windowed
+    COUNT DISTINCT: each event lands in two windows, (window, user)
+    pairs dedupe block-locally into fused int64 keys, ONE pair shuffle,
+    then the per-window count — the pair-dedup distinct pattern applied
+    to overlapping windows (the shuffle carries distinct pairs, never
+    events)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[s]").astype(np.int64)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) and (u.max() >= 1 << 32 or u.min() < 0):
+            raise ValueError("sliding_distinct: user_id outside [0, 2^32)")
+        ws0 = (epoch // 1800) * 1800
+        if len(ws0) and ws0.max() >= 1 << 31:
+            raise ValueError("sliding_distinct: epoch >= 2^31")
+        ws = np.concatenate([ws0, ws0 - 1800])
+        uu = np.concatenate([u, u])
+        fused = np.unique((ws << 32) | uu)
+        return pa.table({"k": pa.array(fused, pa.int64())})
+
+    dedup = ev.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("k").aggregate(Count(alias_name="_c"))
+
+    def per_window(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        ws, cnt = np.unique(k >> 32, return_counts=True)
+        return pa.table({"ws": pa.array(ws, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = dedup.map_batches(per_window, batch_format="pyarrow") \
+        .groupby("ws").aggregate(Sum("n", alias_name="n_users"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        ws = b["ws"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_start": pa.array((ws * 1_000_000)
+                                     .astype("datetime64[us]"),
+                                     pa.timestamp("us")),
+            "n_users": pc.cast(b["n_users"], pa.int64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def q_conversion_latency(sf_dir: str):
+    """Per-user conversion-latency profile: click events as-of joined to
+    the user's most recent prior view (the events_asof kernel), latency
+    in whole seconds, grouped per user into (n_conv, min_s, max_s,
+    sum_s) — all integer-exact. DuckDB mirrors with ASOF JOIN."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages import join as join_stage
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    views = ev.filter(expr="event_type == 'view'") \
+        .map_batches(lambda b: b.append_column("view_ts", b["ts"]),
+                     batch_format="pyarrow")
+    out = join_stage.asof_join(
+        clicks, views, by="user_id", on="ts",
+        left_cols=["event_id"], right_cols=["view_ts"])
+
+    def latency(b: pa.Table) -> pa.Table:
+        lt = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        rt_raw = b["right_view_ts"].to_numpy(zero_copy_only=False)
+        matched = ~pd_isnull(rt_raw)
+        rt = np.where(matched,
+                      rt_raw.astype("datetime64[us]").astype(np.int64), 0)
+        lat_s = (lt - rt) // 1_000_000
+        t = pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "lat_s": pa.array(lat_s, pa.int64()),
+        })
+        return t.filter(pa.array(matched))
+
+    lats = out.map_batches(latency, batch_format="pyarrow")
+    agg = lats.groupby("user_id").aggregate(
+        Count(alias_name="n_conv"),
+        Min("lat_s", alias_name="min_s"),
+        Max("lat_s", alias_name="max_s"),
+        Sum("lat_s", alias_name="sum_s"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "n_conv": pc.cast(b["n_conv"], pa.int64()),
+            "min_s": pc.cast(b["min_s"], pa.int64()),
+            "max_s": pc.cast(b["max_s"], pa.int64()),
+            "sum_s": pc.cast(b["sum_s"], pa.int64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def pd_isnull(arr):
+    import pandas as pd
+
+    return pd.isnull(arr)
+
+
 ANOMALY_MILLI = 100_000  # value > 100.0
 
 
@@ -968,6 +1077,8 @@ QUERIES_ML = {
     "quadkey_cells": q_quadkey_cells,
     "grid_morphology": q_grid_morphology,
     "anomaly_runs": q_anomaly_runs,
+    "sliding_distinct": q_sliding_distinct,
+    "conversion_latency": q_conversion_latency,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -1200,6 +1311,31 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "tile_clusters": tile_clusters_sql,
         "quadkey_cells": quadkey_sql,
         "grid_morphology": morphology_sql,
+        "sliding_distinct": """
+WITH p AS (
+  SELECT DISTINCT ws, user_id FROM (
+    SELECT UNNEST([
+             CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT),
+             CAST(FLOOR(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)
+           ]) AS ws, user_id
+    FROM events))
+SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY ws""",
+        "conversion_latency": """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+v AS (SELECT * FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT c.user_id,
+         (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS lat_s
+  FROM c ASOF JOIN v
+    ON c.user_id = v.user_id AND c.ts >= v.ts)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_conv,
+       CAST(MIN(lat_s) AS BIGINT) AS min_s,
+       CAST(MAX(lat_s) AS BIGINT) AS max_s,
+       CAST(SUM(lat_s) AS BIGINT) AS sum_s
+FROM j GROUP BY user_id""",
         "anomaly_runs": f"""
 WITH e AS (
   SELECT CAST(user_id AS BIGINT) AS user_id, event_id, ts,

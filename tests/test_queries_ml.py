@@ -466,3 +466,41 @@ def test_grid_morphology_brute_force(ray_session):
     r = got.iloc[0]
     assert (r.n_occupied, r.n_dilated, r.n_eroded) == \
         (len(occ), len(dil), len(ero))
+
+
+def test_sliding_distinct_brute_force(ray_session):
+    import pyarrow.parquet as pq
+
+    got = queries_ml.q_sliding_distinct(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    epoch = ev.ts.values.astype("datetime64[s]").astype("int64")
+    want = {}
+    for e, u in zip(epoch, ev.user_id):
+        ws0 = e // 1800 * 1800
+        for ws in (ws0, ws0 - 1800):
+            want.setdefault(ws, set()).add(u)
+    got_map = {int(r.window_start.timestamp()): r.n_users
+               for r in got.itertuples()}
+    assert got_map == {ws: len(s) for ws, s in want.items()}
+
+
+def test_conversion_latency_brute_force(ray_session):
+    import pyarrow.parquet as pq
+
+    got = queries_ml.q_conversion_latency(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev.ts.values.astype("datetime64[us]").astype("int64")
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"].sort_values(["us", "event_id"])
+        lats = []
+        for r in g[g.event_type == "click"].itertuples():
+            prior = views[views.us <= r.us]
+            if len(prior):
+                lats.append((r.us - prior.us.max()) // 1_000_000)
+        if lats:
+            want[uid] = (len(lats), min(lats), max(lats), sum(lats))
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.user_id] == (r.n_conv, r.min_s, r.max_s, r.sum_s)
