@@ -817,6 +817,69 @@ def pd_isnull(arr):
     return pd.isnull(arr)
 
 
+def q_span_path_length(sf_dir: str):
+    """Per-document trajectory length: the geodesic path through the
+    doc's POINT spans in SPAN ORDER (the interleaved input_hint's
+    span-sequence invariant made load-bearing — reordering spans changes
+    the answer). One doc-hash shuffle + lexsort by (doc, span_idx) +
+    per-segment integer-mm haversine, exactly the window-kernel shape;
+    docs with < 2 point spans drop out (mirrors SQL's LAG inner
+    pairing)."""
+    from ..geom.ops import haversine_m
+    from ..stages import relational
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    P = 16
+
+    def addpart(b: pa.Table) -> pa.Table:
+        import zlib
+
+        doc = b["doc_id"].to_pylist()
+        part = np.fromiter(
+            (zlib.crc32(d.encode()) % P for d in doc), np.int32,
+            count=len(doc))
+        return b.append_column("_part", pa.array(part, pa.int32()))
+
+    def paths(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_pylist()
+        si = t["span_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = t["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = t["bbox_miny"].to_numpy(zero_copy_only=False)
+        codes, uniq = pa.array(doc).dictionary_encode().indices, None
+        dcode = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((si, dcode))
+        dc, lon_s, lat_s = dcode[order], lon[order], lat[order]
+        n = len(dc)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "n_pts": pa.array([], pa.int64()),
+                             "path_mm": pa.array([], pa.int64())})
+        same = np.zeros(n, bool)
+        same[1:] = dc[1:] == dc[:-1]
+        s = np.nonzero(same)[0]  # segment end indices
+        d = haversine_m(lon_s[s - 1], lat_s[s - 1], lon_s[s], lat_s[s])
+        mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+        seg_doc = dc[s]
+        uk, inv = np.unique(seg_doc, return_inverse=True)
+        path = np.zeros(len(uk), np.int64)
+        np.add.at(path, inv, mm)
+        n_segs = np.bincount(inv)
+        docs_sorted = pa.array(doc).take(pa.array(order))
+        first_of = np.searchsorted(dc, uk)
+        return pa.table({
+            "doc_id": docs_sorted.take(pa.array(first_of)),
+            "n_pts": pa.array(n_segs.astype(np.int64) + 1, pa.int64()),
+            "path_mm": pa.array(path, pa.int64()),
+        })
+
+    out = pts.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(paths, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_pts", "path_mm"]),
+        batch_format="pyarrow")
+
+
 ANOMALY_MILLI = 100_000  # value > 100.0
 
 
@@ -1079,6 +1142,7 @@ QUERIES_ML = {
     "anomaly_runs": q_anomaly_runs,
     "sliding_distinct": q_sliding_distinct,
     "conversion_latency": q_conversion_latency,
+    "span_path_length": q_span_path_length,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -1311,6 +1375,23 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "tile_clusters": tile_clusters_sql,
         "quadkey_cells": quadkey_sql,
         "grid_morphology": morphology_sql,
+        "span_path_length": f"""
+WITH p AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS si, xs[1] AS lon, ys[1] AS lat
+  FROM {_GEOMS} WHERE geom_type = 1),
+seg AS (
+  SELECT doc_id, lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY si)),
+d AS (
+  SELECT doc_id,
+         CAST(FLOOR(({_HAVERSINE.format(lat1='seg.plat', lon1='seg.plon',
+                                        lat2='seg.lat', lon2='seg.lon')})
+                    * 1000.0 + 0.5) AS BIGINT) AS mm
+  FROM seg WHERE plon IS NOT NULL)
+SELECT doc_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_pts,
+       CAST(SUM(mm) AS BIGINT) AS path_mm
+FROM d GROUP BY doc_id""",
         "sliding_distinct": """
 WITH p AS (
   SELECT DISTINCT ws, user_id FROM (

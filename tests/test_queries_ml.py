@@ -504,3 +504,45 @@ def test_conversion_latency_brute_force(ray_session):
     assert len(got) == len(want)
     for r in got.itertuples():
         assert want[r.user_id] == (r.n_conv, r.min_s, r.max_s, r.sum_s)
+
+
+def test_span_path_length_brute_force(ray_session):
+    """Dict brute force over the engine's own point features — and the
+    span-ORDER dependence: the path through spans in order differs from
+    a sorted-by-coordinate path for some doc (sequence is load-bearing)."""
+    from grandine_ray.geom.ops import haversine_m
+    from grandine_ray.pipelines.queries import _features_ds
+
+    got = queries_ml.q_span_path_length(SF).to_pandas()
+    feats = _features_ds(SF).filter(expr="geom_type == 1").to_pandas()
+    want = {}
+    for doc, g in feats.groupby("doc_id"):
+        g = g.sort_values("span_idx")
+        if len(g) < 2:
+            continue
+        lon = g.bbox_minx.to_numpy()
+        lat = g.bbox_miny.to_numpy()
+        mm = np.floor(haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
+                      * 1000.0 + 0.5).astype(np.int64)
+        want[doc] = (len(g), int(mm.sum()))
+    assert len(got) == len(want)
+    order_matters = 0
+    for r in got.itertuples():
+        assert want[r.doc_id] == (r.n_pts, r.path_mm)
+    # sequence dependence: permuting spans changes some path
+    for doc, g in feats.groupby("doc_id"):
+        if len(g) < 3:
+            continue
+        g = g.sort_values("span_idx")
+        lon = g.bbox_minx.to_numpy()
+        lat = g.bbox_miny.to_numpy()
+        base = np.floor(haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
+                        * 1000.0 + 0.5).sum()
+        lon2, lat2 = lon[::-1].copy(), lat[::-1].copy()
+        lon2[0], lon2[1] = lon2[1], lon2[0]
+        lat2[0], lat2[1] = lat2[1], lat2[0]
+        alt = np.floor(haversine_m(lon2[:-1], lat2[:-1], lon2[1:],
+                                   lat2[1:]) * 1000.0 + 0.5).sum()
+        if base != alt:
+            order_matters += 1
+    assert order_matters > 0
