@@ -81,7 +81,7 @@ def cmd_converter(argv):
     p.add_argument("-out", dest="out", required=True)
     p.add_argument("-mapping", default=None, help="YAML mapping rule file")
     p.add_argument("-format", default=None,
-                   help="spaten|geojson|parquet (default: by extension)")
+                   help="spaten|geojson|parquet|wkt (default: by extension)")
     a = p.parse_args(argv)
     _ray_init(None)
     import ray
@@ -91,7 +91,8 @@ def cmd_converter(argv):
     fmt = a.format
     if fmt is None:
         fmt = ("geojson" if a.out.endswith(".geojson")
-               else "parquet" if a.out.endswith(".parquet") else "spaten")
+               else "parquet" if a.out.endswith(".parquet")
+               else "wkt" if a.out.endswith(".wkt") else "spaten")
     mapping = open(a.mapping).read() if a.mapping else None
     n = convert(a.inp, a.out, mapping_yaml=mapping, out_format=fmt)
     print(f"wrote {n} features to {a.out}")

@@ -37,6 +37,10 @@ def read_features(paths: list[str], **csv_kwargs):
                 tables.append(
                     gj.parse_points_csv(raw.decode("utf-8"), source=p, **csv_kwargs)
                 )
+            elif p.endswith(".wkt"):
+                from ..sources.wkt import parse_wkt_lines
+
+                tables.append(parse_wkt_lines(raw.decode("utf-8"), source=p))
             else:
                 raise ValueError(f"no codec for {p}")
         return pa.concat_tables(tables, promote_options="default")
@@ -80,6 +84,17 @@ def convert(paths: list[str], out_path: str, mapping_yaml: str | None = None,
         )
         with open(out_path, "w") as f:
             f.write(gj.features_to_geojson(table))
+        return table.num_rows
+
+    if out_format == "wkt":
+        from ..sources.wkt import features_to_wkt
+
+        table = pa.concat_tables(
+            list(ds.iter_batches(batch_size=4096, batch_format="pyarrow")),
+            promote_options="default",
+        )
+        with open(out_path, "w") as f:
+            f.write(features_to_wkt(table))
         return table.num_rows
 
     raise ValueError(f"unsupported output format: {out_format}")

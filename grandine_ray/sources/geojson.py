@@ -195,4 +195,8 @@ def guess_codec(filename: str):
         from .spaten import spaten_to_table
 
         return spaten_to_table
+    if fn.endswith(".wkt"):
+        from .wkt import parse_wkt_lines
+
+        return parse_wkt_lines
     raise ValueError(f"no codec for {filename}")
