@@ -99,3 +99,18 @@ def test_converter_reads_and_writes_wkt(ray_session, tmp_path):
     assert n == 2
     reread = wkt.parse_wkt_lines(out.read_text(), source="r")
     assert sorted(reread["geom_type"].to_pylist()) == [1, 3]
+
+
+def test_tiler_accepts_wkt_input(ray_session, tmp_path):
+    from grandine_ray.pipelines.tiler import read_features_any
+    from grandine_ray.stages.coverage import make_coverage_fn
+
+    src = tmp_path / "geoms.wkt"
+    src.write_text("POINT (13.7363 51.05377)\n"
+                   "POLYGON ((13.7 51.0, 13.8 51.0, 13.7 51.1, 13.7 51.0))"
+                   "\t{\"@layer\": \"building\"}\n")
+    feats = read_features_any(str(src))
+    tiled = feats.map_batches(make_coverage_fn([6]),
+                              batch_format="pyarrow").to_pandas()
+    assert len(tiled) >= 2
+    assert set(tiled.layer) == {"default", "building"}
