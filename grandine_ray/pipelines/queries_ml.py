@@ -817,6 +817,41 @@ def pd_isnull(arr):
     return pd.isnull(arr)
 
 
+def q_pip_counts(sf_dir: str):
+    """Spatial aggregation: contained-point count per polygon — the
+    canonical choropleth query, composed as the size-switched PIP join
+    followed by a per-polygon count groupby (pairs collapse to one row
+    per polygon before leaving the join stage's output)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import join as join_stage
+    from .queries import _features_ds
+
+    polys = _features_ds(sf_dir).filter(expr="geom_type == 3")
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    out = join_stage.pip_join_auto(pts, polys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = b["polygon_id"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({
+            "polygon_id": enc.dictionary,
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = out.map_batches(partial, batch_format="pyarrow") \
+        .groupby("polygon_id").aggregate(Sum("n", alias_name="n_points"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "polygon_id": b["polygon_id"],
+            "n_points": pc.cast(b["n_points"], pa.int64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
 def q_span_path_length(sf_dir: str):
     """Per-document trajectory length: the geodesic path through the
     doc's POINT spans in SPAN ORDER (the interleaved input_hint's
@@ -1143,6 +1178,7 @@ QUERIES_ML = {
     "sliding_distinct": q_sliding_distinct,
     "conversion_latency": q_conversion_latency,
     "span_path_length": q_span_path_length,
+    "pip_counts": q_pip_counts,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -1157,7 +1193,12 @@ QUERIES_ML = {
 
 
 def _oracle_sql_ml() -> dict[str, str]:
-    from .queries import _GEOMS, _HAVERSINE, _TILE_XY, _TILE_Y
+    from .queries import _GEOMS, _HAVERSINE, _TILE_XY, _TILE_Y, ORACLE_SQL
+
+    pip_counts_sql = f"""
+SELECT polygon_id, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM ({ORACLE_SQL["pip_join"]})
+GROUP BY polygon_id"""
 
     tx = _TILE_XY.format(lon="pts.lon")
     ty = _TILE_Y.format(lat="pts.lat")
@@ -1375,6 +1416,7 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "tile_clusters": tile_clusters_sql,
         "quadkey_cells": quadkey_sql,
         "grid_morphology": morphology_sql,
+        "pip_counts": pip_counts_sql,
         "span_path_length": f"""
 WITH p AS (
   SELECT doc_id, CAST(span_idx AS BIGINT) AS si, xs[1] AS lon, ys[1] AS lat

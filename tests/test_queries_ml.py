@@ -546,3 +546,15 @@ def test_span_path_length_brute_force(ray_session):
         if base != alt:
             order_matters += 1
     assert order_matters > 0
+
+
+def test_pip_counts_matches_pip_join(ray_session):
+    """pip_counts must equal a dict-count of the pip_join pairs."""
+    from grandine_ray.pipelines.queries import q_pip_join
+
+    pairs = q_pip_join(SF).to_pandas()
+    want = pairs.groupby("polygon_id").size().to_dict()
+    got = queries_ml.q_pip_counts(SF).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.polygon_id] == r.n_points
