@@ -817,6 +817,105 @@ def pd_isnull(arr):
     return pd.isnull(arr)
 
 
+CONC_TOPK = 10
+
+
+def q_revenue_concentration(sf_dir: str):
+    """Per-nation revenue-concentration curve point: total order revenue
+    (integer cents), the top-10-customer slice, and its share in ppm —
+    the whale-account concentration report. Distributed: per-block
+    (custkey, cents) partials → custkey join to the customer dimension
+    for nationkey → fused (nation, customer) groupby → per-nation
+    top-k + totals in ONE map_groups over the 25 nation groups
+    (cents-desc, custkey-asc tie-break, mirrored in the SQL window);
+    share_ppm = floor(top10·1e6 / total) in exact integers."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import relational
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        ck = relational._np(b["o_custkey"]).astype(np.int64)
+        cents = np.floor(relational._np(b["o_totalprice"]) * 100.0
+                         + 0.5).astype(np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck_s, c_s = ck[order], cents[order]
+        starts = np.ones(len(ck_s), bool)
+        starts[1:] = ck_s[1:] != ck_s[:-1]
+        idx = np.nonzero(starts)[0]
+        return pa.table({
+            "custkey": pa.array(ck_s[idx], pa.int64()),
+            "cents": pa.array(np.add.reduceat(c_s, idx), pa.int64()),
+        })
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def cust_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "nk": pc.cast(b["c_nationkey"], pa.int64()),
+        })
+
+    j = relational.hash_join_i64(
+        orders.map_batches(ord_partial, batch_format="pyarrow"),
+        cust.map_batches(cust_slim, batch_format="pyarrow"),
+        key="custkey",
+        left_carry={"cents": pa.int64()},
+        right_carry={"nk": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
+
+    def part2(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_nk", pc.cast(b["nk"], pa.int32()))
+
+    def per_nation(t: pa.Table) -> pa.Table:
+        ck = t["custkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        nk = int(t["nk"][0].as_py())
+        # collapse duplicate custkeys (join emits one row per partial)
+        order = np.lexsort((ck,))
+        ck_s, c_s = ck[order], cents[order]
+        starts = np.ones(len(ck_s), bool)
+        starts[1:] = ck_s[1:] != ck_s[:-1]
+        idx = np.nonzero(starts)[0]
+        cust_cents = np.add.reduceat(c_s, idx)
+        cust_ids = ck_s[idx]
+        total = int(cust_cents.sum())
+        rank = np.lexsort((cust_ids, -cust_cents))[:CONC_TOPK]
+        top = int(cust_cents[rank].sum())
+        share = top * 1_000_000 // total if total else 0
+        return pa.table({
+            "nk": pa.array([nk], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "top10_cents": pa.array([top], pa.int64()),
+            "share_ppm": pa.array([share], pa.int64()),
+        })
+
+    per_nk = j.map_batches(part2, batch_format="pyarrow") \
+        .groupby("_nk").map_groups(per_nation, batch_format="pyarrow")
+
+    import pyarrow.parquet as _pq
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(),
+                    nation["n_name"].to_pylist()))
+
+    def widen(b: pa.Table) -> pa.Table:
+        nk = b["nk"].to_pylist()
+        return pa.table({
+            "n_name": pa.array([nmap[k] for k in nk], pa.string()),
+            "total_cents": b["total_cents"],
+            "top10_cents": b["top10_cents"],
+            "share_ppm": b["share_ppm"],
+        })
+
+    return per_nk.map_batches(widen, batch_format="pyarrow")
+
+
 def q_pip_counts(sf_dir: str):
     """Spatial aggregation: contained-point count per polygon — the
     canonical choropleth query, composed as the size-switched PIP join
@@ -1179,6 +1278,7 @@ QUERIES_ML = {
     "conversion_latency": q_conversion_latency,
     "span_path_length": q_span_path_length,
     "pip_counts": q_pip_counts,
+    "revenue_concentration": q_revenue_concentration,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -1417,6 +1517,28 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "quadkey_cells": quadkey_sql,
         "grid_morphology": morphology_sql,
         "pip_counts": pip_counts_sql,
+        "revenue_concentration": f"""
+WITH cr AS (
+  SELECT c_nationkey AS nk, o_custkey AS ck,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+r AS (
+  SELECT nk, ck, cents,
+         ROW_NUMBER() OVER (PARTITION BY nk
+                            ORDER BY cents DESC, ck) AS rn
+  FROM cr),
+agg AS (
+  SELECT nk, SUM(cents) AS total,
+         SUM(CASE WHEN rn <= {CONC_TOPK} THEN cents ELSE 0 END) AS top10
+  FROM r GROUP BY nk)
+SELECT n_name,
+       CAST(total AS BIGINT) AS total_cents,
+       CAST(top10 AS BIGINT) AS top10_cents,
+       CAST((CAST(top10 AS HUGEINT) * 1000000) // total AS BIGINT)
+         AS share_ppm
+FROM agg JOIN nation ON n_nationkey = agg.nk""",
         "span_path_length": f"""
 WITH p AS (
   SELECT doc_id, CAST(span_idx AS BIGINT) AS si, xs[1] AS lon, ys[1] AS lat

@@ -558,3 +558,35 @@ def test_pip_counts_matches_pip_join(ray_session):
     assert len(got) == len(want)
     for r in got.itertuples():
         assert want[r.polygon_id] == r.n_points
+
+
+def test_revenue_concentration_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    got = queries_ml.q_revenue_concentration(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]) \
+        .to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    nk_of = dict(zip(cust.c_custkey, cust.c_nationkey))
+    cents = defaultdict(int)
+    for r in orders.itertuples():
+        cents[r.o_custkey] += int(np.floor(r.o_totalprice * 100 + 0.5))
+    per_nk = defaultdict(list)
+    for ck, c in cents.items():
+        per_nk[nk_of[ck]].append((-c, ck, c))
+    names = dict(zip(nation.n_nationkey, nation.n_name))
+    want = {}
+    for nk, rows in per_nk.items():
+        rows.sort()
+        total = sum(c for _, _, c in rows)
+        top = sum(c for _, _, c in rows[:queries_ml.CONC_TOPK])
+        want[names[nk]] = (total, top, top * 1_000_000 // total)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.n_name] == (r.total_cents, r.top10_cents,
+                                  r.share_ppm)
