@@ -916,6 +916,144 @@ def q_revenue_concentration(sf_dir: str):
     return per_nk.map_batches(widen, batch_format="pyarrow")
 
 
+def q_revenue_gini(sf_dir: str):
+    """Per-nation Gini coefficient of customer revenue in exact integer
+    ppm: G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over ascending sorted
+    customer revenues (custkey tie-break) — numerator and denominator
+    are exact integer sums, the ratio truncates to ppm identically to
+    the DuckDB HUGEINT mirror. Same join shape as
+    revenue_concentration; one map_groups over the 25 nation groups."""
+    from ..stages import relational
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        ck = relational._np(b["o_custkey"]).astype(np.int64)
+        cents = np.floor(relational._np(b["o_totalprice"]) * 100.0
+                         + 0.5).astype(np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck_s, c_s = ck[order], cents[order]
+        starts = np.ones(len(ck_s), bool)
+        starts[1:] = ck_s[1:] != ck_s[:-1]
+        idx = np.nonzero(starts)[0]
+        return pa.table({
+            "custkey": pa.array(ck_s[idx], pa.int64()),
+            "cents": pa.array(np.add.reduceat(c_s, idx), pa.int64()),
+        })
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def cust_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "nk": pc.cast(b["c_nationkey"], pa.int64()),
+        })
+
+    j = relational.hash_join_i64(
+        orders.map_batches(ord_partial, batch_format="pyarrow"),
+        cust.map_batches(cust_slim, batch_format="pyarrow"),
+        key="custkey",
+        left_carry={"cents": pa.int64()},
+        right_carry={"nk": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
+
+    def per_nation(t: pa.Table) -> pa.Table:
+        ck = t["custkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        nk = int(t["nk"][0].as_py())
+        order = np.lexsort((ck,))
+        ck_s, c_s = ck[order], cents[order]
+        starts = np.ones(len(ck_s), bool)
+        starts[1:] = ck_s[1:] != ck_s[:-1]
+        idx = np.nonzero(starts)[0]
+        x = np.add.reduceat(c_s, idx)
+        ids = ck_s[idx]
+        asc = np.lexsort((ids, x))  # ascending revenue, custkey tie-break
+        xs = x[asc]
+        n = len(xs)
+        sx = int(xs.sum())
+        # Σ i·x_(i), i = 1..n — python ints (n·x can pass 2^63 at scale)
+        ix = sum((i + 1) * int(v) for i, v in enumerate(xs))
+        num = 2 * ix - (n + 1) * sx
+        den = n * sx
+        gini = num * 1_000_000 // den if den else 0
+        return pa.table({
+            "nk": pa.array([nk], pa.int64()),
+            "n_customers": pa.array([n], pa.int64()),
+            "gini_ppm": pa.array([gini], pa.int64()),
+        })
+
+    per_nk = j.map_batches(
+        lambda b: b.append_column("_nk", pc.cast(b["nk"], pa.int32())),
+        batch_format="pyarrow") \
+        .groupby("_nk").map_groups(per_nation, batch_format="pyarrow")
+
+    import pyarrow.parquet as _pq
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(),
+                    nation["n_name"].to_pylist()))
+
+    def widen(b: pa.Table) -> pa.Table:
+        nk = b["nk"].to_pylist()
+        return pa.table({
+            "n_name": pa.array([nmap[k] for k in nk], pa.string()),
+            "n_customers": b["n_customers"],
+            "gini_ppm": b["gini_ppm"],
+        })
+
+    return per_nk.map_batches(widen, batch_format="pyarrow")
+
+
+def q_tile_hhi(sf_dir: str):
+    """Spatial concentration of point density: the Simpson / HHI index
+    over occupied z-10 tiles, hhi_ppm = floor(Σ n_i² · 1e6 / S²) — the
+    integer-exact evenness statistic (1e6/occupied = perfectly even,
+    →1e6 = all points in one tile). One tile-count groupby, one
+    partial-sums pass; ratio in arbitrary-precision integers."""
+    from ray.data.aggregate import Sum
+
+    from ..index.xyz import tile_xy
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    z = SMOOTH_Z
+
+    def tiles(b: pa.Table) -> pa.Table:
+        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        x, y = tile_xy(lon, lat, z)
+        key = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    occ = pts.map_batches(tiles, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+
+    def partials(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s": pa.array([int(n.sum())], pa.int64()),
+            "sq": pa.array([int((n * n).sum())], pa.int64()),
+            "tiles": pa.array([len(n)], pa.int64()),
+        })
+
+    parts = occ.map_batches(partials, batch_format="pyarrow").take_all()
+    s = sum(int(r["s"]) for r in parts)
+    sq = sum(int(r["sq"]) for r in parts)
+    tiles_n = sum(int(r["tiles"]) for r in parts)
+    hhi = sq * 1_000_000 // (s * s) if s else 0
+    return pa.table({
+        "n_tiles": pa.array([tiles_n], pa.int64()),
+        "n_points": pa.array([s], pa.int64()),
+        "hhi_ppm": pa.array([hhi], pa.int64()),
+    })
+
+
 def q_pip_counts(sf_dir: str):
     """Spatial aggregation: contained-point count per polygon — the
     canonical choropleth query, composed as the size-switched PIP join
@@ -1279,6 +1417,8 @@ QUERIES_ML = {
     "span_path_length": q_span_path_length,
     "pip_counts": q_pip_counts,
     "revenue_concentration": q_revenue_concentration,
+    "revenue_gini": q_revenue_gini,
+    "tile_hhi": q_tile_hhi,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -1539,6 +1679,39 @@ SELECT n_name,
        CAST((CAST(top10 AS HUGEINT) * 1000000) // total AS BIGINT)
          AS share_ppm
 FROM agg JOIN nation ON n_nationkey = agg.nk""",
+        "revenue_gini": """
+WITH cr AS (
+  SELECT c_nationkey AS nk, o_custkey AS ck,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+r AS (
+  SELECT nk, cents,
+         ROW_NUMBER() OVER (PARTITION BY nk
+                            ORDER BY cents ASC, ck ASC) AS i
+  FROM cr),
+agg AS (
+  SELECT nk, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS ix
+  FROM r GROUP BY nk)
+SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+       CAST((2 * ix - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+         AS gini_ppm
+FROM agg JOIN nation ON n_nationkey = agg.nk""",
+        "tile_hhi": f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+cnt AS (
+  SELECT {tx} AS x, {ty} AS y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts, zz GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(n) AS BIGINT) AS n_points,
+       CAST((SUM(CAST(n AS HUGEINT) * n) * 1000000)
+            // (CAST(SUM(n) AS HUGEINT) * SUM(n)) AS BIGINT) AS hhi_ppm
+FROM cnt""",
         "span_path_length": f"""
 WITH p AS (
   SELECT doc_id, CAST(span_idx AS BIGINT) AS si, xs[1] AS lon, ys[1] AS lat

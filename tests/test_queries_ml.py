@@ -590,3 +590,48 @@ def test_revenue_concentration_brute_force(ray_session):
     for r in got.itertuples():
         assert want[r.n_name] == (r.total_cents, r.top10_cents,
                                   r.share_ppm)
+
+
+def test_revenue_gini_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    got = queries_ml.q_revenue_gini(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]) \
+        .to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    nk_of = dict(zip(cust.c_custkey, cust.c_nationkey))
+    cents = defaultdict(int)
+    for r in orders.itertuples():
+        cents[r.o_custkey] += int(np.floor(r.o_totalprice * 100 + 0.5))
+    per_nk = defaultdict(list)
+    for ck, c in cents.items():
+        per_nk[nk_of[ck]].append((c, ck))
+    names = dict(zip(nation.n_nationkey, nation.n_name))
+    want = {}
+    for nk, rows in per_nk.items():
+        rows.sort()
+        n = len(rows)
+        sx = sum(c for c, _ in rows)
+        ix = sum((i + 1) * c for i, (c, _) in enumerate(rows))
+        want[names[nk]] = (n, (2 * ix - (n + 1) * sx) * 1_000_000
+                           // (n * sx))
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.n_name] == (r.n_customers, r.gini_ppm)
+        assert 0 <= r.gini_ppm < 1_000_000
+
+
+def test_tile_hhi_brute_force(ray_session):
+    got = queries_ml.q_tile_hhi(SF).to_pandas()
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    s = int(grid.n.sum())
+    sq = int((grid.n ** 2).sum())
+    r = got.iloc[0]
+    assert (r.n_tiles, r.n_points) == (len(grid), s)
+    assert r.hhi_ppm == sq * 1_000_000 // (s * s)
+    # bounds: 1e6/n_tiles <= hhi <= 1e6
+    assert 1_000_000 // len(grid) <= r.hhi_ppm <= 1_000_000
