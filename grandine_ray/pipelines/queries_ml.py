@@ -1054,6 +1054,106 @@ def q_tile_hhi(sf_dir: str):
     })
 
 
+_DIRS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         if (dx, dy) != (0, 0)]
+
+
+def _tri_table() -> np.ndarray:
+    """256-entry lookup: for an 8-bit neighbor-occupancy mask (bit i =
+    neighbor in direction _DIRS[i] occupied), the number of occupied
+    neighbor PAIRS that are themselves 8-adjacent — i.e. triangles
+    through this vertex."""
+    adj_pairs = []
+    for i, (ax, ay) in enumerate(_DIRS):
+        for j in range(i + 1, len(_DIRS)):
+            bx, by = _DIRS[j]
+            if abs(ax - bx) <= 1 and abs(ay - by) <= 1:
+                adj_pairs.append((i, j))
+    out = np.zeros(256, np.int64)
+    for m in range(256):
+        out[m] = sum(1 for i, j in adj_pairs
+                     if (m >> i) & 1 and (m >> j) & 1)
+    return out
+
+
+def q_tile_triangles(sf_dir: str):
+    """Distributed triangle counting on the occupied-tile 8-adjacency
+    graph (the clustering-structure primitive of graph analytics, on
+    the grid graph): ONE fan-out where each occupied tile sends a
+    DIRECTION BIT to each neighbor slot, one groupby summing bits into
+    an 8-bit occupancy mask per tile, then a 256-entry lookup counts
+    the adjacent neighbor pairs (triangles through that vertex); the
+    global count divides by 3. Edges come from the same mask
+    (popcount/2). SQL mirror: ordered three-way self-join."""
+    from ray.data.aggregate import Sum
+
+    from ..index.xyz import tile_xy
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    z = SMOOTH_Z
+
+    def tiles(b: pa.Table) -> pa.Table:
+        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        x, y = tile_xy(lon, lat, z)
+        uk = np.unique((x.astype(np.int64) << 32) | y.astype(np.int64))
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "one": pa.array(np.ones(len(uk), np.int64),
+                                         pa.int64())})
+
+    occ = pts.map_batches(tiles, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("one", alias_name="one"))
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        x, y = k >> 32, k & 0xFFFFFFFF
+        one = np.ones(len(k), np.int64)
+        zero = np.zeros(len(k), np.int64)
+        ks, bits, cns = [], [], []
+        # center marker
+        ks.append(((x + 1) << 32) | (y + 1))
+        bits.append(zero)
+        cns.append(one)
+        for i, (dx, dy) in enumerate(_DIRS):
+            # this tile occupies the neighbor's OPPOSITE direction slot
+            ks.append(((x + dx + 1) << 32) | (y + dy + 1))
+            opp = _DIRS.index((-dx, -dy))
+            bits.append(np.full(len(k), 1 << opp, np.int64))
+            cns.append(zero)
+        return pa.table({
+            "k": pa.array(np.concatenate(ks), pa.int64()),
+            "bit": pa.array(np.concatenate(bits), pa.int64()),
+            "cn": pa.array(np.concatenate(cns), pa.int64()),
+        })
+
+    agg = occ.map_batches(fan_out, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("bit", alias_name="mask"),
+                                Sum("cn", alias_name="cn"))
+    tri_tab = _tri_table()
+    pop = np.array([bin(m).count("1") for m in range(256)], np.int64)
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["cn"], 0))
+        mask = t["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "tiles": pa.array([len(mask)], pa.int64()),
+            "deg2": pa.array([int(pop[mask].sum())], pa.int64()),
+            "tri3": pa.array([int(tri_tab[mask].sum())], pa.int64()),
+        })
+
+    parts = agg.map_batches(partials, batch_format="pyarrow").take_all()
+    n_tiles = sum(int(r["tiles"]) for r in parts)
+    deg2 = sum(int(r["deg2"]) for r in parts)
+    tri3 = sum(int(r["tri3"]) for r in parts)
+    assert deg2 % 2 == 0 and tri3 % 3 == 0
+    return pa.table({
+        "n_tiles": pa.array([n_tiles], pa.int64()),
+        "n_edges": pa.array([deg2 // 2], pa.int64()),
+        "n_triangles": pa.array([tri3 // 3], pa.int64()),
+    })
+
+
 def q_pip_counts(sf_dir: str):
     """Spatial aggregation: contained-point count per polygon — the
     canonical choropleth query, composed as the size-switched PIP join
@@ -1419,6 +1519,7 @@ QUERIES_ML = {
     "revenue_concentration": q_revenue_concentration,
     "revenue_gini": q_revenue_gini,
     "tile_hhi": q_tile_hhi,
+    "tile_triangles": q_tile_triangles,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -1777,6 +1878,25 @@ FROM isl GROUP BY user_id""",
         "ann_range": ann_range_sql,
         "line_length": line_length_sql,
         "bloom_semi_join": bloom_semi_sql,
+        "tile_triangles": f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+occ AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM pts, zz),
+edges AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM occ a JOIN occ b
+    ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+   AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+tris AS (
+  SELECT 1 AS one
+  FROM edges e JOIN occ c
+    ON abs(e.ax - c.x) <= 1 AND abs(e.ay - c.y) <= 1
+   AND abs(e.bx - c.x) <= 1 AND abs(e.by - c.y) <= 1
+   AND (e.bx < c.x OR (e.bx = c.x AND e.by < c.y)))
+SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_tiles,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM tris) AS BIGINT) AS n_triangles""",
         "bigram_pmi": bigram_pmi_sql,
         "cell_smooth": cell_smooth_sql,
         "part_skyline": """

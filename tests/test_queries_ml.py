@@ -635,3 +635,30 @@ def test_tile_hhi_brute_force(ray_session):
     assert r.hhi_ppm == sq * 1_000_000 // (s * s)
     # bounds: 1e6/n_tiles <= hhi <= 1e6
     assert 1_000_000 // len(grid) <= r.hhi_ppm <= 1_000_000
+
+
+def test_tile_triangles_brute_force(ray_session):
+    from itertools import combinations
+
+    got = queries_ml.q_tile_triangles(SF).to_pandas()
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y) for r in grid.itertuples()}
+
+    def adj(a, b):
+        return a != b and abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1
+
+    edges = 0
+    tris = 0
+    cells = sorted(occ)
+    nbrs = {c: [d for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+                and (d := (c[0] + dx, c[1] + dy)) in occ]
+            for c in cells}
+    for c in cells:
+        edges += len(nbrs[c])
+        for a, b in combinations(nbrs[c], 2):
+            if adj(a, b):
+                tris += 1
+    r = got.iloc[0]
+    assert (r.n_tiles, r.n_edges, r.n_triangles) == \
+        (len(occ), edges // 2, tris // 3)
