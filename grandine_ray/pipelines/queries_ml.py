@@ -1154,6 +1154,72 @@ def q_tile_triangles(sf_dir: str):
     })
 
 
+TREND_TOPK = 3
+
+
+def q_trending_parts(sf_dir: str):
+    """Daily trending parts: the top-3 parts per ship-day by lineitem
+    count (count-desc, partkey-asc tie-break) — the per-window top-k
+    'trending items' analytic. Per-block fused (day, part) partials →
+    one groupby → per-day top-k in a map_groups over day groups (the
+    day domain is bounded); SQL mirror is the ROW_NUMBER window."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import relational
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = relational._np(b["l_partkey"]).astype(np.int64)
+        day = relational._ts_us(b["l_shipdate"]) // 86_400_000_000
+        if len(pk) and pk.max() >= 1 << 31:
+            raise ValueError("trending_parts: partkey >= 2^31")
+        fused = (day << 32) | pk
+        uk, cnt = np.unique(fused, return_counts=True)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+
+    def addday(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_day", pa.array((k >> 32).astype(np.int32), pa.int32()))
+
+    def topk(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = int(k[0] >> 32)
+        pk = k & 0xFFFFFFFF
+        order = np.lexsort((pk, -n))[:TREND_TOPK]
+        ranks = np.arange(1, len(order) + 1, dtype=np.int64)
+        return pa.table({
+            "day_us": pa.array(
+                np.full(len(order), day, np.int64) * 86_400_000_000,
+                pa.int64()),
+            "l_partkey": pa.array(pk[order], pa.int64()),
+            "n": pa.array(n[order], pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+        })
+
+    out = agg.map_batches(addday, batch_format="pyarrow") \
+        .groupby("_day").map_groups(topk, batch_format="pyarrow")
+
+    def widen(b: pa.Table) -> pa.Table:
+        d = b["day_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ship_day": pa.array(d.astype("datetime64[us]"),
+                                 pa.timestamp("us")),
+            "l_partkey": b["l_partkey"],
+            "n": b["n"],
+            "rank": b["rank"],
+        })
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 def q_pip_counts(sf_dir: str):
     """Spatial aggregation: contained-point count per polygon — the
     canonical choropleth query, composed as the size-switched PIP join
@@ -1520,6 +1586,7 @@ QUERIES_ML = {
     "revenue_gini": q_revenue_gini,
     "tile_hhi": q_tile_hhi,
     "tile_triangles": q_tile_triangles,
+    "trending_parts": q_trending_parts,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -1780,6 +1847,20 @@ SELECT n_name,
        CAST((CAST(top10 AS HUGEINT) * 1000000) // total AS BIGINT)
          AS share_ppm
 FROM agg JOIN nation ON n_nationkey = agg.nk""",
+        "trending_parts": f"""
+WITH d AS (
+  SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+         date_trunc('day', l_shipdate) AS ship_day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2),
+r AS (
+  SELECT ship_day, l_partkey, n,
+         ROW_NUMBER() OVER (PARTITION BY ship_day
+                            ORDER BY n DESC, l_partkey) AS rank
+  FROM d)
+SELECT CAST(ship_day AS TIMESTAMP) AS ship_day, l_partkey, n,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {TREND_TOPK}""",
         "revenue_gini": """
 WITH cr AS (
   SELECT c_nationkey AS nk, o_custkey AS ck,

@@ -662,3 +662,27 @@ def test_tile_triangles_brute_force(ray_session):
     r = got.iloc[0]
     assert (r.n_tiles, r.n_edges, r.n_triangles) == \
         (len(occ), edges // 2, tris // 3)
+
+
+def test_trending_parts_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    from collections import Counter, defaultdict
+
+    got = queries_ml.q_trending_parts(SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_shipdate"]).to_pandas()
+    day = li.l_shipdate.values.astype("datetime64[D]")
+    cnt = Counter(zip(day, li.l_partkey))
+    per_day = defaultdict(list)
+    for (d, pk), n in cnt.items():
+        per_day[d].append((-n, pk, n))
+    want = {}
+    for d, rows in per_day.items():
+        rows.sort()
+        for rank, (_, pk, n) in enumerate(rows[:queries_ml.TREND_TOPK],
+                                          start=1):
+            want[(np.datetime64(d, "us"), pk)] = (n, rank)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        key = (np.datetime64(r.ship_day, "us"), r.l_partkey)
+        assert want[key] == (r.n, r.rank)
