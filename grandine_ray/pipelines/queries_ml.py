@@ -1220,6 +1220,48 @@ def q_trending_parts(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+def q_daily_value_median(sf_dir: str):
+    """Time-sliced distribution dashboard: per (event_type, day) exact
+    median of value in integer milli-units (quantile_disc semantics) —
+    the fused-key composition of the value-count histogram shuffle
+    (stages/stats.group_quantiles), split back after the quantile pass.
+    \\x1f fuse separator per the repo convention."""
+    from ..stages import stats as stats_stage
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        day = (ts.astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        vm = np.floor(b["value"].to_numpy(zero_copy_only=False) * 1000.0
+                      + 0.5).astype(np.int64)
+        et = b["event_type"]
+        g = pc.binary_join_element_wise(
+            et, pa.array([str(d) for d in day], pa.string()), "\x1f")
+        return pa.table({"g": g, "vm": pa.array(vm, pa.int64())})
+
+    rows = stats_stage.group_quantiles(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "g", "vm", [0.5], ["p50_milli"])
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["g"], "\x1f")
+        day = np.asarray(
+            [int(v) for v in pc.list_element(parts, 1).to_pylist()],
+            np.int64) * 86_400_000_000
+        return pa.table({
+            "event_type": pc.list_element(parts, 0),
+            "day": pa.array(day.astype("datetime64[us]"),
+                            pa.timestamp("us")),
+            "n_rows": pc.cast(b["n_rows"], pa.int64()),
+            "p50_milli": pc.cast(b["p50_milli"], pa.int64()),
+        })
+
+    return rows.map_batches(split, batch_format="pyarrow")
+
+
 def q_pip_counts(sf_dir: str):
     """Spatial aggregation: contained-point count per polygon — the
     canonical choropleth query, composed as the size-switched PIP join
@@ -1587,6 +1629,7 @@ QUERIES_ML = {
     "tile_hhi": q_tile_hhi,
     "tile_triangles": q_tile_triangles,
     "trending_parts": q_trending_parts,
+    "daily_value_median": q_daily_value_median,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -1847,6 +1890,15 @@ SELECT n_name,
        CAST((CAST(top10 AS HUGEINT) * 1000000) // total AS BIGINT)
          AS share_ppm
 FROM agg JOIN nation ON n_nationkey = agg.nk""",
+        "daily_value_median": """
+WITH v AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(quantile_disc(vm, 0.5) AS BIGINT) AS p50_milli
+FROM v GROUP BY event_type, day""",
         "trending_parts": f"""
 WITH d AS (
   SELECT CAST(l_partkey AS BIGINT) AS l_partkey,

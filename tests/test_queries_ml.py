@@ -686,3 +686,23 @@ def test_trending_parts_brute_force(ray_session):
     for r in got.itertuples():
         key = (np.datetime64(r.ship_day, "us"), r.l_partkey)
         assert want[key] == (r.n, r.rank)
+
+
+def test_daily_value_median_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    got = queries_ml.q_daily_value_median(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    day = ev.ts.values.astype("datetime64[D]")
+    vm = np.floor(ev.value.values * 1000 + 0.5).astype(np.int64)
+    groups = defaultdict(list)
+    for d, t, v in zip(day, ev.event_type, vm):
+        groups[(t, np.datetime64(d, "us"))].append(v)
+    assert len(got) == len(groups)
+    for r in got.itertuples():
+        vals = sorted(groups[(r.event_type, np.datetime64(r.day, "us"))])
+        # quantile_disc(0.5): the value at ceil(0.5*n)-th position
+        want = vals[max(0, -(-len(vals) // 2) - 1)]
+        assert (r.n_rows, r.p50_milli) == (len(vals), want)
