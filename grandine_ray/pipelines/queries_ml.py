@@ -1262,6 +1262,122 @@ def q_daily_value_median(sf_dir: str):
     return rows.map_batches(split, batch_format="pyarrow")
 
 
+def q_winsorized_sum(sf_dir: str):
+    """Robust-statistics prep: per event_type, the p05/p95 fences
+    (quantile_disc, integer milli) and the winsorized sum — every value
+    clipped into [p05, p95] before summing. Two composed passes: the
+    histogram-quantile shuffle for the fences (broadcast — the type
+    domain is tiny), then one clip+sum scan; all integers, exact."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages import stats as stats_stage
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        vm = np.floor(b["value"].to_numpy(zero_copy_only=False) * 1000.0
+                      + 0.5).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "vm": pa.array(vm, pa.int64())})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    fences = stats_stage.group_quantiles(
+        prepped, "event_type", "vm", [0.05, 0.95],
+        ["p05_milli", "p95_milli"]).take_all()
+    lo = {r["event_type"]: int(r["p05_milli"]) for r in fences}
+    hi = {r["event_type"]: int(r["p95_milli"]) for r in fences}
+    ref = ray.put((lo, hi))
+
+    def clip(b: pa.Table) -> pa.Table:
+        l, h = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        et = b["event_type"].to_pylist()
+        vm = b["vm"].to_numpy(zero_copy_only=False)
+        lo_v = np.fromiter((l[t] for t in et), np.int64, count=len(et))
+        hi_v = np.fromiter((h[t] for t in et), np.int64, count=len(et))
+        c = np.clip(vm, lo_v, hi_v)
+        return pa.table({"event_type": b["event_type"],
+                         "c": pa.array(c, pa.int64())})
+
+    agg = prepped.map_batches(clip, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n"),
+            Sum("c", alias_name="winsorized_sum_milli"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        l, h = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        et = b["event_type"].to_pylist()
+        return pa.table({
+            "event_type": b["event_type"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "p05_milli": pa.array([l[t] for t in et], pa.int64()),
+            "p95_milli": pa.array([h[t] for t in et], pa.int64()),
+            "winsorized_sum_milli": pc.cast(b["winsorized_sum_milli"],
+                                            pa.int64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def q_arrival_dispersion(sf_dir: str):
+    """Burstiness profile: per event_type, the Fano factor of
+    inter-arrival gaps (variance/mean) in exact integer ppm via
+    cross-multiplication — fano_ppm = floor((n·Σd² − (Σd)²)·1e6 /
+    ((n−1)·Σd·n/n)) computed as (nΣd² − (Σd)²)·1e6 // ((n−1)·Σd) over
+    whole-second gaps ordered by (ts, event_id). One type-hash shuffle
+    (the type domain is tiny) + one lexsort per group; the final ratio
+    is arbitrary-precision Python int."""
+    from ..stages import relational
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+    P = 8
+
+    def addpart(b: pa.Table) -> pa.Table:
+        import zlib
+
+        et = b["event_type"].to_pylist()
+        part = np.fromiter((zlib.crc32(t.encode()) % P for t in et),
+                           np.int32, count=len(et))
+        return b.append_column("_part", pa.array(part, pa.int32()))
+
+    def disp(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        ts = relational._ts_us(t["ts"])
+        eid = relational._np(t["event_id"]).astype(np.int64)
+        codes = pa.array(et).dictionary_encode()
+        dc = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = codes.dictionary.to_pylist()
+        order = np.lexsort((eid, ts, dc))
+        dc_s, ts_s = dc[order], ts[order]
+        same = np.zeros(len(dc_s), bool)
+        same[1:] = dc_s[1:] == dc_s[:-1]
+        idx = np.nonzero(same)[0]
+        d = (ts_s[idx] - ts_s[idx - 1]) // 1_000_000  # whole seconds
+        gd = dc_s[idx]
+        out_t, out_n, out_s, out_f = [], [], [], []
+        for code in np.unique(gd):
+            ds_ = d[gd == code]
+            n = len(ds_)
+            sd = int(ds_.sum())
+            sq = sum(int(v) * int(v) for v in ds_)
+            fano = ((n * sq - sd * sd) * 1_000_000 // ((n - 1) * sd)
+                    if n > 1 and sd else 0)
+            out_t.append(names[int(code)])
+            out_n.append(n)
+            out_s.append(sd)
+            out_f.append(fano)
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "n_gaps": pa.array(out_n, pa.int64()),
+            "sum_gap_s": pa.array(out_s, pa.int64()),
+            "fano_ppm": pa.array(out_f, pa.int64()),
+        })
+
+    return ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(disp, batch_format="pyarrow")
+
+
 def q_pip_counts(sf_dir: str):
     """Spatial aggregation: contained-point count per polygon — the
     canonical choropleth query, composed as the size-switched PIP join
@@ -1630,6 +1746,8 @@ QUERIES_ML = {
     "tile_triangles": q_tile_triangles,
     "trending_parts": q_trending_parts,
     "daily_value_median": q_daily_value_median,
+    "winsorized_sum": q_winsorized_sum,
+    "arrival_dispersion": q_arrival_dispersion,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -1890,6 +2008,37 @@ SELECT n_name,
        CAST((CAST(top10 AS HUGEINT) * 1000000) // total AS BIGINT)
          AS share_ppm
 FROM agg JOIN nation ON n_nationkey = agg.nk""",
+        "winsorized_sum": """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events),
+f AS (
+  SELECT event_type,
+         CAST(quantile_disc(vm, 0.05) AS BIGINT) AS p05,
+         CAST(quantile_disc(vm, 0.95) AS BIGINT) AS p95
+  FROM v GROUP BY event_type)
+SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       f.p05 AS p05_milli, f.p95 AS p95_milli,
+       CAST(SUM(LEAST(GREATEST(vm, f.p05), f.p95)) AS BIGINT)
+         AS winsorized_sum_milli
+FROM v JOIN f ON v.event_type = f.event_type
+GROUP BY v.event_type, f.p05, f.p95""",
+        "arrival_dispersion": """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS d
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+v AS (SELECT event_type, CAST(d AS HUGEINT) AS d
+      FROM g WHERE d IS NOT NULL)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(d) AS BIGINT) AS sum_gap_s,
+       CAST(CASE WHEN COUNT(*) > 1 AND SUM(d) > 0 THEN
+              (COUNT(*) * SUM(d * d) - SUM(d) * SUM(d)) * 1000000
+              // ((COUNT(*) - 1) * SUM(d))
+            ELSE 0 END AS BIGINT) AS fano_ppm
+FROM v GROUP BY event_type""",
         "daily_value_median": """
 WITH v AS (
   SELECT event_type, date_trunc('day', ts) AS day,

@@ -706,3 +706,50 @@ def test_daily_value_median_brute_force(ray_session):
         # quantile_disc(0.5): the value at ceil(0.5*n)-th position
         want = vals[max(0, -(-len(vals) // 2) - 1)]
         assert (r.n_rows, r.p50_milli) == (len(vals), want)
+
+
+def test_winsorized_sum_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    got = queries_ml.q_winsorized_sum(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    vm = np.floor(ev.value.values * 1000 + 0.5).astype(np.int64)
+    groups = defaultdict(list)
+    for t, v in zip(ev.event_type, vm):
+        groups[t].append(int(v))
+    assert len(got) == len(groups)
+    for r in got.itertuples():
+        vals = sorted(groups[r.event_type])
+        n = len(vals)
+        p05 = vals[max(0, -(-n * 5 // 100) - 1)]   # quantile_disc
+        p95 = vals[max(0, -(-n * 95 // 100) - 1)]
+        wsum = sum(min(max(v, p05), p95) for v in vals)
+        assert (r.n, r.p05_milli, r.p95_milli,
+                r.winsorized_sum_milli) == (n, p05, p95, wsum)
+        assert r.p05_milli <= r.p95_milli
+
+
+def test_arrival_dispersion_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    got = queries_ml.q_arrival_dispersion(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "event_type"]) \
+        .to_pandas()
+    ev["us"] = ev.ts.values.astype("datetime64[us]").astype("int64")
+    want = {}
+    for t, g in ev.groupby("event_type"):
+        g = g.sort_values(["us", "event_id"])
+        d = (np.diff(g.us.values) // 1_000_000).astype(np.int64)
+        n = len(d)
+        sd = int(d.sum())
+        sq = sum(int(v) * int(v) for v in d)
+        fano = ((n * sq - sd * sd) * 1_000_000 // ((n - 1) * sd)
+                if n > 1 and sd else 0)
+        want[t] = (n, sd, fano)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.event_type] == (r.n_gaps, r.sum_gap_s, r.fano_ppm)
