@@ -1378,6 +1378,83 @@ def q_arrival_dispersion(sf_dir: str):
         .groupby("_part").map_groups(disp, batch_format="pyarrow")
 
 
+def q_lang_centroids(sf_dir: str):
+    """Cross-table text×vector analytics: per-LANGUAGE embedding
+    centroids — embeddings hash-joined to the documents dimension on
+    vec_id = doc_id (embeddings ride the shuffle as single binary
+    blobs, the list-column pitfall), then the label_centroids
+    binary-blob partial-sum aggregate keyed by lang. Long-form output
+    (lang, dim, n, centroid_micro) with the final-scalar micro rounding
+    contract of label_centroids."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import relational
+    from ..stages.ann import _to_matrix
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def emb_slim(b: pa.Table) -> pa.Table:
+        M = _to_matrix(b["embedding"], dtype=np.float64)
+        return pa.table({
+            "id": pc.cast(b["vec_id"], pa.int64()),
+            "eblob": pa.array([r.tobytes() for r in M], pa.binary()),
+        })
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    def doc_slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": pc.cast(b["doc_id"], pa.int64()),
+            "lang": b["lang"],
+        })
+
+    j = relational.hash_join_i64(
+        emb.map_batches(emb_slim, batch_format="pyarrow"),
+        docs.map_batches(doc_slim, batch_format="pyarrow"),
+        key="id",
+        left_carry={"eblob": pa.binary()},
+        right_carry={"lang": pa.string()},
+        P=relational.adaptive_parts(sf_dir))
+
+    def partial(b: pa.Table) -> pa.Table:
+        blobs = b["eblob"].to_pylist()
+        M = np.frombuffer(b"".join(blobs), np.float64) \
+            .reshape(len(blobs), -1)
+        lang = b["lang"].to_pylist()
+        enc = pa.array(lang).dictionary_encode()
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        sums = np.zeros((k, M.shape[1]), np.float64)
+        np.add.at(sums, inv, M)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            "lang": enc.dictionary,
+            "n": pa.array(n, pa.int64()),
+            "vsum": pa.array([s.tobytes() for s in sums], pa.binary()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        blobs = t["vsum"].to_pylist()
+        mat = np.frombuffer(b"".join(blobs), np.float64) \
+            .reshape(len(blobs), -1)
+        total = mat.sum(axis=0)
+        n = int(t["n"].to_numpy(zero_copy_only=False).sum())
+        d = mat.shape[1]
+        mean = total / n
+        return pa.table({
+            "lang": pa.array([t["lang"][0].as_py()] * d, pa.string()),
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "n": pa.array(np.full(d, n, np.int64), pa.int64()),
+            "centroid_micro": pa.array(
+                np.floor(mean * 1e6 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").map_groups(merge, batch_format="pyarrow")
+
+
 def q_pip_counts(sf_dir: str):
     """Spatial aggregation: contained-point count per polygon — the
     canonical choropleth query, composed as the size-switched PIP join
@@ -1748,6 +1825,7 @@ QUERIES_ML = {
     "daily_value_median": q_daily_value_median,
     "winsorized_sum": q_winsorized_sum,
     "arrival_dispersion": q_arrival_dispersion,
+    "lang_centroids": q_lang_centroids,
     "basket_pairs": q_basket_pairs,
     "part_skyline": q_part_skyline,
     "bloom_semi_join": q_bloom_semi_join,
@@ -2008,6 +2086,15 @@ SELECT n_name,
        CAST((CAST(top10 AS HUGEINT) * 1000000) // total AS BIGINT)
          AS share_ppm
 FROM agg JOIN nation ON n_nationkey = agg.nk""",
+        "lang_centroids": """
+WITH dims AS (SELECT UNNEST(generate_series(1, 64)) AS i)
+SELECT d.lang, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(AVG(CAST(e.embedding[i] AS DOUBLE)) * 1000000 + 0.5)
+            AS BIGINT) AS centroid_micro
+FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+CROSS JOIN dims
+GROUP BY d.lang, i""",
         "winsorized_sum": """
 WITH v AS (
   SELECT event_type, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm

@@ -753,3 +753,30 @@ def test_arrival_dispersion_brute_force(ray_session):
     assert len(got) == len(want)
     for r in got.itertuples():
         assert want[r.event_type] == (r.n_gaps, r.sum_gap_s, r.fano_ppm)
+
+
+def test_lang_centroids_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    got = queries_ml.q_lang_centroids(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    lang_of = dict(zip(docs.doc_id, docs.lang))
+    sums = defaultdict(lambda: None)
+    counts = defaultdict(int)
+    for r in emb.itertuples():
+        lg = lang_of[r.vec_id]
+        v = np.asarray(r.embedding, np.float64)
+        sums[lg] = v if sums[lg] is None else sums[lg] + v
+        counts[lg] += 1
+    assert set(got.lang) == set(counts)
+    for lg, g in got.groupby("lang"):
+        g = g.sort_values("dim")
+        mean = sums[lg] / counts[lg]
+        want = np.floor(mean * 1e6 + 0.5).astype(np.int64)
+        assert (g.n == counts[lg]).all()
+        # final-scalar micro rounding: allow 1 ulp-induced off-by-one
+        assert (np.abs(g.centroid_micro.values - want) <= 1).all()
+        assert (g.centroid_micro.values == want).mean() > 0.95
