@@ -2815,3 +2815,8 @@ from .queries_ml import QUERIES_ML, _oracle_sql_ml  # noqa: E402
 
 QUERIES.update(QUERIES_ML)
 ORACLE_SQL.update(_oracle_sql_ml())
+
+from .queries_ts import QUERIES_TS, ORACLE_SQL_TS  # noqa: E402
+
+QUERIES.update(QUERIES_TS)
+ORACLE_SQL.update(ORACLE_SQL_TS)

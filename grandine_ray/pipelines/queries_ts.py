@@ -1,0 +1,641 @@
+"""Round-4b time-series / profiling / sampling queries: modal values,
+daily cross-type correlation and autocorrelation (exact integer
+sufficient statistics), character-class corpus profiles, per-source
+modal tokens, Heaps'-law vocabulary growth curves, stratified
+fixed-quota sampling, and a relational CUBE.
+
+Scale contract: every shuffle here moves AGGREGATE-sized partials —
+(type, value-unit) counts, (day, type) counts, per-source class sums,
+vocabulary-sized (term, min-bucket) rows — never raw event/doc rows.
+Driver-side collection is bounded by the aggregate domain (types ×
+value units, days × types, buckets, sources × quota, nations × years),
+all of which are independent of corpus size. Correlation statistics
+are emitted as exact BIGINT sufficient statistics (n, Σx, Σy, Σxy and
+the covariance numerator n·Σxy − Σx·Σy) rather than cross-library
+floats, per the repo float-parity rule.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .queries_cstats import _chunk, _count_by_key
+from .queries_ext import _np
+
+US_PER_DAY = 86_400_000_000
+STRATUM_K = 5  # stratified_sample quota per source
+GROWTH_BUCKETS = 10
+
+
+# ------------------------------------------------ modal value per type
+
+
+def q_value_mode(sf_dir: str):
+    """Per-event-type modal value (integer units, floor(v + 0.5)) with
+    its frequency — the discrete mode statistic Ray Data has no builtin
+    for. Per-block fused (type, unit) count partials → one
+    aggregate-domain groupby (types × distinct units rows, never event
+    rows) → per-block argmax partials → a driver merge bounded by
+    blocks × types. Tie-break: smallest unit, matching the SQL
+    ROW_NUMBER ordering."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vu = np.floor(_np(b["value"]) + 0.5).astype(np.int64)
+        fused = pc.binary_join_element_wise(
+            _chunk(b["event_type"]),
+            pa.array(vu.astype("U"), pa.string()), "\x1f")
+        t = _count_by_key(fused)
+        return pa.table({"tv": t["key"], "n": t["n"]})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tv").aggregate(Sum("n", alias_name="n"))
+
+    def best(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["tv"], "\x1f")
+        typ = pc.list_element(parts, 0)
+        vu = pc.cast(pc.list_element(parts, 1), pa.int64())
+        enc = pc.dictionary_encode(_chunk(typ))
+        codes = _np(enc.indices).astype(np.int64)
+        n = pc.cast(b["n"], pa.int64())
+        nv, vv = _np(n), _np(vu)
+        # per-type argmax with (n desc, vu asc) tie-break in one lexsort
+        order = np.lexsort((vv, -nv, codes))
+        cs, ns, vs = codes[order], nv[order], vv[order]
+        first = np.ones(len(cs), bool)
+        first[1:] = cs[1:] != cs[:-1]
+        idx = np.nonzero(first)[0]
+        return pa.table({
+            "event_type": enc.dictionary.take(pa.array(cs[idx])),
+            "mode_unit": pa.array(vs[idx], pa.int64()),
+            "n_mode": pa.array(ns[idx], pa.int64()),
+        })
+
+    cand = agg.map_batches(best, batch_format="pyarrow").take_all()
+    merged: dict[str, tuple[int, int]] = {}
+    for r in cand:
+        cur = merged.get(r["event_type"])
+        key = (-int(r["n_mode"]), int(r["mode_unit"]))
+        if cur is None or key < cur:
+            merged[r["event_type"]] = key
+    types = sorted(merged)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "mode_unit": pa.array([merged[t][1] for t in types], pa.int64()),
+        "n_mode": pa.array([-merged[t][0] for t in types], pa.int64()),
+    })
+
+
+# ------------------------------------ daily cross-type correlation
+
+
+def _daily_type_counts(sf_dir: str):
+    """(epoch_day, event_type) → count, zero-fill domain info. One
+    fused-key groupby over per-block count partials; the result is
+    days × types rows (aggregate-sized)."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = _np(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        day = us // US_PER_DAY
+        fused = pc.binary_join_element_wise(
+            pa.array(day.astype("U"), pa.string()),
+            _chunk(b["event_type"]), "\x1f")
+        t = _count_by_key(fused)
+        return pa.table({"dt": t["key"], "n": t["n"]})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dt").aggregate(Sum("n", alias_name="n")).take_all()
+    rows = []
+    for r in agg:
+        d, t = r["dt"].split("\x1f")
+        rows.append((int(d), t, int(r["n"])))
+    return rows
+
+
+def q_daily_type_corr(sf_dir: str):
+    """Pairwise correlation of the daily count series of every two
+    event types, as exact BIGINT sufficient statistics (n_days, Σa, Σb,
+    Σab and the covariance numerator n·Σab − Σa·Σb) over the zero-filled
+    day spine. The heavy work is one (day, type)-count shuffle; the
+    pair arithmetic runs on the aggregate-domain matrix (days × types),
+    which is corpus-size-independent."""
+    rows = _daily_type_counts(sf_dir)
+    days = sorted({d for d, _, _ in rows})
+    types = sorted({t for _, t, _ in rows})
+    di = {d: i for i, d in enumerate(days)}
+    ti = {t: i for i, t in enumerate(types)}
+    M = np.zeros((len(types), len(days)), np.int64)
+    for d, t, n in rows:
+        M[ti[t], di[d]] = n
+    ta, tb, nd, sa, sb, sab, cov = [], [], [], [], [], [], []
+    D = len(days)
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            a, b = M[i], M[j]
+            s_a, s_b = int(a.sum()), int(b.sum())
+            s_ab = int((a * b).sum())
+            ta.append(types[i])
+            tb.append(types[j])
+            nd.append(D)
+            sa.append(s_a)
+            sb.append(s_b)
+            sab.append(s_ab)
+            cov.append(D * s_ab - s_a * s_b)
+    return pa.table({
+        "type_a": pa.array(ta, pa.string()),
+        "type_b": pa.array(tb, pa.string()),
+        "n_days": pa.array(nd, pa.int64()),
+        "sum_a": pa.array(sa, pa.int64()),
+        "sum_b": pa.array(sb, pa.int64()),
+        "sum_ab": pa.array(sab, pa.int64()),
+        "cov_num": pa.array(cov, pa.int64()),
+    })
+
+
+def q_daily_autocorr(sf_dir: str):
+    """Lag-1..7 autocorrelation sufficient statistics of the total
+    daily event-count series (ordered by day): per lag k the exact
+    BIGINTs n_pairs, Σx_t, Σx_{t+k}, Σx_t·x_{t+k} and the covariance
+    numerator. Same one-shuffle (day, type) aggregate as
+    daily_type_corr; the lag arithmetic is O(days × 7) on the driver."""
+    rows = _daily_type_counts(sf_dir)
+    tot: dict[int, int] = {}
+    for d, _, n in rows:
+        tot[d] = tot.get(d, 0) + n
+    days = sorted(tot)
+    x = np.array([tot[d] for d in days], np.int64)
+    lag, npair, sx, sy, sxy, cov = [], [], [], [], [], []
+    for k in range(1, 8):
+        if k >= len(x):
+            break
+        a, b = x[:-k], x[k:]
+        n = len(a)
+        s_x, s_y, s_xy = int(a.sum()), int(b.sum()), int((a * b).sum())
+        lag.append(k)
+        npair.append(n)
+        sx.append(s_x)
+        sy.append(s_y)
+        sxy.append(s_xy)
+        cov.append(n * s_xy - s_x * s_y)
+    return pa.table({
+        "lag": pa.array(lag, pa.int64()),
+        "n_pairs": pa.array(npair, pa.int64()),
+        "sum_x": pa.array(sx, pa.int64()),
+        "sum_y": pa.array(sy, pa.int64()),
+        "sum_xy": pa.array(sxy, pa.int64()),
+        "cov_num": pa.array(cov, pa.int64()),
+    })
+
+
+# ------------------------------------------- character-class profile
+
+
+def q_char_class_stats(sf_dir: str):
+    """Per-source ASCII character-class counts (digits, uppercase,
+    spaces) — the cheap script/quality profile pass. Zero-copy: the
+    class masks run over the Arrow string data buffer as one numpy
+    pass; per-row counts come from one cumsum + offset gather, grouped
+    by the dictionary-encoded source. UTF-8-safe: multibyte code units
+    never collide with ASCII byte values, so byte counts equal the SQL
+    character-regex counts exactly."""
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = pc.dictionary_encode(_chunk(b["source"]))
+        codes = _np(src.indices).astype(np.int64)
+        txt = _chunk(b["text"])
+        bufs = txt.buffers()
+        # offset-aware slice of the offsets buffer (never .values-style
+        # zero-offset assumptions — ADVICE r3 item); masks run over the
+        # FULL data buffer so sliced blocks need no rebase copy
+        off = np.frombuffer(bufs[1], np.int32)[
+            txt.offset: txt.offset + len(txt) + 1].astype(np.int64)
+        data = (np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None else np.zeros(0, np.uint8))
+        ndoc = np.bincount(codes, minlength=len(src.dictionary))
+        cols = {"source": src.dictionary,
+                "n_docs": pa.array(ndoc.astype(np.int64), pa.int64())}
+        for name, lo, hi in (("n_digits", 48, 57), ("n_upper", 65, 90),
+                             ("n_spaces", 32, 32)):
+            m = ((data >= lo) & (data <= hi)).astype(np.int64)
+            c = np.zeros(len(m) + 1, np.int64)
+            np.cumsum(m, out=c[1:])
+            per_row = c[off[1:]] - c[off[:-1]]
+            cols[name] = pa.array(
+                np.bincount(codes, weights=per_row,
+                            minlength=len(src.dictionary)).astype(
+                    np.int64), pa.int64())
+        return pa.table(cols)
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_digits", alias_name="n_digits"),
+            Sum("n_upper", alias_name="n_upper"),
+            Sum("n_spaces", alias_name="n_spaces"))
+    return agg.map_batches(lambda b: pa.table({
+        "source": b["source"],
+        "n_docs": pc.cast(b["n_docs"], pa.int64()),
+        "n_digits": pc.cast(b["n_digits"], pa.int64()),
+        "n_upper": pc.cast(b["n_upper"], pa.int64()),
+        "n_spaces": pc.cast(b["n_spaces"], pa.int64()),
+    }), batch_format="pyarrow")
+
+
+# --------------------------------------------- modal token per source
+
+
+def q_top_token_per_source(sf_dir: str):
+    """The single most frequent token of every source (tie-break:
+    lexicographically smallest term) — the grouped-mode shape over an
+    unbounded term domain. Per-block fused (source, term) count
+    partials → vocabulary-sized groupby → per-block best-per-source
+    partials → driver merge bounded by blocks × sources."""
+    from ray.data.aggregate import Sum
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, _, _ = _batch_terms(b, "text")
+        src = _chunk(b["source"]).take(pa.array(doc_of))
+        fused = pc.binary_join_element_wise(src, flat, "\x1f")
+        t = _count_by_key(fused)
+        return pa.table({"st": t["key"], "n": t["n"]})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("st").aggregate(Sum("n", alias_name="n"))
+
+    def best(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["st"], "\x1f")
+        src = pc.list_element(parts, 0)
+        term = pc.list_element(parts, 1)
+        enc = pc.dictionary_encode(_chunk(src))
+        codes = _np(enc.indices).astype(np.int64)
+        n = _np(pc.cast(b["n"], pa.int64()))
+        tenc = pc.dictionary_encode(_chunk(term))
+        # dictionary codes sort as strings only if we order the
+        # dictionary first: rank terms lexicographically
+        tdict = tenc.dictionary.to_numpy(zero_copy_only=False)
+        rank_of = np.empty(len(tdict), np.int64)
+        rank_of[np.argsort(tdict, kind="stable")] = \
+            np.arange(len(tdict), dtype=np.int64)
+        trank = rank_of[_np(tenc.indices).astype(np.int64)]
+        order = np.lexsort((trank, -n, codes))
+        cs = codes[order]
+        first = np.ones(len(cs), bool)
+        first[1:] = cs[1:] != cs[:-1]
+        idx = order[np.nonzero(first)[0]]
+        return pa.table({
+            "source": _chunk(src).take(pa.array(idx)),
+            "term": _chunk(term).take(pa.array(idx)),
+            "n": pa.array(n[idx], pa.int64()),
+        })
+
+    cand = agg.map_batches(best, batch_format="pyarrow").take_all()
+    merged: dict[str, tuple[int, str]] = {}
+    for r in cand:
+        key = (-int(r["n"]), r["term"])
+        cur = merged.get(r["source"])
+        if cur is None or key < cur:
+            merged[r["source"]] = key
+    srcs = sorted(merged)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "term": pa.array([merged[s][1] for s in srcs], pa.string()),
+        "n": pa.array([-merged[s][0] for s in srcs], pa.int64()),
+    })
+
+
+# --------------------------------------------- vocabulary growth curve
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth: documents are split into 10
+    doc-id-ordered buckets and each bucket reports how many NEW terms
+    it introduces plus the cumulative vocabulary size. The corpus
+    reduces to vocabulary-sized (term, min-bucket) rows (per-block min
+    partial, then a Min groupby); the curve itself is ≤ 10 rows."""
+    from ray.data.aggregate import Min
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    mx = int(docs.max("doc_id"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, codes, dictionary = _batch_terms(b, "text")
+        did = _np(b["doc_id"]).astype(np.int64)
+        bucket = did * GROWTH_BUCKETS // (mx + 1)
+        tb = bucket[doc_of]
+        mn = np.full(len(dictionary), GROWTH_BUCKETS, np.int64)
+        np.minimum.at(mn, codes, tb)
+        return pa.table({"term": dictionary,
+                         "minb": pa.array(mn, pa.int64())})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Min("minb", alias_name="minb"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        h = np.bincount(_np(pc.cast(b["minb"], pa.int64())),
+                        minlength=GROWTH_BUCKETS)
+        return pa.table({
+            "bucket": pa.array(np.arange(GROWTH_BUCKETS), pa.int64()),
+            "n_new": pa.array(h[:GROWTH_BUCKETS].astype(np.int64),
+                              pa.int64())})
+
+    parts = agg.map_batches(hist, batch_format="pyarrow").take_all()
+    h = np.zeros(GROWTH_BUCKETS, np.int64)
+    for r in parts:
+        h[r["bucket"]] += r["n_new"]
+    # spine = buckets that documents actually occupy
+    spine = sorted({r["bucket"] for r in
+                    docs.map_batches(lambda b: pa.table({
+                        "bucket": pa.array(np.unique(
+                            _np(b["doc_id"]).astype(np.int64)
+                            * GROWTH_BUCKETS // (mx + 1)), pa.int64())}),
+                        batch_format="pyarrow").take_all()})
+    cum = np.cumsum(h)
+    return pa.table({
+        "bucket": pa.array(spine, pa.int64()),
+        "n_new_terms": pa.array([int(h[b]) for b in spine], pa.int64()),
+        "n_cum_terms": pa.array([int(cum[b]) for b in spine],
+                                pa.int64()),
+    })
+
+
+# ------------------------------------------------ stratified sampling
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the K=5 documents per source
+    with the smallest md5(doc_id) digest — the reproducible
+    spot-check/eval-split primitive. Per-block top-K-per-source
+    partials (the per-row md5 IS the sampling contract — C-speed
+    hashlib, no seed-salted hash()); the driver merge is bounded by
+    blocks × sources × K."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        did = _np(b["doc_id"]).astype(np.int64)
+        h = np.array([hashlib.md5(str(i).encode()).hexdigest()
+                      for i in did], dtype="U32")
+        src = pc.dictionary_encode(_chunk(b["source"]))
+        codes = _np(src.indices).astype(np.int64)
+        order = np.lexsort((did, h, codes))
+        cs = codes[order]
+        pos = np.arange(len(cs), dtype=np.int64)
+        starts = np.zeros(len(cs), np.int64)
+        first = np.ones(len(cs), bool)
+        first[1:] = cs[1:] != cs[:-1]
+        np.maximum.accumulate(np.where(first, pos, 0), out=starts)
+        keep = pos - starts < STRATUM_K
+        idx = order[keep]
+        return pa.table({
+            "source": _chunk(b["source"]).take(pa.array(idx)),
+            "doc_id": pa.array(did[idx], pa.int64()),
+            "h": pa.array(h[idx].tolist(), pa.string()),
+        })
+
+    cand = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    per_src: dict[str, list[tuple[str, int]]] = {}
+    for r in cand:
+        per_src.setdefault(r["source"], []).append(
+            (r["h"], int(r["doc_id"])))
+    out_s, out_d, out_h = [], [], []
+    for s in sorted(per_src):
+        for hh, d in sorted(per_src[s])[:STRATUM_K]:
+            out_s.append(s)
+            out_d.append(d)
+            out_h.append(hh)
+    return pa.table({
+        "source": pa.array(out_s, pa.string()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "h": pa.array(out_h, pa.string()),
+    })
+
+
+# --------------------------------------------------------- CUBE
+
+
+def q_revenue_cube(sf_dir: str):
+    """CUBE (nation, order-year) over order revenue — all four grouping
+    sets with 'ALL'/-1 sentinels. Orders partial-aggregate per block to
+    (custkey, year, cents), one hash join attaches the customer's
+    nation key, and the base aggregate collapses to nations × years
+    rows; the three coarser grouping sets are derived from that tiny
+    base (never re-scanning facts), which is how a scale-out engine
+    should compute a cube."""
+    from ray.data.aggregate import Sum
+    from ..stages import relational
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        ck = _np(b["o_custkey"]).astype(np.int64)
+        yr = (_np(b["o_orderdate"]).astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        cents = np.floor(_np(b["o_totalprice"]) * 100.0
+                         + 0.5).astype(np.int64)
+        if len(yr) and (yr.min() < 0 or yr.max() >= 4096
+                        or ck.max() >= 1 << 51):
+            raise ValueError("revenue_cube fused key out of range")
+        fused = ck << 12 | yr
+        order = np.argsort(fused, kind="stable")
+        fs = fused[order]
+        firsts = np.ones(len(fs), bool)
+        firsts[1:] = fs[1:] != fs[:-1]
+        idx = np.nonzero(firsts)[0]
+        return pa.table({
+            "custkey": pa.array(ck[order][idx], pa.int64()),
+            "year": pa.array(yr[order][idx], pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents[order], idx),
+                              pa.int64()),
+        })
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: pa.table({
+            "custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+        }), batch_format="pyarrow")
+
+    j = relational.hash_join_i64(
+        orders.map_batches(o_partial, batch_format="pyarrow"),
+        cust, key="custkey",
+        left_carry={"year": pa.int64(), "cents": pa.int64()},
+        right_carry={"nationkey": pa.int64()},
+        P=relational.adaptive_parts(sf_dir))
+
+    def ny_partial(b: pa.Table) -> pa.Table:
+        nk = _np(b["nationkey"]).astype(np.int64)
+        yr = _np(b["year"]).astype(np.int64)
+        cents = _np(b["cents"]).astype(np.int64)
+        fused = nk << 12 | yr
+        order = np.argsort(fused, kind="stable")
+        fs = fused[order]
+        firsts = np.ones(len(fs), bool)
+        firsts[1:] = fs[1:] != fs[:-1]
+        idx = np.nonzero(firsts)[0]
+        return pa.table({
+            "ny": pa.array(fs[idx], pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents[order], idx),
+                              pa.int64()),
+        })
+
+    base = j.map_batches(ny_partial, batch_format="pyarrow") \
+        .groupby("ny").aggregate(Sum("cents", alias_name="cents")) \
+        .take_all()
+
+    names = {int(r["n_nationkey"]): r["n_name"] for r in
+             rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+             .take_all()}
+    cube: dict[tuple[str, int], int] = {}
+    for r in base:
+        nk, yr = int(r["ny"]) >> 12, int(r["ny"]) & 0xFFF
+        c = int(r["cents"])
+        nm = names[nk]
+        for key in ((nm, yr), (nm, -1), ("ALL", yr), ("ALL", -1)):
+            cube[key] = cube.get(key, 0) + c
+    keys = sorted(cube)
+    return pa.table({
+        "n_name": pa.array([k[0] for k in keys], pa.string()),
+        "o_year": pa.array([k[1] for k in keys], pa.int64()),
+        "revenue_cents": pa.array([cube[k] for k in keys], pa.int64()),
+    })
+
+
+QUERIES_TS = {
+    "value_mode": q_value_mode,
+    "daily_type_corr": q_daily_type_corr,
+    "daily_autocorr": q_daily_autocorr,
+    "char_class_stats": q_char_class_stats,
+    "top_token_per_source": q_top_token_per_source,
+    "vocab_growth": q_vocab_growth,
+    "stratified_sample": q_stratified_sample,
+    "revenue_cube": q_revenue_cube,
+}
+
+
+ORACLE_SQL_TS = {
+    "value_mode": """
+WITH v AS (SELECT event_type,
+                  CAST(FLOOR(value + 0.5) AS BIGINT) AS vu FROM events),
+c AS (SELECT event_type, vu, COUNT(*) AS n FROM v GROUP BY 1, 2),
+r AS (SELECT event_type, vu, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, vu) AS rn FROM c)
+SELECT event_type, CAST(vu AS BIGINT) AS mode_unit,
+       CAST(n AS BIGINT) AS n_mode
+FROM r WHERE rn = 1""",
+    "daily_type_corr": """
+WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                  event_type FROM events),
+days AS (SELECT DISTINCT d FROM e),
+types AS (SELECT DISTINCT event_type FROM e),
+c AS (SELECT d, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+f AS (SELECT days.d, types.event_type, COALESCE(c.n, 0) AS n
+      FROM days CROSS JOIN types
+      LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(a.n) AS BIGINT) AS sum_a,
+       CAST(SUM(b.n) AS BIGINT) AS sum_b,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS sum_ab,
+       CAST(COUNT(*) * SUM(a.n * b.n)
+            - SUM(a.n) * SUM(b.n) AS BIGINT) AS cov_num
+FROM f a JOIN f b ON a.d = b.d AND a.event_type < b.event_type
+GROUP BY 1, 2""",
+    "daily_autocorr": """
+WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+           FROM events),
+t AS (SELECT d, COUNT(*) AS n FROM e GROUP BY d),
+s AS (SELECT n, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM t),
+lags AS (SELECT CAST(k AS BIGINT) AS lag
+         FROM generate_series(1, 7) AS g(k))
+SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(a.n) AS BIGINT) AS sum_x,
+       CAST(SUM(b.n) AS BIGINT) AS sum_y,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS sum_xy,
+       CAST(COUNT(*) * SUM(a.n * b.n)
+            - SUM(a.n) * SUM(b.n) AS BIGINT) AS cov_num
+FROM lags JOIN s a ON TRUE JOIN s b ON b.rn = a.rn + lag
+GROUP BY lag""",
+    "char_class_stats": """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)
+           - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT)
+           AS n_digits,
+       CAST(SUM(length(text)
+           - length(regexp_replace(text, '[A-Z]', '', 'g'))) AS BIGINT)
+           AS n_upper,
+       CAST(SUM(length(text)
+           - length(replace(text, ' ', ''))) AS BIGINT) AS n_spaces
+FROM documents GROUP BY source""",
+    "top_token_per_source": r"""
+WITH words AS (
+  SELECT source,
+         UNNEST(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS term
+  FROM documents WHERE TRIM(text) <> ''),
+c AS (SELECT source, term, COUNT(*) AS n FROM words GROUP BY 1, 2),
+r AS (SELECT source, term, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, term) AS rn FROM c)
+SELECT source, term, CAST(n AS BIGINT) AS n FROM r WHERE rn = 1""",
+    "vocab_growth": r"""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+d AS (SELECT doc_id, CAST(doc_id * 10 // (m + 1) AS BIGINT) AS bucket,
+             text FROM documents, mx),
+words AS (
+  SELECT bucket,
+         UNNEST(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS term
+  FROM d WHERE TRIM(text) <> ''),
+m2 AS (SELECT term, MIN(bucket) AS b FROM words GROUP BY term),
+nb AS (SELECT b, COUNT(*) AS n_new FROM m2 GROUP BY b),
+spine AS (SELECT DISTINCT bucket AS b FROM d)
+SELECT CAST(spine.b AS BIGINT) AS bucket,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new_terms,
+       CAST(SUM(COALESCE(n_new, 0))
+            OVER (ORDER BY spine.b) AS BIGINT) AS n_cum_terms
+FROM spine LEFT JOIN nb ON nb.b = spine.b""",
+    "stratified_sample": """
+WITH h AS (SELECT source, doc_id,
+                  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+r AS (SELECT source, doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY h, doc_id) AS rn FROM h)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, h
+FROM r WHERE rn <= 5""",
+    "revenue_cube": """
+WITH o AS (SELECT o_custkey,
+                  CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS cents
+           FROM orders),
+j AS (SELECT n_name, y, cents
+      FROM o JOIN customer ON c_custkey = o_custkey
+             JOIN nation ON n_nationkey = c_nationkey)
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       CAST(COALESCE(y, -1) AS BIGINT) AS o_year,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM j GROUP BY CUBE (n_name, y)""",
+}

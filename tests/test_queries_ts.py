@@ -1,0 +1,159 @@
+"""Brute-force cross-checks for the queries_ts family at sf0.001 —
+independent scalar reimplementations (Counter / set / md5-sort), not
+the DuckDB oracles (those run in tools/check_oracles.py)."""
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from grandine_ray.pipelines import queries_ts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events():
+    return pq.read_table(f"{SF}/events.parquet").to_pydict()
+
+
+def _docs():
+    return pq.read_table(f"{SF}/documents.parquet").to_pydict()
+
+
+def test_value_mode_brute():
+    ev = _events()
+    cnt: dict[str, Counter] = {}
+    for t, v in zip(ev["event_type"], ev["value"]):
+        cnt.setdefault(t, Counter())[int(np.floor(v + 0.5))] += 1
+    got = queries_ts.q_value_mode(SF).to_pydict()
+    assert got["event_type"] == sorted(cnt)
+    for t, mu, nm in zip(got["event_type"], got["mode_unit"],
+                         got["n_mode"]):
+        best = min(((-n, u) for u, n in cnt[t].items()))
+        assert (mu, nm) == (best[1], -best[0])
+
+
+def test_daily_corr_and_autocorr_brute():
+    ev = _events()
+    days = sorted({ts.toordinal() for ts in ev["ts"]})
+    # epoch-day via toordinal offset: both are day-granular and the
+    # query uses epoch microseconds // 86400e6 — same day boundaries
+    types = sorted(set(ev["event_type"]))
+    M = np.zeros((len(types), len(days)), np.int64)
+    di = {d: i for i, d in enumerate(days)}
+    ti = {t: i for i, t in enumerate(types)}
+    for ts, t in zip(ev["ts"], ev["event_type"]):
+        M[ti[t], di[ts.toordinal()]] += 1
+
+    got = queries_ts.q_daily_type_corr(SF).to_pydict()
+    k = 0
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            a, b = M[i], M[j]
+            assert got["type_a"][k] == types[i]
+            assert got["type_b"][k] == types[j]
+            assert got["n_days"][k] == len(days)
+            assert got["sum_ab"][k] == int((a * b).sum())
+            assert got["cov_num"][k] == (len(days) * int((a * b).sum())
+                                         - int(a.sum()) * int(b.sum()))
+            k += 1
+    assert k == len(got["type_a"])
+
+    x = M.sum(axis=0)
+    got2 = queries_ts.q_daily_autocorr(SF).to_pydict()
+    for i, lag in enumerate(got2["lag"]):
+        a, b = x[:-lag], x[lag:]
+        assert got2["n_pairs"][i] == len(a)
+        assert got2["sum_xy"][i] == int((a * b).sum())
+        assert got2["cov_num"][i] == (len(a) * int((a * b).sum())
+                                      - int(a.sum()) * int(b.sum()))
+
+
+def test_char_class_stats_brute():
+    d = _docs()
+    agg: dict[str, list] = {}
+    for s, t in zip(d["source"], d["text"]):
+        a = agg.setdefault(s, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += sum(c.isdigit() and c.isascii() for c in t)
+        a[2] += sum("A" <= c <= "Z" for c in t)
+        a[3] += t.count(" ")
+    rows = queries_ts.q_char_class_stats(SF).take_all()
+    got = {k: [r[k] for r in rows] for k in rows[0]}
+    for i, s in enumerate(got["source"]):
+        assert [got["n_docs"][i], got["n_digits"][i], got["n_upper"][i],
+                got["n_spaces"][i]] == agg[s]
+
+
+def test_top_token_per_source_brute():
+    d = _docs()
+    cnt: dict[str, Counter] = {}
+    for s, t in zip(d["source"], d["text"]):
+        c = cnt.setdefault(s, Counter())
+        for w in t.lower().split():
+            c[w] += 1
+    got = queries_ts.q_top_token_per_source(SF).to_pydict()
+    assert got["source"] == sorted(cnt)
+    for s, term, n in zip(got["source"], got["term"], got["n"]):
+        best = min(((-m, w) for w, m in cnt[s].items()))
+        assert (term, n) == (best[1], -best[0])
+
+
+def test_vocab_growth_brute():
+    d = _docs()
+    mx = max(d["doc_id"])
+    first_bucket: dict[str, int] = {}
+    for did, t in sorted(zip(d["doc_id"], d["text"])):
+        b = did * 10 // (mx + 1)
+        for w in t.lower().split():
+            first_bucket.setdefault(w, b)
+    h = Counter(first_bucket.values())
+    got = queries_ts.q_vocab_growth(SF).to_pydict()
+    cum = 0
+    for b, nn, nc in zip(got["bucket"], got["n_new_terms"],
+                         got["n_cum_terms"]):
+        assert nn == h.get(b, 0)
+        cum += nn
+        assert nc == cum
+    assert cum == len(first_bucket)
+
+
+def test_stratified_sample_brute():
+    d = _docs()
+    per: dict[str, list] = {}
+    for did, s in zip(d["doc_id"], d["source"]):
+        per.setdefault(s, []).append(
+            (hashlib.md5(str(did).encode()).hexdigest(), did))
+    got = queries_ts.q_stratified_sample(SF).to_pydict()
+    i = 0
+    for s in sorted(per):
+        for h, did in sorted(per[s])[:queries_ts.STRATUM_K]:
+            assert got["source"][i] == s
+            assert got["doc_id"][i] == did
+            assert got["h"][i] == h
+            i += 1
+    assert i == len(got["source"])
+
+
+def test_revenue_cube_brute():
+    o = pq.read_table(f"{SF}/orders.parquet").to_pydict()
+    c = pq.read_table(f"{SF}/customer.parquet").to_pydict()
+    n = pq.read_table(f"{SF}/nation.parquet").to_pydict()
+    nk_of = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    nm_of = dict(zip(n["n_nationkey"], n["n_name"]))
+    cube: dict[tuple, int] = {}
+    for ck, dt, tp in zip(o["o_custkey"], o["o_orderdate"],
+                          o["o_totalprice"]):
+        nm, yr = nm_of[nk_of[ck]], dt.year
+        cents = int(np.floor(tp * 100 + 0.5))
+        for key in ((nm, yr), (nm, -1), ("ALL", yr), ("ALL", -1)):
+            cube[key] = cube.get(key, 0) + cents
+    got = queries_ts.q_revenue_cube(SF).to_pydict()
+    assert len(got["n_name"]) == len(cube)
+    for nm, yr, rc in zip(got["n_name"], got["o_year"],
+                          got["revenue_cents"]):
+        assert cube[(nm, yr)] == rc
+    # grand total row equals the sum over base rows
+    base = sum(v for (nm, yr), v in cube.items()
+               if nm != "ALL" and yr != -1)
+    assert cube[("ALL", -1)] == base
