@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v13"  # v13: +type_pagerank (v12: +quality_score, target_affinity)
+_VERSION = "v14"  # v14: +convex_hull (v13: +type_pagerank)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -862,6 +862,57 @@ def expected_type_pagerank(events_parquet) -> pa.Table:
     })
 
 
+def expected_convex_hull(corpus_dir) -> pa.Table:
+    """Per-layer strict convex hull (vertex count + exact |2·area| in
+    micro-deg²) — scalar monotone chain over set-deduped integer tuples,
+    Python ints throughout (no numpy), against the PRE-WKB coordinates.
+    Shared cross-engine spec: collinear boundary points excluded;
+    all-collinear layers degrade to their two lexicographic extremes."""
+    t = pq.read_table(f"{corpus_dir}/geoms.parquet",
+                      columns=["layer", "xs", "ys"])
+    cols = t.to_pydict()
+    by_layer: dict[str, set] = {}
+    for lay, xs, ys in zip(cols["layer"], cols["xs"], cols["ys"]):
+        s = by_layer.setdefault(lay, set())
+        for x, y in zip(xs, ys):
+            s.add((math.floor(x * 1e6 + 0.5), math.floor(y * 1e6 + 0.5)))
+    layers, n_hull, area2 = [], [], []
+    for lay in sorted(by_layer):
+        pts = sorted(by_layer[lay])
+        if len(pts) <= 2:
+            hull = pts
+        else:
+            def half(seq):
+                out = []
+                for p in seq:
+                    while len(out) >= 2 and (
+                            (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                            - (out[-1][1] - out[-2][1])
+                            * (p[0] - out[-2][0])) <= 0:
+                        out.pop()
+                    out.append(p)
+                return out
+            lo = half(pts)
+            up = half(reversed(pts))
+            hull = lo[:-1] + up[:-1]
+            if len(hull) < 2:
+                hull = pts[:1]
+        a2 = 0
+        if len(hull) >= 3:
+            for i in range(len(hull)):
+                x1, y1 = hull[i]
+                x2, y2 = hull[(i + 1) % len(hull)]
+                a2 += x1 * y2 - x2 * y1
+        layers.append(lay)
+        n_hull.append(len(hull))
+        area2.append(abs(a2))
+    return pa.table({
+        "layer": pa.array(layers, pa.string()),
+        "n_hull": pa.array(n_hull, pa.int64()),
+        "area2": pa.array(area2, pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "lang_confusion": ("docs", expected_lang_confusion),
@@ -883,6 +934,7 @@ GENERATORS = {
     "quality_score": ("docs", expected_quality_score),
     "target_affinity": ("docs", expected_target_affinity),
     "type_pagerank": ("events", expected_type_pagerank),
+    "convex_hull": ("corpus", expected_convex_hull),
 }
 
 

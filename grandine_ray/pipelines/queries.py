@@ -2817,6 +2817,9 @@ QUERIES.update(QUERIES_ML)
 ORACLE_SQL.update(_oracle_sql_ml())
 
 from .queries_ts import QUERIES_TS, ORACLE_SQL_TS  # noqa: E402
+from .queries_geo2 import QUERIES_GEO2, _oracle_sql_geo2  # noqa: E402
 
 QUERIES.update(QUERIES_TS)
 ORACLE_SQL.update(ORACLE_SQL_TS)
+QUERIES.update(QUERIES_GEO2)
+ORACLE_SQL.update(_oracle_sql_geo2())
