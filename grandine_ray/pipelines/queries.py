@@ -2823,3 +2823,7 @@ QUERIES.update(QUERIES_TS)
 ORACLE_SQL.update(ORACLE_SQL_TS)
 QUERIES.update(QUERIES_GEO2)
 ORACLE_SQL.update(_oracle_sql_geo2())
+from .queries_fuzzy import QUERIES_FUZZY, ORACLE_SQL_FUZZY  # noqa: E402
+
+QUERIES.update(QUERIES_FUZZY)
+ORACLE_SQL.update(ORACLE_SQL_FUZZY)

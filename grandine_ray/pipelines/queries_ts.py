@@ -524,8 +524,77 @@ def q_revenue_cube(sf_dir: str):
     })
 
 
+def q_trend_slope(sf_dir: str):
+    """Per-event-type linear trend of the daily count series: the exact
+    BIGINT sufficient statistics of an OLS fit of count on epoch-day
+    (n, Σx, Σy, Σxy, Σx² and the slope's numerator n·Σxy − Σx·Σy /
+    denominator n·Σx² − (Σx)²). The corpus-sized work is the one
+    (day, type) count shuffle shared with daily_type_corr; the per-type
+    sums run on the aggregate domain in exact Python ints, so no float
+    ever crosses the engine boundary."""
+    rows = _daily_type_counts(sf_dir)
+    acc: dict[str, list[int]] = {}
+    for d, t, n in rows:
+        a = acc.setdefault(t, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += d
+        a[2] += n
+        a[3] += d * n
+        a[4] += d * d
+    types = sorted(acc)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_days": pa.array([acc[t][0] for t in types], pa.int64()),
+        "sum_x": pa.array([acc[t][1] for t in types], pa.int64()),
+        "sum_y": pa.array([acc[t][2] for t in types], pa.int64()),
+        "sum_xy": pa.array([acc[t][3] for t in types], pa.int64()),
+        "sum_x2": pa.array([acc[t][4] for t in types], pa.int64()),
+        "slope_num": pa.array(
+            [acc[t][0] * acc[t][3] - acc[t][1] * acc[t][2]
+             for t in types], pa.int64()),
+        "slope_den": pa.array(
+            [acc[t][0] * acc[t][4] - acc[t][1] * acc[t][1]
+             for t in types], pa.int64()),
+    })
+
+
+def q_changepoint(sf_dir: str):
+    """Per-event-type CUSUM changepoint on the daily count series: the
+    day k (among the type's observed days, ordered) maximizing
+    |D·S_k − k·S_D| — the integer-scaled deviation of the cumulative
+    count from the uniform ramp (multiply-through by D avoids the
+    rational mean; exact ints). Tie → earliest day. Same aggregate-
+    domain shape as trend_slope."""
+    rows = _daily_type_counts(sf_dir)
+    series: dict[str, list] = {}
+    for d, t, n in rows:
+        series.setdefault(t, []).append((d, n))
+    types = sorted(series)
+    out_d, out_s = [], []
+    for t in types:
+        seq = sorted(series[t])
+        D = len(seq)
+        total = sum(n for _, n in seq)
+        best = (-1, None)  # (score, day)
+        s = 0
+        for k, (d, n) in enumerate(seq, start=1):
+            s += n
+            score = abs(D * s - k * total)
+            if score > best[0] or (score == best[0] and d < best[1]):
+                best = (score, d)
+        out_d.append(best[1])
+        out_s.append(best[0])
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "cp_day": pa.array(out_d, pa.int64()),
+        "score": pa.array(out_s, pa.int64()),
+    })
+
+
 QUERIES_TS = {
     "value_mode": q_value_mode,
+    "trend_slope": q_trend_slope,
+    "changepoint": q_changepoint,
     "daily_type_corr": q_daily_type_corr,
     "daily_autocorr": q_daily_autocorr,
     "char_class_stats": q_char_class_stats,
@@ -537,6 +606,41 @@ QUERIES_TS = {
 
 
 ORACLE_SQL_TS = {
+    "trend_slope": """
+WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                  event_type FROM events),
+dc AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e GROUP BY 1, 2)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d) AS BIGINT) AS sum_x,
+       CAST(SUM(n) AS BIGINT) AS sum_y,
+       CAST(SUM(d * n) AS BIGINT) AS sum_xy,
+       CAST(SUM(d * d) AS BIGINT) AS sum_x2,
+       CAST(COUNT(*) * SUM(d * n) - SUM(d) * SUM(n) AS BIGINT)
+         AS slope_num,
+       CAST(COUNT(*) * SUM(d * d) - SUM(d) * SUM(d) AS BIGINT)
+         AS slope_den
+FROM dc GROUP BY event_type""",
+    "changepoint": """
+WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                  event_type FROM events),
+dc AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e GROUP BY 1, 2),
+w AS (SELECT event_type, d,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY d) AS s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS k,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM dc),
+sc AS (SELECT event_type, d, ABS(nd * s - k * tot) AS score,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY ABS(nd * s - k * tot) DESC, d)
+                AS rn
+       FROM w)
+SELECT event_type, CAST(d AS BIGINT) AS cp_day,
+       CAST(score AS BIGINT) AS score
+FROM sc WHERE rn = 1""",
     "value_mode": """
 WITH v AS (SELECT event_type,
                   CAST(FLOOR(value + 0.5) AS BIGINT) AS vu FROM events),
