@@ -46,10 +46,10 @@ _KDE_OFFS = [
 ]
 
 
-def q_kde_heatmap(sf_dir: str):
-    """Epanechnikov kernel-density heatmap of the point features on the
-    zoom-6 tile grid. Each point splats an integer-ppm weight onto the
-    ≤13 grid cells within 2 cells of its own cell; per-block partial
+def _kde_cells(sf_dir: str):
+    """Shared KDE cell aggregate: Dataset of (k = x<<32|y, w = summed
+    integer-ppm density) on the zoom-KDE_Z grid. Each point splats onto
+    the ≤13 grid cells within 2 cells of its own cell; per-block partial
     sums reduce the shuffle to the occupied-cell domain (≤13× occupied
     cells, corpus-size-independent), then one groupby-sum finishes.
     At 100 TB the stencil fan-out stays O(13) rows per point *before*
@@ -80,8 +80,13 @@ def q_kde_heatmap(sf_dir: str):
         return pa.table({"k": pa.array(uk, pa.int64()),
                          "w": pa.array(dens, pa.int64())})
 
-    agg = pts.map_batches(splat, batch_format="pyarrow") \
+    return pts.map_batches(splat, batch_format="pyarrow") \
         .groupby("k").aggregate(Sum("w", alias_name="w"))
+
+
+def q_kde_heatmap(sf_dir: str):
+    """Epanechnikov kernel-density heatmap of the point features on the
+    zoom-6 tile grid (see _kde_cells for the scale shape)."""
 
     def unpack(b: pa.Table) -> pa.Table:
         k = b["k"].to_numpy(zero_copy_only=False)
@@ -91,7 +96,7 @@ def q_kde_heatmap(sf_dir: str):
             "density_ppm": pc.cast(b["w"], pa.int64()),
         })
 
-    return agg.map_batches(unpack, batch_format="pyarrow")
+    return _kde_cells(sf_dir).map_batches(unpack, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ convex_hull
@@ -284,10 +289,218 @@ def q_segment_octants(sf_dir: str):
     return agg.map_batches(split, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------- contour_cells
+
+CONTOUR_T = 1_000_000   # density threshold defining the "inside" region
+
+
+def q_contour_cells(sf_dir: str):
+    """Marching-squares case histogram of the KDE density surface at
+    threshold CONTOUR_T: every 2×2 neighborhood of grid cells is
+    classified by which corners are inside (bit dy·2+dx), and the
+    histogram over the 15 non-empty cases profiles the contour
+    geometry (how much boundary, how many saddles) without ever
+    building line segments. Exact integers end-to-end. Scale shape:
+    inside-cells fan out ×4 and the neighborhood groupby sums disjoint
+    corner bits — the exchange is the inside-cell domain."""
+    from ray.data.aggregate import Sum
+
+    hi = (1 << KDE_Z) - 1
+
+    def corners(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        ins = w >= CONTOUR_T
+        x = (k[ins] >> 32).astype(np.int64)
+        y = (k[ins] & 0xFFFFFFFF).astype(np.int64)
+        dxs = np.array([0, 1, 0, 1], np.int64)
+        dys = np.array([0, 0, 1, 1], np.int64)
+        bits = np.array([1, 2, 4, 8], np.int64)   # 1 << (dy*2 + dx)
+        nx = x[:, None] - dxs[None, :]
+        ny = y[:, None] - dys[None, :]
+        bt = np.broadcast_to(bits[None, :], nx.shape)
+        ok = (nx >= 0) & (nx <= hi - 1) & (ny >= 0) & (ny <= hi - 1)
+        key = (nx[ok] << 32) | ny[ok]
+        return pa.table({"nk": pa.array(key, pa.int64()),
+                         "bit": pa.array(bt[ok], pa.int64())})
+
+    cases = _kde_cells(sf_dir) \
+        .map_batches(corners, batch_format="pyarrow") \
+        .groupby("nk").aggregate(Sum("bit", alias_name="cs"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        cs = b["cs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, counts = np.unique(cs, return_counts=True)
+        return pa.table({"case_id": pa.array(uk, pa.int64()),
+                         "pn": pa.array(counts.astype(np.int64),
+                                        pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = cases.map_batches(hist, batch_format="pyarrow") \
+        .groupby("case_id").aggregate(_Sum("pn", alias_name="n_cells"))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({"case_id": pc.cast(b["case_id"], pa.int64()),
+                         "n_cells": pc.cast(b["n_cells"], pa.int64())})
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- bbox_overlap_area
+
+OVERLAP_Z = 6
+
+
+def _pair_indices(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All a<b row-index pairs within equal-code runs of a SORTED int64
+    code array, fully vectorized (the numeric sibling of
+    queries_cstats.pairs_within_groups)."""
+    n = len(codes)
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, e.copy()
+    new = np.ones(n, bool)
+    new[1:] = codes[1:] != codes[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(new, idx, 0))
+    starts = np.nonzero(new)[0]
+    run_len_per_run = np.r_[starts[1:], n] - starts
+    run_len = np.repeat(run_len_per_run, run_len_per_run)
+    rem = run_len - 1 - (idx - run_start)
+    total = int(rem.sum())
+    offs = np.cumsum(rem) - rem
+    seq = np.arange(total, dtype=np.int64) - np.repeat(offs, rem)
+    left = np.repeat(idx, rem)
+    right = left + 1 + seq
+    return left, right
+
+
+def q_bbox_overlap_area(sf_dir: str):
+    """Cross-layer all-pairs bbox intersection join: for every layer
+    pair, the count of strictly-overlapping bbox pairs and the exact
+    integer sum of overlap areas in micro-deg². The self-join is
+    tile-bucketed at zoom OVERLAP_Z with an OWNERSHIP rule (a pair is
+    counted only in the tile containing its overlap's min corner, which
+    both coverages provably contain) so each pair materializes exactly
+    once and no post-shuffle dedup is needed — the interval-join
+    pattern lifted to 2-D. The DuckDB oracle runs the naive O(N²)
+    join. Bbox corners are integer-ized ONCE (micro-deg) and every
+    derived quantity — coverage, ownership, predicate, area — uses the
+    same integers, so no cross-engine float crosses the boundary."""
+    from ray.data.aggregate import Sum
+
+    from .queries import _features_ds
+
+    feats = _features_ds(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        mnx = np.floor(
+            b["bbox_minx"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        mny = np.floor(
+            b["bbox_miny"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        mxx = np.floor(
+            b["bbox_maxx"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        mxy = np.floor(
+            b["bbox_maxy"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        # coverage over the SAME integers the predicate uses
+        row, tx, ty = xyz.coverage_flatmap(
+            mnx / 1e6, mny / 1e6, mxx / 1e6, mxy / 1e6, OVERLAP_Z)
+        layer = b["layer"]
+        if isinstance(layer, pa.ChunkedArray):
+            layer = layer.combine_chunks()
+        tk = (tx << 32) | ty
+        return pa.table({
+            "tk": pa.array(tk, pa.int64()),
+            "layer": layer.take(pa.array(row)),
+            "mnx": pa.array(mnx[row], pa.int64()),
+            "mny": pa.array(mny[row], pa.int64()),
+            "mxx": pa.array(mxx[row], pa.int64()),
+            "mxy": pa.array(mxy[row], pa.int64()),
+        })
+
+    def addpart(b: pa.Table) -> pa.Table:
+        tk = b["tk"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_part", pa.array((tk % 32).astype(np.int32), pa.int32()))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("tk", "ascending")])
+        ts = t.take(order)
+        tk = ts["tk"].to_numpy(zero_copy_only=False)
+        left, right = _pair_indices(tk)
+        lay = np.asarray(ts["layer"].to_pylist(), dtype=object)
+        la, lb = lay[left], lay[right]
+        cross = la != lb
+        left, right = left[cross], right[cross]
+        la, lb = la[cross], lb[cross]
+        mnx = ts["mnx"].to_numpy(zero_copy_only=False)
+        mny = ts["mny"].to_numpy(zero_copy_only=False)
+        mxx = ts["mxx"].to_numpy(zero_copy_only=False)
+        mxy = ts["mxy"].to_numpy(zero_copy_only=False)
+        ox = np.maximum(mnx[left], mnx[right])
+        oy = np.maximum(mny[left], mny[right])
+        ox2 = np.minimum(mxx[left], mxx[right])
+        oy2 = np.minimum(mxy[left], mxy[right])
+        hit = (ox2 > ox) & (oy2 > oy)
+        # ownership: the tile containing the overlap's min corner
+        otx, oty = xyz.tile_xy(ox[hit] / 1e6, oy[hit] / 1e6, OVERLAP_Z)
+        own = ((otx << 32) | oty) == tk[left[hit]]
+        sel = np.nonzero(hit)[0][own]
+        if len(sel) == 0:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "area": pa.array([], pa.int64())})
+        area = (ox2[sel] - ox[sel]) * (oy2[sel] - oy[sel])
+        a_first = la[sel] < lb[sel]
+        pa_lay = np.where(a_first, la[sel], lb[sel])
+        pb_lay = np.where(a_first, lb[sel], la[sel])
+        fused = np.char.add(np.char.add(pa_lay.astype("U"), "\x1f"),
+                            pb_lay.astype("U"))
+        uk, inv = np.unique(fused, return_inverse=True)
+        n_out = np.zeros(len(uk), np.int64)
+        np.add.at(n_out, inv, 1)
+        # vectorized partial area sums with a float-shadow overflow
+        # guard: if the float image stays under 2^62 the int64 sum
+        # cannot have wrapped (wrap requires |true| ≥ 2^63)
+        a_out = np.zeros(len(uk), np.int64)
+        np.add.at(a_out, inv, area)
+        chk = np.zeros(len(uk), np.float64)
+        np.add.at(chk, inv, area.astype(np.float64))
+        if np.any(np.abs(chk) >= 2.0 ** 62):
+            raise ValueError("bbox_overlap_area: partial sum overflow")
+        return pa.table({"pair": pa.array(uk.tolist(), pa.string()),
+                         "n": pa.array(n_out, pa.int64()),
+                         "area": pa.array(a_out, pa.int64())})
+
+    agg = feats.map_batches(prep, batch_format="pyarrow") \
+        .map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pairs, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("n", alias_name="n_pairs"),
+                                   Sum("area", alias_name="area_sum"))
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["pair"], "\x1f")
+        return pa.table({
+            "layer_a": pc.list_element(parts, 0),
+            "layer_b": pc.list_element(parts, 1),
+            "n_pairs": pc.cast(b["n_pairs"], pa.int64()),
+            "area_sum": pc.cast(b["area_sum"], pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
 QUERIES_GEO2 = {
     "kde_heatmap": q_kde_heatmap,
     "convex_hull": q_convex_hull,
     "segment_octants": q_segment_octants,
+    "contour_cells": q_contour_cells,
+    "bbox_overlap_area": q_bbox_overlap_area,
 }
 
 
@@ -295,7 +508,7 @@ def _oracle_sql_geo2() -> dict[str, str]:
     from .queries import _BBOX_CTE, _GEOMS, _TILE_XY, _TILE_Y
 
     hi = (1 << KDE_Z) - 1
-    kde_sql = _BBOX_CTE + f"""
+    kde_cte = _BBOX_CTE + f"""
 , zz AS (SELECT {KDE_Z} AS z)
 , pts AS (
   SELECT """ + _TILE_XY.format(lon="g.bbox_minx") + """ AS cx,
@@ -310,12 +523,54 @@ def _oracle_sql_geo2() -> dict[str, str]:
   CROSS JOIN (SELECT UNNEST(generate_series(-{KDE_R}, {KDE_R})) AS dy) dy
   WHERE dx.dx*dx.dx + dy.dy*dy.dy <= {KDE_R * KDE_R}
 )
-SELECT CAST(pts.cx + offs.dx AS BIGINT) AS x,
-       CAST(pts.cy + offs.dy AS BIGINT) AS y,
-       CAST(SUM(offs.w) AS BIGINT) AS density_ppm
-FROM pts CROSS JOIN offs
-WHERE pts.cx + offs.dx BETWEEN 0 AND {hi}
-  AND pts.cy + offs.dy BETWEEN 0 AND {hi}
+, kde AS (
+  SELECT CAST(pts.cx + offs.dx AS BIGINT) AS x,
+         CAST(pts.cy + offs.dy AS BIGINT) AS y,
+         CAST(SUM(offs.w) AS BIGINT) AS density_ppm
+  FROM pts CROSS JOIN offs
+  WHERE pts.cx + offs.dx BETWEEN 0 AND {hi}
+    AND pts.cy + offs.dy BETWEEN 0 AND {hi}
+  GROUP BY 1, 2
+)
+"""
+    kde_sql = kde_cte + "SELECT x, y, density_ppm FROM kde"
+
+    contour_sql = kde_cte + f"""
+, inside AS (SELECT x, y FROM kde WHERE density_ppm >= {CONTOUR_T})
+, corners AS (
+  SELECT inside.x - o.dx AS nx, inside.y - o.dy AS ny, o.bit
+  FROM inside
+  CROSS JOIN (VALUES (0, 0, 1), (1, 0, 2), (0, 1, 4), (1, 1, 8))
+       AS o(dx, dy, bit)
+  WHERE inside.x - o.dx BETWEEN 0 AND {hi - 1}
+    AND inside.y - o.dy BETWEEN 0 AND {hi - 1}
+)
+, cases AS (SELECT nx, ny, SUM(bit) AS cs FROM corners GROUP BY 1, 2)
+SELECT CAST(cs AS BIGINT) AS case_id, CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM cases GROUP BY cs"""
+
+    overlap_sql = f"""
+WITH gb AS (
+  SELECT layer,
+         CAST(FLOOR(list_aggregate(xs, 'min') * 1000000 + 0.5) AS BIGINT)
+           AS mnx,
+         CAST(FLOOR(list_aggregate(ys, 'min') * 1000000 + 0.5) AS BIGINT)
+           AS mny,
+         CAST(FLOOR(list_aggregate(xs, 'max') * 1000000 + 0.5) AS BIGINT)
+           AS mxx,
+         CAST(FLOOR(list_aggregate(ys, 'max') * 1000000 + 0.5) AS BIGINT)
+           AS mxy
+  FROM {_GEOMS}
+)
+SELECT a.layer AS layer_a, b.layer AS layer_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM((LEAST(a.mxx, b.mxx) - GREATEST(a.mnx, b.mnx))
+                * (LEAST(a.mxy, b.mxy) - GREATEST(a.mny, b.mny)))
+            AS BIGINT) AS area_sum
+FROM gb a JOIN gb b
+  ON a.layer < b.layer
+ AND LEAST(a.mxx, b.mxx) > GREATEST(a.mnx, b.mnx)
+ AND LEAST(a.mxy, b.mxy) > GREATEST(a.mny, b.mny)
 GROUP BY 1, 2"""
 
     octants_sql = f"""
@@ -353,6 +608,8 @@ FROM cls GROUP BY layer, octant"""
     return {
         "kde_heatmap": kde_sql,
         "segment_octants": octants_sql,
+        "contour_cells": contour_sql,
+        "bbox_overlap_area": overlap_sql,
         "convex_hull":
             "SELECT * FROM read_parquet('/tmp/graft_expected/convex_hull.parquet')",
     }

@@ -70,23 +70,7 @@ def test_hull_int_degenerate():
 
 
 def test_kde_heatmap_brute(ray_session):
-    g = _geoms()
-    hi = (1 << KDE_Z) - 1
-    dens: dict[tuple, int] = {}
-    for gt, xs, ys in zip(g["geom_type"], g["xs"], g["ys"]):
-        if gt != 1:
-            continue
-        tx, ty = xyz.tile_xy(np.array([xs[0]]), np.array([ys[0]]), KDE_Z)
-        cx, cy = int(tx[0]), int(ty[0])
-        for dx in range(-KDE_R, KDE_R + 1):
-            for dy in range(-KDE_R, KDE_R + 1):
-                d2 = dx * dx + dy * dy
-                if d2 > KDE_R * KDE_R:
-                    continue
-                x, y = cx + dx, cy + dy
-                if 0 <= x <= hi and 0 <= y <= hi:
-                    w = (1_000_000 * (KDE_D2MAX - d2)) // KDE_D2MAX
-                    dens[(x, y)] = dens.get((x, y), 0) + w
+    dens = _kde_brute()
     got = queries_geo2.q_kde_heatmap(SF).to_pandas()
     got_map = {(int(r.x), int(r.y)): int(r.density_ppm)
                for r in got.itertuples()}
@@ -116,6 +100,82 @@ def test_convex_hull_brute(ray_session):
             x2, y2 = int(h[(i + 1) % len(h)][0]), int(h[(i + 1) % len(h)][1])
             a2 += x1 * y2 - x2 * y1
         assert r.area2 == abs(a2)
+
+
+# ------------------------------------------------------- contour_cells
+
+
+def _kde_brute():
+    g = _geoms()
+    hi = (1 << KDE_Z) - 1
+    dens: dict[tuple, int] = {}
+    for gt, xs, ys in zip(g["geom_type"], g["xs"], g["ys"]):
+        if gt != 1:
+            continue
+        tx, ty = xyz.tile_xy(np.array([xs[0]]), np.array([ys[0]]), KDE_Z)
+        cx, cy = int(tx[0]), int(ty[0])
+        for dx in range(-KDE_R, KDE_R + 1):
+            for dy in range(-KDE_R, KDE_R + 1):
+                d2 = dx * dx + dy * dy
+                if d2 > KDE_R * KDE_R:
+                    continue
+                x, y = cx + dx, cy + dy
+                if 0 <= x <= hi and 0 <= y <= hi:
+                    w = (1_000_000 * (KDE_D2MAX - d2)) // KDE_D2MAX
+                    dens[(x, y)] = dens.get((x, y), 0) + w
+    return dens
+
+
+def test_contour_cells_brute(ray_session):
+    from grandine_ray.pipelines.queries_geo2 import CONTOUR_T
+
+    dens = _kde_brute()
+    hi = (1 << KDE_Z) - 1
+    inside = {k for k, v in dens.items() if v >= CONTOUR_T}
+    cases: dict[tuple, int] = {}
+    for (x, y) in inside:
+        for dx, dy, bit in ((0, 0, 1), (1, 0, 2), (0, 1, 4), (1, 1, 8)):
+            nx, ny = x - dx, y - dy
+            if 0 <= nx <= hi - 1 and 0 <= ny <= hi - 1:
+                cases[(nx, ny)] = cases.get((nx, ny), 0) + bit
+    want: dict[int, int] = {}
+    for c in cases.values():
+        want[c] = want.get(c, 0) + 1
+    got = queries_geo2.q_contour_cells(SF).to_pandas()
+    got_map = {int(r.case_id): int(r.n_cells) for r in got.itertuples()}
+    assert got_map == want
+    assert len(want) > 3  # the fixture must exercise several cases
+
+
+# ---------------------------------------------------- bbox_overlap_area
+
+
+def test_bbox_overlap_area_brute(ray_session):
+    g = _geoms()
+    feats = []
+    for lay, xs, ys in zip(g["layer"], g["xs"], g["ys"]):
+        mnx = min(math.floor(x * 1e6 + 0.5) for x in xs)
+        mny = min(math.floor(y * 1e6 + 0.5) for y in ys)
+        mxx = max(math.floor(x * 1e6 + 0.5) for x in xs)
+        mxy = max(math.floor(y * 1e6 + 0.5) for y in ys)
+        feats.append((lay, mnx, mny, mxx, mxy))
+    want: dict[tuple, list] = {}
+    for i, a in enumerate(feats):
+        for b in feats[i + 1:]:
+            if a[0] == b[0]:
+                continue
+            ox, oy = max(a[1], b[1]), max(a[2], b[2])
+            ox2, oy2 = min(a[3], b[3]), min(a[4], b[4])
+            if ox2 > ox and oy2 > oy:
+                k = tuple(sorted((a[0], b[0])))
+                e = want.setdefault(k, [0, 0])
+                e[0] += 1
+                e[1] += (ox2 - ox) * (oy2 - oy)
+    got = queries_geo2.q_bbox_overlap_area(SF).to_pandas()
+    got_map = {(r.layer_a, r.layer_b): (int(r.n_pairs), int(r.area_sum))
+               for r in got.itertuples()}
+    assert got_map == {k: tuple(v) for k, v in want.items()}
+    assert len(want) >= 3
 
 
 # ------------------------------------------------------- segment_octants
