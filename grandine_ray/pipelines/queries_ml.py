@@ -379,19 +379,16 @@ def q_cell_smooth(sf_dir: str):
     return smooth.map_batches(widen, batch_format="pyarrow")
 
 
-def q_moran_i(sf_dir: str):
-    """Moran's I spatial autocorrelation of point density over the
-    occupied z-10 tile grid (8-neighborhood weights, occupied tiles
-    only) — the clustering-vs-dispersion statistic of spatial analysis,
-    in EXACT integer arithmetic via cross-multiplication: with
-    N = occupied tiles, S = Σn, deviations scale to d_i = N·n_i − S, and
-    I = (N / W) · Σ_ij d_i d_j / Σ d_i² over neighbor pairs. Distributed
-    shape: the same 9-cell fan-out + one groupby as cell_smooth (each
-    tile also contributes a 1 so deg_i arrives in the same pass);
-    per-tile terms are int64-guarded partial sums, the final ratio is
-    arbitrary-precision Python int (DuckDB HUGEINT mirror). Output is
-    one row: (n_tiles, w_pairs, moran_micro = floor(N·num·1e6 /
-    (W·den)))."""
+def _grid_autocorr_terms(sf_dir: str):
+    """Shared spatial-autocorrelation machinery for Moran's I and
+    Geary's C: point counts on the occupied SMOOTH_Z tile grid with
+    8-neighborhood sums. Distributed shape: per-block count partials,
+    one groupby, then the 9-cell fan-out + one more groupby (same
+    exchange as cell_smooth); only the occupied-tile aggregate (≤ 2^20
+    rows by construction at z-10) is collected. Returns
+    (N, n_i, nb_i, deg_i, nb2_i, S) — per-tile own count, neighbor
+    count sum, occupied-neighbor degree, neighbor count-square sum,
+    and the global point total — or None when no tiles are occupied."""
     from ray.data.aggregate import Sum
 
     from ..index.xyz import tile_xy
@@ -416,7 +413,10 @@ def q_moran_i(sf_dir: str):
         k = b["k"].to_numpy(zero_copy_only=False)
         n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         x, y = k >> 32, k & 0xFFFFFFFF
-        ks, ns, os_, cs = [], [], [], []
+        n2 = n * n   # ≤ (total points)² per tile — int64 guard below
+        if len(n) and int(n.max()) > 1_000_000_000:  # 8·n² ≤ 8e18 < 2^63
+            raise ValueError("autocorr: per-tile count exceeds n² guard")
+        ks, ns, os_, cs, sq = [], [], [], [], []
         one = np.ones(len(n), np.int64)
         zero = np.zeros(len(n), np.int64)
         for dx in (0, 1, 2):
@@ -426,17 +426,20 @@ def q_moran_i(sf_dir: str):
                 ns.append(zero if center else n)   # neighbor count sum
                 os_.append(zero if center else one)  # neighbor degree
                 cs.append(n if center else zero)   # own count
+                sq.append(zero if center else n2)  # neighbor count²
         return pa.table({
             "k": pa.array(np.concatenate(ks), pa.int64()),
             "nb": pa.array(np.concatenate(ns), pa.int64()),
             "deg": pa.array(np.concatenate(os_), pa.int64()),
             "cn": pa.array(np.concatenate(cs), pa.int64()),
+            "nb2": pa.array(np.concatenate(sq), pa.int64()),
         })
 
     agg = occ.map_batches(fan_out, batch_format="pyarrow") \
         .groupby("k").aggregate(Sum("nb", alias_name="nb"),
                                 Sum("deg", alias_name="deg"),
-                                Sum("cn", alias_name="n"))
+                                Sum("cn", alias_name="n"),
+                                Sum("nb2", alias_name="nb2"))
 
     # global S and N first (tiny second pass over the same aggregate
     # would re-execute; collect the bounded per-tile terms instead — the
@@ -446,13 +449,34 @@ def q_moran_i(sf_dir: str):
         batch_format="pyarrow").take_all()
     N = len(rows)
     if N == 0:
-        return pa.table({"n_tiles": pa.array([], pa.int64()),
-                         "w_pairs": pa.array([], pa.int64()),
-                         "moran_micro": pa.array([], pa.int64())})
+        return None
     n_i = np.asarray([r["n"] for r in rows], np.int64)
     nb_i = np.asarray([r["nb"] for r in rows], np.int64)
     deg_i = np.asarray([r["deg"] for r in rows], np.int64)
+    nb2_i = np.asarray([r["nb2"] for r in rows], np.int64)
     S = int(n_i.sum())
+    return N, n_i, nb_i, deg_i, nb2_i, S
+
+
+def q_moran_i(sf_dir: str):
+    """Moran's I spatial autocorrelation of point density over the
+    occupied z-10 tile grid (8-neighborhood weights, occupied tiles
+    only) — the clustering-vs-dispersion statistic of spatial analysis,
+    in EXACT integer arithmetic via cross-multiplication: with
+    N = occupied tiles, S = Σn, deviations scale to d_i = N·n_i − S, and
+    I = (N / W) · Σ_ij d_i d_j / Σ d_i² over neighbor pairs. Distributed
+    shape: the same 9-cell fan-out + one groupby as cell_smooth (each
+    tile also contributes a 1 so deg_i arrives in the same pass);
+    per-tile terms are int64-guarded partial sums, the final ratio is
+    arbitrary-precision Python int (DuckDB HUGEINT mirror). Output is
+    one row: (n_tiles, w_pairs, moran_micro = floor(N·num·1e6 /
+    (W·den)))."""
+    terms = _grid_autocorr_terms(sf_dir)
+    if terms is None:
+        return pa.table({"n_tiles": pa.array([], pa.int64()),
+                         "w_pairs": pa.array([], pa.int64()),
+                         "moran_micro": pa.array([], pa.int64())})
+    N, n_i, nb_i, deg_i, _nb2_i, S = terms
     d = N * n_i - S
     # Σ_j∈nbr d_j = N·nb_i − deg_i·S (exact); int64 guards
     dn = N * nb_i - deg_i * S
@@ -473,6 +497,41 @@ def q_moran_i(sf_dir: str):
         "n_tiles": pa.array([N], pa.int64()),
         "w_pairs": pa.array([W], pa.int64()),
         "moran_micro": pa.array([moran], pa.int64()),
+    })
+
+
+def q_geary_c(sf_dir: str):
+    """Geary's C spatial autocorrelation of point density over the
+    occupied SMOOTH_Z tile grid (8-neighborhood weights) — the
+    local-contrast companion statistic to Moran's I (C < 1 clustered,
+    C > 1 dispersed), in EXACT integer arithmetic:
+
+        C = (N−1) · Σ_ij w_ij (n_i − n_j)² / (2W · Σ_i (n_i − x̄)²)
+
+    Per-tile Σ_j∈nbr (n_i−n_j)² = deg_i·n_i² − 2·n_i·nb_i + nb2_i needs
+    only the same fan-out aggregate as Moran plus the neighbor
+    count-square sum (nb2), so both statistics share one distributed
+    pass (_grid_autocorr_terms). Mean-centering is cleared by N²:
+    C = (N−1)·N²·num2 / (2W·Σd²) with d_i = N·n_i − S; the final ratio
+    is arbitrary-precision Python int (DuckDB HUGEINT mirror). Output
+    one row: (n_tiles, w_pairs, geary_micro = (num·1e6) // den)."""
+    terms = _grid_autocorr_terms(sf_dir)
+    if terms is None:
+        return pa.table({"n_tiles": pa.array([], pa.int64()),
+                         "w_pairs": pa.array([], pa.int64()),
+                         "geary_micro": pa.array([], pa.int64())})
+    N, n_i, nb_i, deg_i, nb2_i, S = terms
+    num2 = sum(int(dg) * int(n) * int(n) - 2 * int(n) * int(nb) + int(q2)
+               for dg, n, nb, q2 in zip(deg_i, n_i, nb_i, nb2_i))
+    d = [N * int(n) - S for n in n_i]
+    den = sum(x * x for x in d)
+    W = int(deg_i.sum())
+    geary = ((N - 1) * N * N * num2 * 1_000_000) // (2 * W * den) \
+        if W and den else 0
+    return pa.table({
+        "n_tiles": pa.array([N], pa.int64()),
+        "w_pairs": pa.array([W], pa.int64()),
+        "geary_micro": pa.array([geary], pa.int64()),
     })
 
 
@@ -1809,6 +1868,7 @@ def q_part_skyline(sf_dir: str):
 QUERIES_ML = {
     "cell_smooth": q_cell_smooth,
     "moran_i": q_moran_i,
+    "geary_c": q_geary_c,
     "tile_clusters": q_tile_clusters,
     "quadkey_cells": q_quadkey_cells,
     "grid_morphology": q_grid_morphology,
@@ -2000,6 +2060,39 @@ SELECT CAST(tot.nt AS BIGINT) AS n_tiles,
          AS moran_micro
 FROM tot, sums, dd"""
 
+    geary_sql = f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+cnt AS (
+  SELECT {tx} AS x, {ty} AS y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts, zz GROUP BY 1, 2),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nt,
+               CAST(SUM(n) AS HUGEINT) AS s FROM cnt),
+nbr AS (
+  SELECT a.x, a.y, a.n,
+         CAST(SUM(b.n) AS HUGEINT) AS nb,
+         CAST(COUNT(*) AS HUGEINT) AS deg,
+         CAST(SUM(CAST(b.n AS HUGEINT) * b.n) AS HUGEINT) AS nb2
+  FROM cnt a JOIN cnt b
+    ON b.x BETWEEN a.x - 1 AND a.x + 1
+   AND b.y BETWEEN a.y - 1 AND a.y + 1
+   AND NOT (b.x = a.x AND b.y = a.y)
+  GROUP BY a.x, a.y, a.n),
+sums AS (
+  SELECT SUM(nbr.deg * CAST(nbr.n AS HUGEINT) * nbr.n
+             - 2 * CAST(nbr.n AS HUGEINT) * nbr.nb + nbr.nb2) AS num2,
+         SUM(nbr.deg) AS w
+  FROM nbr),
+dd AS (
+  SELECT SUM((tot.nt * cnt.n - tot.s) * (tot.nt * cnt.n - tot.s)) AS den
+  FROM cnt, tot)
+SELECT CAST(tot.nt AS BIGINT) AS n_tiles,
+       CAST(sums.w AS BIGINT) AS w_pairs,
+       CAST(((tot.nt - 1) * tot.nt * tot.nt * sums.num2 * 1000000)
+            // (2 * sums.w * dd.den) AS BIGINT) AS geary_micro
+FROM tot, sums, dd"""
+
     tile_clusters_sql = f"""
 WITH RECURSIVE zz AS (SELECT {SMOOTH_Z} AS z),
 pts AS (SELECT xs[1] AS lon, ys[1] AS lat
@@ -2060,6 +2153,7 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
     return {
         "polygon_area": polygon_area_sql,
         "moran_i": moran_sql,
+        "geary_c": geary_sql,
         "tile_clusters": tile_clusters_sql,
         "quadkey_cells": quadkey_sql,
         "grid_morphology": morphology_sql,

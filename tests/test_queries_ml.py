@@ -388,6 +388,34 @@ def test_moran_i_brute_force(ray_session):
     assert r.moran_micro != 0
 
 
+def test_geary_c_brute_force(ray_session):
+    """Recompute Geary's C from cell_smooth's occupied-tile counts with
+    a python dict (8-neighborhood, occupied tiles only)."""
+    got = queries_ml.q_geary_c(SF).to_pandas()
+    assert len(got) == 1
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y): r.n for r in grid.itertuples()}
+    N, S = len(occ), sum(occ.values())
+    num2 = den = W = 0
+    for (x, y), n in occ.items():
+        d = N * n - S
+        den += d * d
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                nj = occ.get((x + dx, y + dy))
+                if nj is not None:
+                    num2 += (n - nj) * (n - nj)
+                    W += 1
+    want = ((N - 1) * N * N * num2 * 1_000_000) // (2 * W * den)
+    r = got.iloc[0]
+    assert (r.n_tiles, r.w_pairs, r.geary_micro) == (N, W, want)
+    # with irregular weights and whale-tile skew C is unbounded above;
+    # just require a non-degenerate positive statistic
+    assert r.geary_micro > 0
+
+
 def test_tile_clusters_bfs_brute_force(ray_session):
     """Independent BFS connected-components oracle over the engine's
     own occupied-tile counts."""
