@@ -386,9 +386,10 @@ def _grid_autocorr_terms(sf_dir: str):
     one groupby, then the 9-cell fan-out + one more groupby (same
     exchange as cell_smooth); only the occupied-tile aggregate (≤ 2^20
     rows by construction at z-10) is collected. Returns
-    (N, n_i, nb_i, deg_i, nb2_i, S) — per-tile own count, neighbor
-    count sum, occupied-neighbor degree, neighbor count-square sum,
-    and the global point total — or None when no tiles are occupied."""
+    (N, k_i, n_i, nb_i, deg_i, nb2_i, S) — per-tile shifted grid key
+    (x+1)<<32|(y+1), own count, neighbor count sum, occupied-neighbor
+    degree, neighbor count-square sum, and the global point total — or
+    None when no tiles are occupied."""
     from ray.data.aggregate import Sum
 
     from ..index.xyz import tile_xy
@@ -450,12 +451,13 @@ def _grid_autocorr_terms(sf_dir: str):
     N = len(rows)
     if N == 0:
         return None
+    k_i = np.asarray([r["k"] for r in rows], np.int64)
     n_i = np.asarray([r["n"] for r in rows], np.int64)
     nb_i = np.asarray([r["nb"] for r in rows], np.int64)
     deg_i = np.asarray([r["deg"] for r in rows], np.int64)
     nb2_i = np.asarray([r["nb2"] for r in rows], np.int64)
     S = int(n_i.sum())
-    return N, n_i, nb_i, deg_i, nb2_i, S
+    return N, k_i, n_i, nb_i, deg_i, nb2_i, S
 
 
 def q_moran_i(sf_dir: str):
@@ -476,7 +478,7 @@ def q_moran_i(sf_dir: str):
         return pa.table({"n_tiles": pa.array([], pa.int64()),
                          "w_pairs": pa.array([], pa.int64()),
                          "moran_micro": pa.array([], pa.int64())})
-    N, n_i, nb_i, deg_i, _nb2_i, S = terms
+    N, _k_i, n_i, nb_i, deg_i, _nb2_i, S = terms
     d = N * n_i - S
     # Σ_j∈nbr d_j = N·nb_i − deg_i·S (exact); int64 guards
     dn = N * nb_i - deg_i * S
@@ -520,7 +522,7 @@ def q_geary_c(sf_dir: str):
         return pa.table({"n_tiles": pa.array([], pa.int64()),
                          "w_pairs": pa.array([], pa.int64()),
                          "geary_micro": pa.array([], pa.int64())})
-    N, n_i, nb_i, deg_i, nb2_i, S = terms
+    N, _k_i, n_i, nb_i, deg_i, nb2_i, S = terms
     num2 = sum(int(dg) * int(n) * int(n) - 2 * int(n) * int(nb) + int(q2)
                for dg, n, nb, q2 in zip(deg_i, n_i, nb_i, nb2_i))
     d = [N * int(n) - S for n in n_i]
@@ -532,6 +534,74 @@ def q_geary_c(sf_dir: str):
         "n_tiles": pa.array([N], pa.int64()),
         "w_pairs": pa.array([W], pa.int64()),
         "geary_micro": pa.array([geary], pa.int64()),
+    })
+
+
+HOTSPOT_K = 20
+
+
+def q_getis_hotspots(sf_dir: str):
+    """Getis-Ord G*-style hotspot detection over the occupied SMOOTH_Z
+    tile grid: for each occupied tile the self-inclusive neighborhood
+    mass g_i = n_i + nb_i is compared against its CSR expectation
+    (deg_i+1)·S/N in EXACT integer cross-multiplied form,
+
+        excess_i = N·(n_i + nb_i) − (deg_i + 1)·S
+
+    (positive ⇒ the 3×3 neighborhood holds more points than a uniform
+    spread would give it — the G* numerator minus its expectation, the
+    standard hotspot ranking). Shares the single fan-out pass of
+    Moran/Geary (_grid_autocorr_terms); isolated tiles (deg = 0) stay
+    candidates with excess = N·n_i − S. int64 is safe by construction:
+    N ≤ 2^20 occupied z-10 tiles and the fan-out guards n_i ≤ 1e9, so
+    N·g ≤ 2^20·9e9 < 2^63. Output: top-HOTSPOT_K tiles by excess desc
+    (ties: tile_x, tile_y asc) with their own count."""
+    terms = _grid_autocorr_terms(sf_dir)
+    if terms is None:
+        return pa.table({"tile_x": pa.array([], pa.int64()),
+                         "tile_y": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "excess": pa.array([], pa.int64())})
+    N, k_i, n_i, nb_i, deg_i, _nb2_i, S = terms
+    excess = N * (n_i + nb_i) - (deg_i + 1) * S
+    x = (k_i >> 32) - 1          # fan-out keys are shifted by (+1, +1)
+    y = (k_i & 0xFFFFFFFF) - 1
+    top = np.lexsort((y, x, -excess))[:HOTSPOT_K]
+    return pa.table({
+        "tile_x": pa.array(x[top], pa.int64()),
+        "tile_y": pa.array(y[top], pa.int64()),
+        "n": pa.array(n_i[top], pa.int64()),
+        "excess": pa.array(excess[top], pa.int64()),
+    })
+
+
+def q_lisa_quadrants(sf_dir: str):
+    """LISA (local Moran) quadrant census over the occupied SMOOTH_Z
+    tile grid: each tile is classified by the signs of its own deviation
+    and its neighborhood deviation — HH (hot core), LL (cold core),
+    HL (hot outlier), LH (cold outlier), NS (either side exactly at the
+    mean, incl. isolated tiles whose empty neighborhood sums to zero).
+    Exact integer cross-multiplication clears the mean: with
+    d_i = N·n_i − S and Σ_j∈nbr d_j = N·nb_i − deg_i·S both sign-exact,
+    no float ever enters. Same single distributed fan-out pass as
+    Moran/Geary/Getis. Output: (quadrant, n_tiles) for the labels
+    present."""
+    terms = _grid_autocorr_terms(sf_dir)
+    if terms is None:
+        return pa.table({"quadrant": pa.array([], pa.string()),
+                         "n_tiles": pa.array([], pa.int64())})
+    N, _k_i, n_i, nb_i, deg_i, _nb2_i, S = terms
+    d = N * n_i - S
+    dn = N * nb_i - deg_i * S
+    lab = np.where((d > 0) & (dn > 0), 0,
+                   np.where((d < 0) & (dn < 0), 1,
+                            np.where((d > 0) & (dn < 0), 2,
+                                     np.where((d < 0) & (dn > 0), 3, 4))))
+    names = np.array(["HH", "LL", "HL", "LH", "NS"])
+    u, c = np.unique(lab, return_counts=True)
+    return pa.table({
+        "quadrant": pa.array(names[u], pa.string()),
+        "n_tiles": pa.array(c.astype(np.int64), pa.int64()),
     })
 
 
@@ -1869,6 +1939,8 @@ QUERIES_ML = {
     "cell_smooth": q_cell_smooth,
     "moran_i": q_moran_i,
     "geary_c": q_geary_c,
+    "getis_hotspots": q_getis_hotspots,
+    "lisa_quadrants": q_lisa_quadrants,
     "tile_clusters": q_tile_clusters,
     "quadkey_cells": q_quadkey_cells,
     "grid_morphology": q_grid_morphology,
@@ -2093,6 +2165,58 @@ SELECT CAST(tot.nt AS BIGINT) AS n_tiles,
             // (2 * sums.w * dd.den) AS BIGINT) AS geary_micro
 FROM tot, sums, dd"""
 
+    # per-tile outputs must keep isolated tiles (no occupied neighbor),
+    # so unlike moran/geary the neighbor CTE is a LEFT join with
+    # COALESCE'd sums (COUNT(b.n) counts only matched rows)
+    _nbr_left = f"""
+cnt AS (
+  SELECT {tx} AS x, {ty} AS y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts, zz GROUP BY 1, 2),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nt,
+               CAST(SUM(n) AS HUGEINT) AS s FROM cnt),
+nbr AS (
+  SELECT a.x, a.y, a.n,
+         CAST(COALESCE(SUM(b.n), 0) AS HUGEINT) AS nb,
+         CAST(COUNT(b.n) AS HUGEINT) AS deg
+  FROM cnt a LEFT JOIN cnt b
+    ON b.x BETWEEN a.x - 1 AND a.x + 1
+   AND b.y BETWEEN a.y - 1 AND a.y + 1
+   AND NOT (b.x = a.x AND b.y = a.y)
+  GROUP BY a.x, a.y, a.n)"""
+
+    getis_sql = f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+{_nbr_left}
+SELECT CAST(nbr.x AS BIGINT) AS tile_x,
+       CAST(nbr.y AS BIGINT) AS tile_y,
+       nbr.n AS n,
+       CAST(tot.nt * (nbr.n + nbr.nb) - (nbr.deg + 1) * tot.s AS BIGINT)
+         AS excess
+FROM nbr, tot
+ORDER BY excess DESC, tile_x, tile_y
+LIMIT {HOTSPOT_K}"""
+
+    lisa_sql = f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+{_nbr_left},
+devs AS (
+  SELECT tot.nt * nbr.n - tot.s AS d,
+         tot.nt * nbr.nb - nbr.deg * tot.s AS dn
+  FROM nbr, tot),
+q AS (
+  SELECT CASE WHEN d > 0 AND dn > 0 THEN 'HH'
+              WHEN d < 0 AND dn < 0 THEN 'LL'
+              WHEN d > 0 AND dn < 0 THEN 'HL'
+              WHEN d < 0 AND dn > 0 THEN 'LH'
+              ELSE 'NS' END AS quadrant
+  FROM devs)
+SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS n_tiles
+FROM q GROUP BY quadrant"""
+
     tile_clusters_sql = f"""
 WITH RECURSIVE zz AS (SELECT {SMOOTH_Z} AS z),
 pts AS (SELECT xs[1] AS lon, ys[1] AS lat
@@ -2154,6 +2278,8 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "polygon_area": polygon_area_sql,
         "moran_i": moran_sql,
         "geary_c": geary_sql,
+        "getis_hotspots": getis_sql,
+        "lisa_quadrants": lisa_sql,
         "tile_clusters": tile_clusters_sql,
         "quadkey_cells": quadkey_sql,
         "grid_morphology": morphology_sql,

@@ -416,6 +416,63 @@ def test_geary_c_brute_force(ray_session):
     assert r.geary_micro > 0
 
 
+def _occ_neighbor_terms():
+    """Occupied-tile counts + 8-neighborhood sums from cell_smooth, as
+    a python dict — shared ground truth for the local statistics."""
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y): r.n for r in grid.itertuples()}
+    N, S = len(occ), sum(occ.values())
+    terms = {}
+    for (x, y), n in occ.items():
+        nb = deg = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                nj = occ.get((x + dx, y + dy))
+                if nj is not None:
+                    nb += nj
+                    deg += 1
+        terms[(x, y)] = (n, nb, deg)
+    return N, S, terms
+
+
+def test_getis_hotspots_brute_force(ray_session):
+    """Top-k excess ranking == brute-force recompute from cell_smooth's
+    occupied grid (self-inclusive neighborhood mass vs expectation)."""
+    got = queries_ml.q_getis_hotspots(SF).to_pandas()
+    N, S, terms = _occ_neighbor_terms()
+    rows = sorted(
+        ((x, y, n, N * (n + nb) - (deg + 1) * S)
+         for (x, y), (n, nb, deg) in terms.items()),
+        key=lambda r: (-r[3], r[0], r[1]))[:queries_ml.HOTSPOT_K]
+    assert list(zip(got.tile_x, got.tile_y, got.n, got.excess)) == rows
+    assert len(got) == min(queries_ml.HOTSPOT_K, N)
+    # clusters exist in the synth corpus: the top hotspot beats uniform
+    assert got.excess.iloc[0] > 0
+
+
+def test_lisa_quadrants_brute_force(ray_session):
+    """Quadrant census == brute-force sign classification over the
+    occupied grid (HH/LL/HL/LH/NS on exact integer deviations)."""
+    got = queries_ml.q_lisa_quadrants(SF).to_pandas()
+    N, S, terms = _occ_neighbor_terms()
+    want: dict[str, int] = {}
+    for (x, y), (n, nb, deg) in terms.items():
+        d = N * n - S
+        dn = N * nb - deg * S
+        lab = ("HH" if d > 0 and dn > 0 else
+               "LL" if d < 0 and dn < 0 else
+               "HL" if d > 0 and dn < 0 else
+               "LH" if d < 0 and dn > 0 else "NS")
+        want[lab] = want.get(lab, 0) + 1
+    assert dict(zip(got.quadrant, got.n_tiles)) == want
+    assert int(got.n_tiles.sum()) == N
+    # skewed point clusters: most tiles sit below the mean next to
+    # below-mean neighborhoods
+    assert want.get("LL", 0) > 0
+
+
 def test_tile_clusters_bfs_brute_force(ray_session):
     """Independent BFS connected-components oracle over the engine's
     own occupied-tile counts."""
