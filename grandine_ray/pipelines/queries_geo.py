@@ -223,11 +223,139 @@ def q_radius_join(sf_dir: str):
     return pts.map_batches(within, batch_format="pyarrow")
 
 
+RIPLEY_RADII_MM = (50_000_000, 100_000_000, 200_000_000)
+# 3-D chord-grid cell edge: any two points with haversine distance
+# ≤ r_max have unit-sphere chord ≤ 2R·sin(r_max/2R), so bucketing the
+# R-scaled xyz coordinates on a grid of that edge guarantees every
+# qualifying pair sits within a 3×3×3 cell neighborhood — at EVERY
+# latitude (a Mercator tile grid shrinks in ground meters near the
+# poles and would need an unbounded neighbor ring there). The margin
+# absorbs float ulps in the lonlat→xyz mapping plus the 0.5 mm
+# integer-rounding allowance of the membership test.
+_RIPLEY_EDGE_M = (2.0 * 6371000.0
+                  * np.sin((RIPLEY_RADII_MM[-1] / 1000.0 + 0.001)
+                           / (2.0 * 6371000.0)) * (1.0 + 1e-9))
+_RIPLEY_P = 64  # pair-count hash partitions
+
+
+def q_ripley_k(sf_dir: str):
+    """Ripley's K pair counts: for each radius r, the number of ORDERED
+    point pairs (i≠j) with haversine distance ≤ r — the sufficient
+    statistic of the classic point-pattern clustering function
+    K(r) = A·pairs(r)/(n(n−1)). Distributed shape: each point lands in
+    one unit-sphere chord-grid cell as a LEFT row and replicates to the
+    27-cell neighborhood as RIGHT rows (so every ordered pair is
+    counted in the left point's cell exactly once); cells hash into
+    {_RIPLEY_P} partitions and each partition pair-counts its cells
+    with chunked vectorized haversine (self-pairs included, subtracted
+    globally as n afterwards). The shuffle carries 28 rows/point; the
+    reduce output is 4 rows/partition. Membership is integer
+    millimetres (floor(d·1000+0.5) ≤ r) on both engines per the repo
+    float-parity rule. Whale cells bound the per-partition matrix; at
+    scale the same sub-grid salting as pip_join's hot cells applies
+    (the cell edge can drop to r_max/2 with a 5³ neighborhood)."""
+    from ray.data.aggregate import Sum
+
+    from ..geom.ops import haversine_m
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    edge = _RIPLEY_EDGE_M
+    R = 6371000.0
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        lam, phi = np.radians(lon), np.radians(lat)
+        cp = np.cos(phi)
+        ix = np.floor(R * cp * np.cos(lam) / edge).astype(np.int64)
+        iy = np.floor(R * cp * np.sin(lam) / edge).astype(np.int64)
+        iz = np.floor(R * np.sin(phi) / edge).astype(np.int64)
+        n = len(lon)
+        # R/edge ≈ 32 ⇒ indices ∈ [−33, 33); +64 keeps 3 clean 20-bit
+        # lanes even after the ±1 neighbor shifts
+        offs = np.array([(dx, dy, dz) for dx in (-1, 0, 1)
+                         for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+                        np.int64)
+        jx = np.repeat(ix, 27) + np.tile(offs[:, 0], n)
+        jy = np.repeat(iy, 27) + np.tile(offs[:, 1], n)
+        jz = np.repeat(iz, 27) + np.tile(offs[:, 2], n)
+        own = ((ix + 64) << 40) | ((iy + 64) << 20) | (iz + 64)
+        nbr = ((jx + 64) << 40) | ((jy + 64) << 20) | (jz + 64)
+        return pa.table({
+            "cell": pa.array(np.concatenate([own, nbr]), pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(n, np.int8), np.ones(27 * n, np.int8)]),
+                pa.int8()),
+            "lon": pa.array(np.concatenate([lon, np.repeat(lon, 27)]),
+                            pa.float64()),
+            "lat": pa.array(np.concatenate([lat, np.repeat(lat, 27)]),
+                            pa.float64()),
+        })
+
+    def addpart(b: pa.Table) -> pa.Table:
+        c = b["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = ((c * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)) \
+            % np.uint64(_RIPLEY_P)
+        return b.append_column("_part", pa.array(p.astype(np.int32),
+                                                 pa.int32()))
+
+    def pair_count(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, cell))
+        cell, side = cell[order], side[order]
+        lon, lat = lon[order], lat[order]
+        starts = np.searchsorted(cell, np.unique(cell), "left")
+        bounds = np.append(starts, len(cell))
+        radii = np.asarray(RIPLEY_RADII_MM, np.int64)
+        counts = np.zeros(len(radii), np.int64)
+        n_left = 0
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            nl = int(np.searchsorted(side[s:e], 1, "left"))
+            if nl == 0 or nl == e - s:
+                n_left += nl
+                continue
+            n_left += nl
+            llon, llat = lon[s:s + nl], lat[s:s + nl]
+            rlon, rlat = lon[s + nl:e], lat[s + nl:e]
+            nr = len(rlon)
+            chunk = max(1, (1 << 21) // nr)
+            for c0 in range(0, nl, chunk):
+                c1 = min(nl, c0 + chunk)
+                d = haversine_m(np.repeat(llon[c0:c1], nr),
+                                np.repeat(llat[c0:c1], nr),
+                                np.tile(rlon, c1 - c0),
+                                np.tile(rlat, c1 - c0))
+                mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+                counts += np.searchsorted(np.sort(mm), radii, "right")
+        return pa.table({
+            "radius_mm": pa.array(np.append(radii, 0), pa.int64()),
+            "n": pa.array(np.append(counts, n_left), pa.int64()),
+        })
+
+    agg = pts.map_batches(fan_out, batch_format="pyarrow") \
+        .map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pair_count, batch_format="pyarrow") \
+        .groupby("radius_mm").aggregate(Sum("n", alias_name="n"))
+
+    rows = {r["radius_mm"]: r["n"] for r in agg.take_all()}
+    n_pts = rows.get(0, 0)  # sentinel: total left points
+    return pa.table({
+        "radius_mm": pa.array(list(RIPLEY_RADII_MM), pa.int64()),
+        "n_pairs": pa.array([rows.get(r, 0) - n_pts
+                             for r in RIPLEY_RADII_MM], pa.int64()),
+    })
+
+
 QUERIES_GEO = {
     "tile_rollup": q_tile_rollup,
     "layer_tile_overlap": q_layer_tile_overlap,
     "tile_skew": q_tile_skew,
     "radius_join": q_radius_join,
+    "ripley_k": q_ripley_k,
 }
 
 
@@ -284,10 +412,24 @@ SELECT z, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(MAX(n) AS BIGINT) AS max_n
 FROM per GROUP BY z"""
 
+    hav_ab = _HAVERSINE.format(lat1="a.lat", lon1="a.lon",
+                               lat2="b.lat", lon2="b.lon")
+    ripley_sql = _BBOX_CTE + f"""
+, pts AS (SELECT ROW_NUMBER() OVER () AS id,
+                 bbox_minx AS lon, bbox_miny AS lat
+          FROM g WHERE geom_type = 1)
+, rr(radius_mm) AS (VALUES {", ".join(f"({r})" for r in RIPLEY_RADII_MM)})
+, d AS (SELECT CAST(FLOOR({hav_ab} * 1000.0 + 0.5) AS BIGINT) AS mm
+        FROM pts a JOIN pts b ON a.id <> b.id)
+SELECT rr.radius_mm, CAST(COUNT(d.mm) AS BIGINT) AS n_pairs
+FROM rr LEFT JOIN d ON d.mm <= rr.radius_mm
+GROUP BY rr.radius_mm"""
+
     return {
         "layer_tile_overlap": layer_overlap_sql,
         "tile_skew": tile_skew_sql,
         "radius_join": radius_sql,
+        "ripley_k": ripley_sql,
         "tile_rollup": _COVERAGE_CTE + f"""
 , base AS (SELECT x, y FROM cov WHERE z = {ROLLUP_BASE_Z})
 , lv AS (SELECT UNNEST(generate_series(0, {ROLLUP_BASE_Z})) AS z)

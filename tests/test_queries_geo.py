@@ -101,3 +101,61 @@ def test_radius_join_brute_force(ray_session):
         mine = {(r.doc_id, int(r.span_idx))
                 for r in got[got.query_id == qid].itertuples()}
         assert mine == want
+
+
+def test_ripley_k_brute_force(ray_session):
+    """Pair counts == full O(n²) numpy haversine over the ground-truth
+    point set, plus K-function monotonicity."""
+    import duckdb
+
+    from grandine_ray.geom.ops import haversine_m
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(SF)
+    con = duckdb.connect()
+    g = con.execute(f"""
+        SELECT list_aggregate(xs,'min') x, list_aggregate(ys,'min') y
+        FROM read_parquet('{corpus}/geoms.parquet')
+        WHERE geom_type = 1""").df()
+    n = len(g)
+    d = haversine_m(np.repeat(g.x.values, n), np.repeat(g.y.values, n),
+                    np.tile(g.x.values, n), np.tile(g.y.values, n))
+    mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+    got = queries_geo.q_ripley_k(SF).to_pandas()
+    assert list(got.radius_mm) == list(queries_geo.RIPLEY_RADII_MM)
+    for r, np_ in zip(got.radius_mm, got.n_pairs):
+        assert np_ == int((mm <= r).sum()) - n  # minus n self-pairs
+    assert got.n_pairs.is_monotonic_increasing
+    assert got.n_pairs.iloc[0] > 0  # clusters ⇒ close pairs exist
+
+
+def test_ripley_chord_grid_containment():
+    """The chord-grid edge really bounds every qualifying pair to a
+    3×3×3 neighborhood: random points at extreme latitudes whose
+    haversine distance ≤ r_max must land within 1 cell on each axis
+    (this is the property a Mercator tile grid lacks near the poles)."""
+    from grandine_ray.geom.ops import haversine_m
+
+    rng = np.random.default_rng(11)
+    R, edge = 6371000.0, queries_geo._RIPLEY_EDGE_M
+    lon = rng.uniform(-180, 180, 4000)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 4000)))  # incl poles
+    # pair each point with a perturbed twin ≤ ~r_max away
+    dlat = rng.uniform(-1.7, 1.7, 4000)
+    dlon = rng.uniform(-60, 60, 4000) * rng.choice([1.0, 0.02], 4000)
+    lon2 = (lon + dlon + 180) % 360 - 180
+    lat2 = np.clip(lat + dlat, -90, 90)
+    d = haversine_m(lon, lat, lon2, lat2)
+    keep = np.floor(d * 1000.0 + 0.5) <= queries_geo.RIPLEY_RADII_MM[-1]
+
+    def cells(lo, la):
+        lam, phi = np.radians(lo), np.radians(la)
+        cp = np.cos(phi)
+        return (np.floor(R * cp * np.cos(lam) / edge).astype(np.int64),
+                np.floor(R * cp * np.sin(lam) / edge).astype(np.int64),
+                np.floor(R * np.sin(phi) / edge).astype(np.int64))
+
+    a, b = cells(lon[keep], lat[keep]), cells(lon2[keep], lat2[keep])
+    assert keep.sum() > 500  # mixed scales keep enough pairs in range
+    for ax, bx in zip(a, b):
+        assert np.abs(ax - bx).max(initial=0) <= 1
