@@ -558,6 +558,45 @@ def q_trend_slope(sf_dir: str):
     })
 
 
+def q_theilsen_trend(sf_dir: str):
+    """Per-event-type Theil-Sen robust trend of the daily count series:
+    the MEDIAN of all pairwise slopes (n_j−n_i)/(d_j−d_i) over observed
+    days — the outlier-resistant companion to trend_slope's OLS fit.
+    Each pair slope is integer-ized once as trunc((Δn·1e6)/Δd) (both
+    engines, DuckDB ``//`` trunc parity) and the median follows DuckDB
+    quantile_disc semantics (1-based rank ⌈P/2⌉). The corpus-sized work
+    is the shared (day,type) count shuffle; the O(D²) pair fan-out runs
+    vectorized on the aggregate domain (D = observed days per type,
+    corpus-size-independent — a time series grows with TIME, not data
+    scale). Types with one observed day report zero pairs/slope."""
+    rows = _daily_type_counts(sf_dir)
+    series: dict[str, list] = {}
+    for d, t, n in rows:
+        series.setdefault(t, []).append((d, n))
+    types = sorted(series)
+    out_nd, out_np, out_sl = [], [], []
+    for t in types:
+        seq = sorted(series[t])
+        d = np.asarray([x for x, _ in seq], np.int64)
+        n = np.asarray([y for _, y in seq], np.int64)
+        i, j = np.triu_indices(len(d), k=1)
+        num = (n[j] - n[i]) * 1_000_000
+        den = d[j] - d[i]                       # > 0 by sort
+        s = np.where(num >= 0, np.abs(num) // den,
+                     -(np.abs(num) // den))     # trunc toward zero
+        s.sort()
+        P = len(s)
+        out_nd.append(len(d))
+        out_np.append(P)
+        out_sl.append(int(s[(P + 1) // 2 - 1]) if P else 0)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_days": pa.array(out_nd, pa.int64()),
+        "n_pairs": pa.array(out_np, pa.int64()),
+        "slope_micro": pa.array(out_sl, pa.int64()),
+    })
+
+
 def q_changepoint(sf_dir: str):
     """Per-event-type CUSUM changepoint on the daily count series: the
     day k (among the type's observed days, ordered) maximizing
@@ -594,6 +633,7 @@ def q_changepoint(sf_dir: str):
 QUERIES_TS = {
     "value_mode": q_value_mode,
     "trend_slope": q_trend_slope,
+    "theilsen_trend": q_theilsen_trend,
     "changepoint": q_changepoint,
     "daily_type_corr": q_daily_type_corr,
     "daily_autocorr": q_daily_autocorr,
@@ -622,6 +662,24 @@ SELECT event_type,
        CAST(COUNT(*) * SUM(d * d) - SUM(d) * SUM(d) AS BIGINT)
          AS slope_den
 FROM dc GROUP BY event_type""",
+    "theilsen_trend": """
+WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                  event_type FROM events),
+dc AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e GROUP BY 1, 2),
+sl AS (SELECT a.event_type,
+              ((b.n - a.n) * 1000000) // (b.d - a.d) AS s
+       FROM dc a JOIN dc b
+         ON a.event_type = b.event_type AND b.d > a.d),
+m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(quantile_disc(s, 0.5) AS BIGINT) AS slope_micro
+      FROM sl GROUP BY event_type),
+nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       FROM dc GROUP BY event_type)
+SELECT nd.event_type, nd.n_days,
+       COALESCE(m.n_pairs, 0) AS n_pairs,
+       COALESCE(m.slope_micro, 0) AS slope_micro
+FROM nd LEFT JOIN m ON m.event_type = nd.event_type""",
     "changepoint": """
 WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
                   event_type FROM events),

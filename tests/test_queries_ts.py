@@ -157,3 +157,36 @@ def test_revenue_cube_brute():
     base = sum(v for (nm, yr), v in cube.items()
                if nm != "ALL" and yr != -1)
     assert cube[("ALL", -1)] == base
+
+
+def test_theilsen_trend_brute(ray_session):
+    """Median pairwise slope == from-scratch Python loop over the daily
+    count dict (trunc division, rank-ceil(P/2) median), plus the
+    robustness property that defines Theil-Sen: slope bounded by the
+    extreme pair slopes."""
+    ev = _events()
+    daily: dict[str, Counter] = {}
+    for t, ts in zip(ev["event_type"], ev["ts"]):
+        us = np.datetime64(ts, "us").astype(np.int64)
+        daily.setdefault(t, Counter())[int(us // 86_400_000_000)] += 1
+    got = queries_ts.q_theilsen_trend(SF).to_pydict()
+    assert got["event_type"] == sorted(daily)
+    for t, nd, npair, sl in zip(got["event_type"], got["n_days"],
+                                got["n_pairs"], got["slope_micro"]):
+        seq = sorted(daily[t].items())
+        assert nd == len(seq)
+        slopes = []
+        for i in range(len(seq)):
+            for j in range(i + 1, len(seq)):
+                num = (seq[j][1] - seq[i][1]) * 1_000_000
+                den = seq[j][0] - seq[i][0]
+                q = abs(num) // den
+                slopes.append(q if num >= 0 else -q)
+        assert npair == len(slopes)
+        if slopes:
+            slopes.sort()
+            want = slopes[(len(slopes) + 1) // 2 - 1]
+            assert sl == want
+            assert slopes[0] <= sl <= slopes[-1]
+        else:
+            assert sl == 0
