@@ -1063,10 +1063,79 @@ def q_lang_source_matrix(sf_dir: str):
         .groupby("_part").map_groups(pivot, batch_format="pyarrow")
 
 
+def q_lexical_stats(sf_dir: str):
+    """Per-source lexical richness profile: token count, vocabulary
+    size (types), hapax legomena (terms occurring exactly once in the
+    source), type-token ratio and hapax share in exact ppm — the
+    corpus-health numbers a curation report leads with (low TTR ⇒
+    boilerplate/dup-heavy source; hapax share tracks Zipf-tail mass).
+    Stage 1 counts (source, term) pairs on a fused key (the shuffle is
+    the per-source vocabulary domain, the same exchange tfidf_terms
+    rides); stage 2 reduces each aggregate block to per-source partials
+    (rows seen / hapax rows / token sum) so the second groupby is
+    sources-sized. Ratios are non-negative integer floor-division —
+    trunc/floor agree, no float crosses the boundary."""
+    from ray.data.aggregate import Sum
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def st_counts(b: pa.Table) -> pa.Table:
+        flat, doc_of, _, _ = _batch_terms(b, "text")
+        src_of = _chunk(b["source"]).take(pa.array(doc_of))
+        fused = pc.binary_join_element_wise(src_of, flat, "\x1f")
+        return _count_by_key(fused)
+
+    st = docs.map_batches(st_counts, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("n", alias_name="n"))
+
+    def per_source(b: pa.Table) -> pa.Table:
+        src = _chunk(pc.list_element(pc.split_pattern(b["key"], "\x1f"),
+                                     0))
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(src)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            "source": enc.dictionary,
+            "n_tokens": pa.array(np.bincount(codes, n, k)
+                                 .astype(np.int64), pa.int64()),
+            "n_types": pa.array(np.bincount(codes, minlength=k)
+                                .astype(np.int64), pa.int64()),
+            "n_hapax": pa.array(np.bincount(codes, n == 1, k)
+                                .astype(np.int64), pa.int64()),
+        })
+
+    agg = st.map_batches(per_source, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                                     Sum("n_types", alias_name="n_types"),
+                                     Sum("n_hapax", alias_name="n_hapax"))
+
+    def ratios(b: pa.Table) -> pa.Table:
+        tok = b["n_tokens"].to_numpy(zero_copy_only=False)
+        typ = b["n_types"].to_numpy(zero_copy_only=False)
+        hap = b["n_hapax"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"],
+            "n_tokens": pc.cast(b["n_tokens"], pa.int64()),
+            "n_types": pc.cast(b["n_types"], pa.int64()),
+            "n_hapax": pc.cast(b["n_hapax"], pa.int64()),
+            "ttr_ppm": pa.array(typ * 1_000_000 // np.maximum(tok, 1),
+                                pa.int64()),
+            "hapax_ppm": pa.array(hap * 1_000_000 // np.maximum(typ, 1),
+                                  pa.int64()),
+        })
+
+    return agg.map_batches(ratios, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- registry
 
 
 QUERIES_CSTATS = {
+    "lexical_stats": q_lexical_stats,
     "source_overlap": q_source_overlap,
     "stopword_stats": q_stopword_stats,
     "prefix_dups": q_prefix_dups,
@@ -1090,6 +1159,22 @@ QUERIES_CSTATS = {
 
 
 ORACLE_SQL_CSTATS = {
+    "lexical_stats": r"""
+WITH w AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+       FROM w GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
+       CAST((COUNT(*) * 1000000) // GREATEST(SUM(n), 1) AS BIGINT)
+         AS ttr_ppm,
+       CAST((COUNT(*) FILTER (n = 1) * 1000000)
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS hapax_ppm
+FROM tc GROUP BY source""",
     "source_overlap": r"""
 WITH st AS (
   SELECT DISTINCT source,

@@ -173,3 +173,28 @@ def test_lang_confusion_brute_force(ray_session):
     import pyarrow.parquet as pq
     n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
     assert got.n.sum() == n_docs
+
+
+def test_lexical_stats_brute_force(ray_session):
+    # independent oracle: python Counter per source
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["source", "text"])
+    cnt: dict[str, Counter] = {}
+    for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        cnt.setdefault(src, Counter()).update(txt.lower().split())
+    got = queries_cstats.q_lexical_stats(SF).to_pandas() \
+        .set_index("source")
+    assert sorted(got.index) == sorted(s for s in cnt if cnt[s])
+    for src, c in cnt.items():
+        if not c:
+            continue
+        r = got.loc[src]
+        tok, typ = sum(c.values()), len(c)
+        hap = sum(1 for v in c.values() if v == 1)
+        assert (r.n_tokens, r.n_types, r.n_hapax) == (tok, typ, hap)
+        assert r.ttr_ppm == typ * 1_000_000 // tok
+        assert r.hapax_ppm == hap * 1_000_000 // typ
