@@ -632,6 +632,96 @@ def q_lisa_quadrants(sf_dir: str):
     })
 
 
+def q_flow_directions(sf_dir: str):
+    """D8-style density-ascent direction census over the occupied
+    SMOOTH_Z tile grid: each occupied tile flows toward its
+    highest-count 8-neighbor if that neighbor STRICTLY exceeds the
+    tile's own count, else it is a local mode (direction −1) — the
+    hydrology flow-direction / mean-shift mode-seeking primitive on a
+    raster. Directions are coded 0..7 by (dx,dy) lexicographic order
+    with ties broken toward the smallest code on both engines.
+    Distributed shape: one point→tile count groupby, then each tile
+    ships its count to its 8 neighbors in direction-tagged value
+    columns so a SINGLE second groupby yields every tile's full
+    neighbor vector (the cell_smooth exchange, widened to 8 lanes);
+    the argmax and the final direction histogram stay distributed —
+    nothing is collected but the ≤9-row result."""
+    from ray.data.aggregate import Sum
+
+    from ..index.xyz import tile_xy
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    z = SMOOTH_Z
+
+    def tiles(b: pa.Table) -> pa.Table:
+        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        x, y = tile_xy(lon, lat, z)
+        key = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    occ = pts.map_batches(tiles, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = k >> 32, k & 0xFFFFFFFF
+        m = len(n)
+        zero = np.zeros(m, np.int64)
+        ks, cols = [], {f"d{i}": [] for i in range(8)}
+        cn = []
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                ks.append(((x + dx) << 32) | (y + dy))
+                if dx == 1 and dy == 1:
+                    cn.append(n)
+                    for i in range(8):
+                        cols[f"d{i}"].append(zero)
+                    continue
+                cn.append(zero)
+                # direction FROM the receiving tile TO this sender
+                ddx, ddy = 1 - dx, 1 - dy
+                idx9 = (ddx + 1) * 3 + (ddy + 1)
+                d = idx9 if idx9 < 4 else idx9 - 1
+                for i in range(8):
+                    cols[f"d{i}"].append(n if i == d else zero)
+        out = {"k": pa.array(np.concatenate(ks), pa.int64()),
+               "cn": pa.array(np.concatenate(cn), pa.int64())}
+        for i in range(8):
+            out[f"d{i}"] = pa.array(np.concatenate(cols[f"d{i}"]),
+                                    pa.int64())
+        return pa.table(out)
+
+    agg = occ.map_batches(fan_out, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("cn", alias_name="cn"),
+                                *[Sum(f"d{i}", alias_name=f"d{i}")
+                                  for i in range(8)])
+
+    def classify(b: pa.Table) -> pa.Table:
+        cn = b["cn"].to_numpy(zero_copy_only=False)
+        keep = cn > 0
+        D = np.stack([b[f"d{i}"].to_numpy(zero_copy_only=False)[keep]
+                      for i in range(8)])
+        cn = cn[keep]
+        if len(cn) == 0:
+            return pa.table({"direction": pa.array([], pa.int64()),
+                             "n_tiles": pa.array([], pa.int64())})
+        best = D.max(axis=0)
+        flow = np.where(best > cn, D.argmax(axis=0), -1)
+        u, c = np.unique(flow, return_counts=True)
+        return pa.table({"direction": pa.array(u, pa.int64()),
+                         "n_tiles": pa.array(c.astype(np.int64),
+                                             pa.int64())})
+
+    return agg.map_batches(classify, batch_format="pyarrow") \
+        .groupby("direction").aggregate(Sum("n_tiles",
+                                            alias_name="n_tiles"))
+
+
 QUADKEY_Z = 12
 
 
@@ -1968,6 +2058,7 @@ QUERIES_ML = {
     "geary_c": q_geary_c,
     "getis_hotspots": q_getis_hotspots,
     "lisa_quadrants": q_lisa_quadrants,
+    "flow_directions": q_flow_directions,
     "tile_clusters": q_tile_clusters,
     "quadkey_cells": q_quadkey_cells,
     "grid_morphology": q_grid_morphology,
@@ -2290,6 +2381,35 @@ q AS (
 SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS n_tiles
 FROM q GROUP BY quadrant"""
 
+    flow_sql = f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+cnt AS (
+  SELECT {tx} AS x, {ty} AS y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts, zz GROUP BY 1, 2),
+nbr AS (
+  SELECT a.x, a.y, a.n, b.n AS bn,
+         CASE WHEN (b.x - a.x + 1) * 3 + (b.y - a.y + 1) > 4
+              THEN (b.x - a.x + 1) * 3 + (b.y - a.y + 1) - 1
+              ELSE (b.x - a.x + 1) * 3 + (b.y - a.y + 1) END AS dir
+  FROM cnt a JOIN cnt b
+    ON b.x BETWEEN a.x - 1 AND a.x + 1
+   AND b.y BETWEEN a.y - 1 AND a.y + 1
+   AND NOT (b.x = a.x AND b.y = a.y)),
+best AS (
+  SELECT x, y, n, bn, dir,
+         ROW_NUMBER() OVER (PARTITION BY x, y
+                            ORDER BY bn DESC, dir) AS rn
+  FROM nbr),
+fl AS (
+  SELECT a.x, a.y,
+         COALESCE(CASE WHEN b.bn > b.n THEN b.dir END, -1) AS direction
+  FROM cnt a LEFT JOIN best b ON b.x = a.x AND b.y = a.y AND b.rn = 1)
+SELECT CAST(direction AS BIGINT) AS direction,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles
+FROM fl GROUP BY direction"""
+
     tile_clusters_sql = f"""
 WITH RECURSIVE zz AS (SELECT {SMOOTH_Z} AS z),
 pts AS (SELECT xs[1] AS lon, ys[1] AS lat
@@ -2354,6 +2474,7 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "geary_c": geary_sql,
         "getis_hotspots": getis_sql,
         "lisa_quadrants": lisa_sql,
+        "flow_directions": flow_sql,
         "tile_clusters": tile_clusters_sql,
         "quadkey_cells": quadkey_sql,
         "grid_morphology": morphology_sql,

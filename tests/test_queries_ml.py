@@ -544,6 +544,28 @@ def test_lisa_quadrants_brute_force(ray_session):
     assert want.get("LL", 0) > 0
 
 
+def test_flow_directions_brute_force(ray_session):
+    """Direction census == dict recompute: argmax neighbor count in
+    (dx,dy) code order, flow only on strict increase, −1 = local mode."""
+    got = queries_ml.q_flow_directions(SF).to_pandas()
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y): r.n for r in grid.itertuples()}
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    want: dict[int, int] = {}
+    for (x, y), n in occ.items():
+        best, bdir = 0, -1
+        for d, (dx, dy) in enumerate(offs):
+            nj = occ.get((x + dx, y + dy), 0)
+            if nj > best:
+                best, bdir = nj, d
+        flow = bdir if best > n else -1
+        want[flow] = want.get(flow, 0) + 1
+    assert dict(zip(got.direction, got.n_tiles)) == want
+    assert int(got.n_tiles.sum()) == len(occ)
+    assert want.get(-1, 0) >= 1  # at least one local mode exists
+
+
 def test_tile_clusters_bfs_brute_force(ray_session):
     """Independent BFS connected-components oracle over the engine's
     own occupied-tile counts."""
