@@ -350,12 +350,139 @@ def q_ripley_k(sf_dir: str):
     })
 
 
+NN_CAP_MM = RIPLEY_RADII_MM[-1]
+
+
+def q_nn_dist(sf_dir: str):
+    """Per-point nearest-neighbor distance (integer mm), capped at
+    200 km — the Clark-Evans / spatial-randomness statistic's raw
+    input. Same unit-sphere chord grid as ripley_k: a point's own cell
+    plus the 27-neighborhood provably contains every candidate within
+    the cap, so each point's min is FINAL inside its own cell group (no
+    cross-cell reduce). Identity (doc_id, span_idx) — not distance-0 —
+    excludes the self-replica, so coincident distinct points correctly
+    report nn_mm = 0. Points with no neighbor within the cap are
+    omitted (the DuckDB mirror is a full O(n²) min with
+    HAVING min ≤ cap, which is equivalent by the chord bound)."""
+    from ..geom.ops import haversine_m
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    edge = _RIPLEY_EDGE_M
+    R = 6371000.0
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+        doc = _col(b["doc_id"])
+        span = b["span_idx"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lam, phi = np.radians(lon), np.radians(lat)
+        cp = np.cos(phi)
+        ix = np.floor(R * cp * np.cos(lam) / edge).astype(np.int64)
+        iy = np.floor(R * cp * np.sin(lam) / edge).astype(np.int64)
+        iz = np.floor(R * np.sin(phi) / edge).astype(np.int64)
+        n = len(lon)
+        offs = np.array([(dx, dy, dz) for dx in (-1, 0, 1)
+                         for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+                        np.int64)
+        jx = np.repeat(ix, 27) + np.tile(offs[:, 0], n)
+        jy = np.repeat(iy, 27) + np.tile(offs[:, 1], n)
+        jz = np.repeat(iz, 27) + np.tile(offs[:, 2], n)
+        own = ((ix + 64) << 40) | ((iy + 64) << 20) | (iz + 64)
+        nbr = ((jx + 64) << 40) | ((jy + 64) << 20) | (jz + 64)
+        rep = pa.array(np.repeat(np.arange(n), 27))
+        return pa.table({
+            "cell": pa.array(np.concatenate([own, nbr]), pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(n, np.int8), np.ones(27 * n, np.int8)]),
+                pa.int8()),
+            "doc_id": pa.concat_arrays([doc, doc.take(rep)]),
+            "span_idx": pa.array(
+                np.concatenate([span, np.repeat(span, 27)]), pa.int64()),
+            "lon": pa.array(np.concatenate([lon, np.repeat(lon, 27)]),
+                            pa.float64()),
+            "lat": pa.array(np.concatenate([lat, np.repeat(lat, 27)]),
+                            pa.float64()),
+        })
+
+    def addpart(b: pa.Table) -> pa.Table:
+        c = b["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = ((c * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)) \
+            % np.uint64(_RIPLEY_P)
+        return b.append_column("_part", pa.array(p.astype(np.int32),
+                                                 pa.int32()))
+
+    def nn_min(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        doc = _col(t["doc_id"])
+        span = t["span_idx"].to_numpy(zero_copy_only=False)
+        fused = pc.binary_join_element_wise(
+            doc, pa.array(span.astype("U"), pa.string()), "\x1f")
+        _, ident = np.unique(np.asarray(fused.to_pylist(), object),
+                             return_inverse=True)
+        order = np.lexsort((side, cell))
+        cell, side, ident = cell[order], side[order], ident[order]
+        lon, lat = lon[order], lat[order]
+        doc = doc.take(pa.array(order))
+        span = span[order]
+        starts = np.searchsorted(cell, np.unique(cell), "left")
+        bounds = np.append(starts, len(cell))
+        out_doc, out_span, out_mm = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            nl = int(np.searchsorted(side[s:e], 1, "left"))
+            if nl == 0:
+                continue
+            llon, llat = lon[s:s + nl], lat[s:s + nl]
+            rlon, rlat = lon[s + nl:e], lat[s + nl:e]
+            lid, rid = ident[s:s + nl], ident[s + nl:e]
+            nr = len(rlon)
+            chunk = max(1, (1 << 21) // max(nr, 1))
+            for c0 in range(0, nl, chunk):
+                c1 = min(nl, c0 + chunk)
+                m = c1 - c0
+                d = haversine_m(np.repeat(llon[c0:c1], nr),
+                                np.repeat(llat[c0:c1], nr),
+                                np.tile(rlon, m), np.tile(rlat, m))
+                mm = np.floor(d * 1000.0 + 0.5).astype(np.int64) \
+                    .reshape(m, nr)
+                mm[lid[c0:c1, None] == rid[None, :]] = np.iinfo(
+                    np.int64).max  # mask self-replicas
+                best = mm.min(axis=1)
+                keep = best <= NN_CAP_MM
+                if keep.any():
+                    sel = np.nonzero(keep)[0] + s + c0
+                    out_doc.append(doc.take(pa.array(sel)))
+                    out_span.extend(span[sel].tolist())
+                    out_mm.extend(best[keep].tolist())
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_doc]) if out_doc
+            else pa.array([], pa.string()),
+            "span_idx": pa.array(out_span, pa.int64()),
+            "nn_mm": pa.array(out_mm, pa.int64()),
+        })
+
+    return pts.map_batches(fan_out, batch_format="pyarrow") \
+        .map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(nn_min, batch_format="pyarrow")
+
+
+def _col(a):
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
 QUERIES_GEO = {
     "tile_rollup": q_tile_rollup,
     "layer_tile_overlap": q_layer_tile_overlap,
     "tile_skew": q_tile_skew,
     "radius_join": q_radius_join,
     "ripley_k": q_ripley_k,
+    "nn_dist": q_nn_dist,
 }
 
 
@@ -425,11 +552,24 @@ SELECT rr.radius_mm, CAST(COUNT(d.mm) AS BIGINT) AS n_pairs
 FROM rr LEFT JOIN d ON d.mm <= rr.radius_mm
 GROUP BY rr.radius_mm"""
 
+    nn_sql = _BBOX_CTE + f"""
+, pts AS (SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+                 bbox_minx AS lon, bbox_miny AS lat
+          FROM g WHERE geom_type = 1)
+SELECT a.doc_id, a.span_idx,
+       MIN(CAST(FLOOR({hav_ab} * 1000.0 + 0.5) AS BIGINT)) AS nn_mm
+FROM pts a JOIN pts b
+  ON NOT (a.doc_id = b.doc_id AND a.span_idx = b.span_idx)
+GROUP BY a.doc_id, a.span_idx
+HAVING MIN(CAST(FLOOR({hav_ab} * 1000.0 + 0.5) AS BIGINT))
+       <= {NN_CAP_MM}"""
+
     return {
         "layer_tile_overlap": layer_overlap_sql,
         "tile_skew": tile_skew_sql,
         "radius_join": radius_sql,
         "ripley_k": ripley_sql,
+        "nn_dist": nn_sql,
         "tile_rollup": _COVERAGE_CTE + f"""
 , base AS (SELECT x, y FROM cov WHERE z = {ROLLUP_BASE_Z})
 , lv AS (SELECT UNNEST(generate_series(0, {ROLLUP_BASE_Z})) AS z)

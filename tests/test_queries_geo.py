@@ -159,3 +159,32 @@ def test_ripley_chord_grid_containment():
     assert keep.sum() > 500  # mixed scales keep enough pairs in range
     for ax, bx in zip(a, b):
         assert np.abs(ax - bx).max(initial=0) <= 1
+
+
+def test_nn_dist_brute_force(ray_session):
+    """Per-point NN distance == O(n²) numpy recompute with identity
+    (not distance-0) self-exclusion and the 200 km cap."""
+    import duckdb
+
+    from grandine_ray.geom.ops import haversine_m
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(SF)
+    con = duckdb.connect()
+    g = con.execute(f"""
+        SELECT doc_id, CAST(span_idx AS BIGINT) s,
+               list_aggregate(xs,'min') x, list_aggregate(ys,'min') y
+        FROM read_parquet('{corpus}/geoms.parquet')
+        WHERE geom_type = 1""").df()
+    n = len(g)
+    d = haversine_m(np.repeat(g.x.values, n), np.repeat(g.y.values, n),
+                    np.tile(g.x.values, n), np.tile(g.y.values, n))
+    mm = np.floor(d * 1000.0 + 0.5).astype(np.int64).reshape(n, n)
+    np.fill_diagonal(mm, np.iinfo(np.int64).max)
+    best = mm.min(axis=1)
+    want = {(r.doc_id, r.s): b for r, b in zip(g.itertuples(), best)
+            if b <= queries_geo.NN_CAP_MM}
+    got = queries_geo.q_nn_dist(SF).to_pandas()
+    mine = {(r.doc_id, r.span_idx): r.nn_mm for r in got.itertuples()}
+    assert mine == want
+    assert len(mine) > 0
