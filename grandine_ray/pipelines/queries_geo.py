@@ -238,6 +238,48 @@ _RIPLEY_EDGE_M = (2.0 * 6371000.0
 _RIPLEY_P = 64  # pair-count hash partitions
 
 
+def _chord_fan_out(b: pa.Table) -> pa.Table:
+    """Shared chord-grid bucketing for the pair statistics (ripley_k,
+    pair_octants): one LEFT row in the point's own cell, 27 RIGHT
+    replicas across the neighborhood."""
+    R = 6371000.0
+    edge = _RIPLEY_EDGE_M
+    lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
+    lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
+    lam, phi = np.radians(lon), np.radians(lat)
+    cp = np.cos(phi)
+    ix = np.floor(R * cp * np.cos(lam) / edge).astype(np.int64)
+    iy = np.floor(R * cp * np.sin(lam) / edge).astype(np.int64)
+    iz = np.floor(R * np.sin(phi) / edge).astype(np.int64)
+    n = len(lon)
+    offs = np.array([(dx, dy, dz) for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+                    np.int64)
+    jx = np.repeat(ix, 27) + np.tile(offs[:, 0], n)
+    jy = np.repeat(iy, 27) + np.tile(offs[:, 1], n)
+    jz = np.repeat(iz, 27) + np.tile(offs[:, 2], n)
+    own = ((ix + 64) << 40) | ((iy + 64) << 20) | (iz + 64)
+    nbr = ((jx + 64) << 40) | ((jy + 64) << 20) | (jz + 64)
+    return pa.table({
+        "cell": pa.array(np.concatenate([own, nbr]), pa.int64()),
+        "side": pa.array(np.concatenate(
+            [np.zeros(n, np.int8), np.ones(27 * n, np.int8)]),
+            pa.int8()),
+        "lon": pa.array(np.concatenate([lon, np.repeat(lon, 27)]),
+                        pa.float64()),
+        "lat": pa.array(np.concatenate([lat, np.repeat(lat, 27)]),
+                        pa.float64()),
+    })
+
+
+def _chord_addpart(b: pa.Table) -> pa.Table:
+    c = b["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    p = ((c * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)) \
+        % np.uint64(_RIPLEY_P)
+    return b.append_column("_part", pa.array(p.astype(np.int32),
+                                             pa.int32()))
+
+
 def q_ripley_k(sf_dir: str):
     """Ripley's K pair counts: for each radius r, the number of ORDERED
     point pairs (i≠j) with haversine distance ≤ r — the sufficient
@@ -260,45 +302,6 @@ def q_ripley_k(sf_dir: str):
     from .queries import _features_ds
 
     pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
-    edge = _RIPLEY_EDGE_M
-    R = 6371000.0
-
-    def fan_out(b: pa.Table) -> pa.Table:
-        lon = b["bbox_minx"].to_numpy(zero_copy_only=False)
-        lat = b["bbox_miny"].to_numpy(zero_copy_only=False)
-        lam, phi = np.radians(lon), np.radians(lat)
-        cp = np.cos(phi)
-        ix = np.floor(R * cp * np.cos(lam) / edge).astype(np.int64)
-        iy = np.floor(R * cp * np.sin(lam) / edge).astype(np.int64)
-        iz = np.floor(R * np.sin(phi) / edge).astype(np.int64)
-        n = len(lon)
-        # R/edge ≈ 32 ⇒ indices ∈ [−33, 33); +64 keeps 3 clean 20-bit
-        # lanes even after the ±1 neighbor shifts
-        offs = np.array([(dx, dy, dz) for dx in (-1, 0, 1)
-                         for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-                        np.int64)
-        jx = np.repeat(ix, 27) + np.tile(offs[:, 0], n)
-        jy = np.repeat(iy, 27) + np.tile(offs[:, 1], n)
-        jz = np.repeat(iz, 27) + np.tile(offs[:, 2], n)
-        own = ((ix + 64) << 40) | ((iy + 64) << 20) | (iz + 64)
-        nbr = ((jx + 64) << 40) | ((jy + 64) << 20) | (jz + 64)
-        return pa.table({
-            "cell": pa.array(np.concatenate([own, nbr]), pa.int64()),
-            "side": pa.array(np.concatenate(
-                [np.zeros(n, np.int8), np.ones(27 * n, np.int8)]),
-                pa.int8()),
-            "lon": pa.array(np.concatenate([lon, np.repeat(lon, 27)]),
-                            pa.float64()),
-            "lat": pa.array(np.concatenate([lat, np.repeat(lat, 27)]),
-                            pa.float64()),
-        })
-
-    def addpart(b: pa.Table) -> pa.Table:
-        c = b["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        p = ((c * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)) \
-            % np.uint64(_RIPLEY_P)
-        return b.append_column("_part", pa.array(p.astype(np.int32),
-                                                 pa.int32()))
 
     def pair_count(t: pa.Table) -> pa.Table:
         cell = t["cell"].to_numpy(zero_copy_only=False)
@@ -336,8 +339,8 @@ def q_ripley_k(sf_dir: str):
             "n": pa.array(np.append(counts, n_left), pa.int64()),
         })
 
-    agg = pts.map_batches(fan_out, batch_format="pyarrow") \
-        .map_batches(addpart, batch_format="pyarrow") \
+    agg = pts.map_batches(_chord_fan_out, batch_format="pyarrow") \
+        .map_batches(_chord_addpart, batch_format="pyarrow") \
         .groupby("_part").map_groups(pair_count, batch_format="pyarrow") \
         .groupby("radius_mm").aggregate(Sum("n", alias_name="n"))
 
@@ -347,6 +350,85 @@ def q_ripley_k(sf_dir: str):
         "radius_mm": pa.array(list(RIPLEY_RADII_MM), pa.int64()),
         "n_pairs": pa.array([rows.get(r, 0) - n_pts
                              for r in RIPLEY_RADII_MM], pa.int64()),
+    })
+
+
+def q_pair_octants(sf_dir: str):
+    """Anisotropy fingerprint of the point pattern: every ORDERED close
+    pair (haversine ≤ 200 km, i≠j) classified into the 8 compass
+    octants of its micro-degree lon/lat delta (the segment_octants
+    direction classes — integer sign and |Δy| vs |Δx| comparisons only,
+    exact on both engines; octant 8 = coincident points). An isotropic
+    process gives a flat histogram; ridges/coastlines skew it. Same
+    chord-grid pair machinery as ripley_k, with each point's self
+    replica removed from octant 8 as the global point count."""
+    from ray.data.aggregate import Sum
+
+    from ..geom.ops import haversine_m
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    cap = RIPLEY_RADII_MM[-1]
+
+    def octant_count(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, cell))
+        cell, side = cell[order], side[order]
+        lon, lat = lon[order], lat[order]
+        xm = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        ym = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        starts = np.searchsorted(cell, np.unique(cell), "left")
+        bounds = np.append(starts, len(cell))
+        counts = np.zeros(9, np.int64)
+        n_left = 0
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            nl = int(np.searchsorted(side[s:e], 1, "left"))
+            n_left += nl
+            if nl == 0 or nl == e - s:
+                continue
+            nr = e - s - nl
+            chunk = max(1, (1 << 21) // nr)
+            for c0 in range(0, nl, chunk):
+                c1 = min(nl, c0 + chunk)
+                m = c1 - c0
+                d = haversine_m(np.repeat(lon[s + c0:s + c1], nr),
+                                np.repeat(lat[s + c0:s + c1], nr),
+                                np.tile(lon[s + nl:e], m),
+                                np.tile(lat[s + nl:e], m))
+                mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+                keep = mm <= cap
+                dx = (np.tile(xm[s + nl:e], m)
+                      - np.repeat(xm[s + c0:s + c1], nr))[keep]
+                dy = (np.tile(ym[s + nl:e], m)
+                      - np.repeat(ym[s + c0:s + c1], nr))[keep]
+                q = np.where(dx >= 0, np.where(dy >= 0, 0, 3),
+                             np.where(dy >= 0, 1, 2))
+                octant = 2 * q + (np.abs(dy) > np.abs(dx)).astype(
+                    np.int64)
+                octant[(dx == 0) & (dy == 0)] = 8
+                counts += np.bincount(octant, minlength=9)
+        return pa.table({
+            "octant": pa.array(np.append(np.arange(9), -1), pa.int64()),
+            "n": pa.array(np.append(counts, n_left), pa.int64()),
+        })
+
+    agg = pts.map_batches(_chord_fan_out, batch_format="pyarrow") \
+        .map_batches(_chord_addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(octant_count,
+                                     batch_format="pyarrow") \
+        .groupby("octant").aggregate(Sum("n", alias_name="n"))
+
+    rows = {r["octant"]: r["n"] for r in agg.take_all()}
+    n_pts = rows.get(-1, 0)
+    out = [(o, rows.get(o, 0) - (n_pts if o == 8 else 0))
+           for o in range(9)]
+    out = [(o, n) for o, n in out if n > 0]
+    return pa.table({
+        "octant": pa.array([o for o, _ in out], pa.int64()),
+        "n_pairs": pa.array([n for _, n in out], pa.int64()),
     })
 
 
@@ -483,6 +565,7 @@ QUERIES_GEO = {
     "radius_join": q_radius_join,
     "ripley_k": q_ripley_k,
     "nn_dist": q_nn_dist,
+    "pair_octants": q_pair_octants,
 }
 
 
@@ -570,6 +653,24 @@ HAVING MIN(CAST(FLOOR({hav_ab} * 1000.0 + 0.5) AS BIGINT))
         "radius_join": radius_sql,
         "ripley_k": ripley_sql,
         "nn_dist": nn_sql,
+        "pair_octants": _BBOX_CTE + f"""
+, pts AS (SELECT ROW_NUMBER() OVER () AS id,
+                 bbox_minx AS lon, bbox_miny AS lat,
+                 CAST(FLOOR(bbox_minx * 1000000 + 0.5) AS BIGINT) AS xm,
+                 CAST(FLOOR(bbox_miny * 1000000 + 0.5) AS BIGINT) AS ym
+          FROM g WHERE geom_type = 1)
+, pr AS (SELECT b.xm - a.xm AS dx, b.ym - a.ym AS dy
+         FROM pts a JOIN pts b ON a.id <> b.id
+         WHERE CAST(FLOOR({hav_ab} * 1000.0 + 0.5) AS BIGINT)
+               <= {RIPLEY_RADII_MM[-1]})
+SELECT CAST(CASE WHEN dx = 0 AND dy = 0 THEN 8
+            ELSE 2 * (CASE WHEN dx >= 0
+                           THEN CASE WHEN dy >= 0 THEN 0 ELSE 3 END
+                           ELSE CASE WHEN dy >= 0 THEN 1 ELSE 2 END END)
+                 + (CASE WHEN ABS(dy) > ABS(dx) THEN 1 ELSE 0 END)
+            END AS BIGINT) AS octant,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pr GROUP BY 1""",
         "tile_rollup": _COVERAGE_CTE + f"""
 , base AS (SELECT x, y FROM cov WHERE z = {ROLLUP_BASE_Z})
 , lv AS (SELECT UNNEST(generate_series(0, {ROLLUP_BASE_Z})) AS z)

@@ -188,3 +188,40 @@ def test_nn_dist_brute_force(ray_session):
     mine = {(r.doc_id, r.span_idx): r.nn_mm for r in got.itertuples()}
     assert mine == want
     assert len(mine) > 0
+
+
+def test_pair_octants_brute_force(ray_session):
+    """Octant census == O(n²) numpy recompute (cap + integer octant)."""
+    import duckdb
+
+    from grandine_ray.geom.ops import haversine_m
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(SF)
+    con = duckdb.connect()
+    g = con.execute(f"""
+        SELECT list_aggregate(xs,'min') x, list_aggregate(ys,'min') y
+        FROM read_parquet('{corpus}/geoms.parquet')
+        WHERE geom_type = 1""").df()
+    n = len(g)
+    d = haversine_m(np.repeat(g.x.values, n), np.repeat(g.y.values, n),
+                    np.tile(g.x.values, n), np.tile(g.y.values, n))
+    mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+    xm = np.floor(g.x.values * 1e6 + 0.5).astype(np.int64)
+    ym = np.floor(g.y.values * 1e6 + 0.5).astype(np.int64)
+    ii, jj = np.divmod(np.arange(n * n), n)
+    keep = (mm <= queries_geo.RIPLEY_RADII_MM[-1]) & (ii != jj)
+    dx = xm[jj[keep]] - xm[ii[keep]]
+    dy = ym[jj[keep]] - ym[ii[keep]]
+    q = np.where(dx >= 0, np.where(dy >= 0, 0, 3),
+                 np.where(dy >= 0, 1, 2))
+    octant = 2 * q + (np.abs(dy) > np.abs(dx)).astype(np.int64)
+    octant[(dx == 0) & (dy == 0)] = 8
+    want = {int(o): int(c) for o, c in
+            zip(*np.unique(octant, return_counts=True))}
+    got = queries_geo.q_pair_octants(SF).to_pandas()
+    assert dict(zip(got.octant, got.n_pairs)) == want
+    # ordered pairs: opposite octants (o, o XOR... (q+2)%4) balance —
+    # each unordered pair appears once in each direction
+    total = sum(want.values())
+    assert total % 2 == 0 and total > 0
