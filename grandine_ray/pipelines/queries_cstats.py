@@ -1131,11 +1131,92 @@ def q_lexical_stats(sf_dir: str):
     return agg.map_batches(ratios, batch_format="pyarrow")
 
 
+HH_K = 500  # heavy hitter = token share > 1/HH_K
+
+
+def _hh_union_task(*blocks):
+    """Union the per-block candidate term lists on a worker from block
+    refs (never collected on the driver); returns a python set."""
+    cand = set()
+    for t in blocks:
+        if t.num_rows:
+            cand.update(t["term"].to_pylist())
+    return cand
+
+
+_HH_CACHE: dict = {}
+
+
+def _hh_cached(ref):
+    key = ref.hex()
+    if key not in _HH_CACHE:
+        import ray
+
+        _HH_CACHE[key] = ray.get(ref)
+    return _HH_CACHE[key]
+
+
+def q_heavy_hitters(sf_dir: str):
+    """EXACT heavy hitters without a vocabulary shuffle: every term
+    whose global token share exceeds 1/HH_K. Two passes: pass 1 emits
+    each block's LOCALLY heavy terms (local_count·K > block_tokens) —
+    by the weighted-average pigeonhole a globally heavy term is locally
+    heavy in at least one block, and each block emits < K candidates,
+    so the candidate domain is O(K · blocks) no matter how large the
+    vocabulary is (the full-vocab groupby that tfidf/lexical_stats pay
+    never happens). The candidate set is unioned on a worker from block
+    refs and broadcast once (decontaminate pattern); pass 2
+    exact-counts candidates only, plus each block's token total under a
+    reserved key, and one candidate-sized groupby + threshold filter
+    give the exact answer."""
+    import ray
+    from ray.data.aggregate import Sum
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def local_heavy(b: pa.Table) -> pa.Table:
+        _, _, codes, terms = _batch_terms(b, "text")
+        s_b = len(codes)
+        cnt = np.bincount(codes, minlength=len(terms))
+        heavy = np.nonzero(cnt * HH_K > s_b)[0]
+        return pa.table({"term": terms.take(pa.array(heavy))})
+
+    part = docs.map_batches(local_heavy, batch_format="pyarrow")
+    blocks = part.materialize().get_internal_block_refs()
+    fn = ray.remote(num_cpus=1)(_hh_union_task)
+    cand_ref = fn.remote(*blocks)
+
+    def verify_counts(b: pa.Table) -> pa.Table:
+        cand = _hh_cached(cand_ref)
+        _, _, codes, terms = _batch_terms(b, "text")
+        s_b = len(codes)
+        cnt = np.bincount(codes, minlength=len(terms))
+        tl = terms.to_pylist()
+        sel = [i for i, t in enumerate(tl) if t in cand]
+        out_t = [tl[i] for i in sel] + ["\x01TOTAL"]
+        out_n = [int(cnt[i]) for i in sel] + [s_b]
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    agg = docs.map_batches(verify_counts, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n")).take_all()
+    S = sum(r["n"] for r in agg if r["term"] == "\x01TOTAL")
+    rows = sorted((r["term"], r["n"]) for r in agg
+                  if r["term"] != "\x01TOTAL" and r["n"] * HH_K > S)
+    return pa.table({
+        "term": pa.array([t for t, _ in rows], pa.string()),
+        "n": pa.array([n for _, n in rows], pa.int64()),
+    })
+
+
 # ----------------------------------------------------------- registry
 
 
 QUERIES_CSTATS = {
     "lexical_stats": q_lexical_stats,
+    "heavy_hitters": q_heavy_hitters,
     "source_overlap": q_source_overlap,
     "stopword_stats": q_stopword_stats,
     "prefix_dups": q_prefix_dups,
@@ -1159,6 +1240,13 @@ QUERIES_CSTATS = {
 
 
 ORACLE_SQL_CSTATS = {
+    "heavy_hitters": rf"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM w)
+SELECT term, n FROM tc, tot WHERE n * {HH_K} > s""",
     "lexical_stats": r"""
 WITH w AS (
   SELECT source,
