@@ -722,6 +722,76 @@ def q_flow_directions(sf_dir: str):
                                             alias_name="n_tiles"))
 
 
+def q_layer_centroids(sf_dir: str):
+    """Per-layer mean point position as exact integers: n points,
+    micro-degree coordinate sums, and the truncated integer mean
+    (DuckDB ``//`` parity via sign/abs). One groupby over the layer
+    domain; coordinates integer-ized per row (float-parity rule)."""
+    from ray.data.aggregate import Sum
+
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+
+    def partial(b: pa.Table) -> pa.Table:
+        xm = np.floor(b["bbox_minx"].to_numpy(zero_copy_only=False)
+                      * 1e6 + 0.5).astype(np.int64)
+        ym = np.floor(b["bbox_miny"].to_numpy(zero_copy_only=False)
+                      * 1e6 + 0.5).astype(np.int64)
+        layer = b["layer"]
+        if isinstance(layer, pa.ChunkedArray):
+            layer = layer.combine_chunks()
+        enc = pc.dictionary_encode(layer)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            "layer": enc.dictionary,
+            "n_points": pa.array(np.bincount(codes, minlength=k)
+                                 .astype(np.int64), pa.int64()),
+            "sum_x": pa.array(np.bincount(codes, xm, k)
+                              .astype(np.int64), pa.int64()),
+            "sum_y": pa.array(np.bincount(codes, ym, k)
+                              .astype(np.int64), pa.int64()),
+        })
+
+    agg = pts.map_batches(partial, batch_format="pyarrow") \
+        .groupby("layer").aggregate(Sum("n_points", alias_name="n_points"),
+                                    Sum("sum_x", alias_name="sum_x"),
+                                    Sum("sum_y", alias_name="sum_y"))
+
+    def mean(b: pa.Table) -> pa.Table:
+        n = b["n_points"].to_numpy(zero_copy_only=False)
+        sx = b["sum_x"].to_numpy(zero_copy_only=False)
+        sy = b["sum_y"].to_numpy(zero_copy_only=False)
+        cx = np.where(sx >= 0, np.abs(sx) // n, -(np.abs(sx) // n))
+        cy = np.where(sy >= 0, np.abs(sy) // n, -(np.abs(sy) // n))
+        return pa.table({
+            "layer": b["layer"],
+            "n_points": pc.cast(b["n_points"], pa.int64()),
+            "cx_micro": pa.array(cx, pa.int64()),
+            "cy_micro": pa.array(cy, pa.int64()),
+        })
+
+    return agg.map_batches(mean, batch_format="pyarrow")
+
+
+def q_degree_census(sf_dir: str):
+    """Occupied-tile 8-neighbor degree histogram at SMOOTH_Z — the grid
+    connectivity profile (share of isolated tiles vs interior tiles;
+    the statistic behind grid_morphology's erosion count, per level).
+    Reuses the single shared autocorr fan-out pass; output is
+    (degree ∈ 0..8, n_tiles)."""
+    terms = _grid_autocorr_terms(sf_dir)
+    if terms is None:
+        return pa.table({"degree": pa.array([], pa.int64()),
+                         "n_tiles": pa.array([], pa.int64())})
+    _N, _k_i, _n_i, _nb_i, deg_i, _nb2_i, _S = terms
+    u, c = np.unique(deg_i, return_counts=True)
+    return pa.table({"degree": pa.array(u, pa.int64()),
+                     "n_tiles": pa.array(c.astype(np.int64), pa.int64())})
+
+
 QUADKEY_Z = 12
 
 
@@ -2059,6 +2129,8 @@ QUERIES_ML = {
     "getis_hotspots": q_getis_hotspots,
     "lisa_quadrants": q_lisa_quadrants,
     "flow_directions": q_flow_directions,
+    "layer_centroids": q_layer_centroids,
+    "degree_census": q_degree_census,
     "tile_clusters": q_tile_clusters,
     "quadkey_cells": q_quadkey_cells,
     "grid_morphology": q_grid_morphology,
@@ -2348,6 +2420,26 @@ nbr AS (
    AND NOT (b.x = a.x AND b.y = a.y)
   GROUP BY a.x, a.y, a.n)"""
 
+    layer_centroids_sql = f"""
+WITH pts AS (
+  SELECT layer,
+         CAST(FLOOR(xs[1] * 1000000 + 0.5) AS BIGINT) AS xm,
+         CAST(FLOOR(ys[1] * 1000000 + 0.5) AS BIGINT) AS ym
+  FROM {_GEOMS} WHERE geom_type = 1)
+SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(xm) // COUNT(*) AS BIGINT) AS cx_micro,
+       CAST(SUM(ym) // COUNT(*) AS BIGINT) AS cy_micro
+FROM pts GROUP BY layer"""
+
+    degree_census_sql = f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+{_nbr_left}
+SELECT CAST(deg AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles
+FROM nbr GROUP BY deg"""
+
     getis_sql = f"""
 WITH zz AS (SELECT {SMOOTH_Z} AS z),
 pts AS (SELECT xs[1] AS lon, ys[1] AS lat
@@ -2475,6 +2567,8 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "getis_hotspots": getis_sql,
         "lisa_quadrants": lisa_sql,
         "flow_directions": flow_sql,
+        "layer_centroids": layer_centroids_sql,
+        "degree_census": degree_census_sql,
         "tile_clusters": tile_clusters_sql,
         "quadkey_cells": quadkey_sql,
         "grid_morphology": morphology_sql,

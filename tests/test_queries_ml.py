@@ -566,6 +566,48 @@ def test_flow_directions_brute_force(ray_session):
     assert want.get(-1, 0) >= 1  # at least one local mode exists
 
 
+def test_degree_census_brute_force(ray_session):
+    """Degree histogram == dict recompute over the occupied grid; sums
+    to N and matches grid_morphology's erosion count at degree 8."""
+    got = queries_ml.q_degree_census(SF).to_pandas()
+    N, _S, terms = _occ_neighbor_terms()
+    want: dict[int, int] = {}
+    for (_n, _nb, deg) in terms.values():
+        want[deg] = want.get(deg, 0) + 1
+    assert dict(zip(got.degree, got.n_tiles)) == want
+    assert int(got.n_tiles.sum()) == N
+    morph = queries_ml.q_grid_morphology(SF).to_pandas().iloc[0]
+    full = dict(zip(got.degree, got.n_tiles)).get(8, 0)
+    assert full == morph.n_eroded
+
+
+def test_layer_centroids_brute_force(ray_session):
+    """Per-layer integer mean == Counter recompute from ground truth."""
+    import duckdb
+
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(SF)
+    con = duckdb.connect()
+    g = con.execute(f"""
+        SELECT layer, xs[1] x, ys[1] y
+        FROM read_parquet('{corpus}/geoms.parquet')
+        WHERE geom_type = 1""").df()
+    got = queries_ml.q_layer_centroids(SF).to_pandas() \
+        .set_index("layer")
+    acc: dict[str, list[int]] = {}
+    for r in g.itertuples():
+        a = acc.setdefault(r.layer, [0, 0, 0])
+        a[0] += 1
+        a[1] += int(np.floor(r.x * 1e6 + 0.5))
+        a[2] += int(np.floor(r.y * 1e6 + 0.5))
+    assert sorted(got.index) == sorted(acc)
+    for lay, (n, sx, sy) in acc.items():
+        r = got.loc[lay]
+        tr = (lambda v: abs(v) // n if v >= 0 else -(abs(v) // n))
+        assert (r.n_points, r.cx_micro, r.cy_micro) == (n, tr(sx), tr(sy))
+
+
 def test_tile_clusters_bfs_brute_force(ray_session):
     """Independent BFS connected-components oracle over the engine's
     own occupied-tile counts."""
