@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v14"  # v14: +convex_hull (v13: +type_pagerank)
+_VERSION = "v15"  # v15: +k_core (v14: +convex_hull)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -913,6 +913,58 @@ def expected_convex_hull(corpus_dir) -> pa.Table:
     })
 
 
+def expected_k_core(corpus_dir) -> pa.Table:
+    """Independent k-core ground truth: scalar mercator tile math, an
+    adjacency dict, and textbook repeated-scan peeling (no numpy, no
+    searchsorted — a different algorithmic route than the engine's)."""
+    import math
+
+    occ = set()
+    z = 10  # SMOOTH_Z mirror
+    n2 = float(2 ** z)
+    for _d, _s, gt, rings in _geom_rows(corpus_dir):
+        if gt != 1:
+            continue
+        lon, lat = rings[0][0]
+        lat = min(max(lat, -85.0511287), 85.0511287)
+        lr = math.radians(lat)
+        x = math.floor((lon + 180.0) / 360.0 * n2)
+        y = math.floor((1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr))
+                        / math.pi) / 2.0 * n2)
+        occ.add((int(min(max(x, 0), n2 - 1)), int(min(max(y, 0), n2 - 1))))
+    nbrs = {}
+    for (x, y) in occ:
+        nbrs[(x, y)] = [(x + dx, y + dy) for dx in (-1, 0, 1)
+                        for dy in (-1, 0, 1)
+                        if (dx, dy) != (0, 0) and (x + dx, y + dy) in occ]
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    alive = set(occ)
+    core = {}
+    for k in range(1, 9):
+        while True:
+            rm = [v for v in alive if deg[v] < k]
+            if not rm:
+                break
+            for v in rm:
+                core[v] = k - 1
+                alive.discard(v)
+                for u in nbrs[v]:
+                    if u in alive:
+                        deg[u] -= 1
+        for v in alive:
+            core[v] = k
+        if not alive:
+            break
+    hist = {}
+    for v, c in core.items():
+        hist[c] = hist.get(c, 0) + 1
+    ks = sorted(hist)
+    return pa.table({
+        "core_k": pa.array(ks, pa.int64()),
+        "n_tiles": pa.array([hist[k] for k in ks], pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "lang_confusion": ("docs", expected_lang_confusion),
@@ -935,6 +987,7 @@ GENERATORS = {
     "target_affinity": ("docs", expected_target_affinity),
     "type_pagerank": ("events", expected_type_pagerank),
     "convex_hull": ("corpus", expected_convex_hull),
+    "k_core": ("corpus", expected_k_core),
 }
 
 

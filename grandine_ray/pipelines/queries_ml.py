@@ -792,6 +792,61 @@ def q_degree_census(sf_dir: str):
                      "n_tiles": pa.array(c.astype(np.int64), pa.int64())})
 
 
+def q_k_core(sf_dir: str):
+    """k-core decomposition of the occupied-tile 8-adjacency graph at
+    SMOOTH_Z: a tile's core number is the largest k such that it
+    survives iterated removal of tiles with fewer than k surviving
+    neighbors — the density-peeling hierarchy (cluster cores vs fringe)
+    that SQL cannot express (aggregation inside recursion); the oracle
+    is an independent scalar reimplementation (oracle/expected.py).
+    Distributed shape: ONE shared autocorr fan-out pass produces the
+    occupied-tile aggregate (≤ 2^20 rows at z-10 by construction);
+    adjacency is 8 vectorized searchsorted probes on the packed keys
+    and the peeling runs vectorized on that bounded domain (max core ≤
+    8, so ≤ 8 levels). Output: (core_k, n_tiles) histogram."""
+    terms = _grid_autocorr_terms(sf_dir)
+    if terms is None:
+        return pa.table({"core_k": pa.array([], pa.int64()),
+                         "n_tiles": pa.array([], pa.int64())})
+    N, k_i, _n_i, _nb_i, _deg_i, _nb2_i, _S = terms
+    keys = np.sort(k_i)
+    # packed-lane arithmetic: key + (dx<<32) + dy is exact because the
+    # shifted y lane stays in [0, 2^20+1] (no borrow/carry)
+    nbr_idx = np.empty((8, N), np.int64)
+    nbr_ok = np.zeros((8, N), bool)
+    d = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            want = keys + ((dx << 32) + dy)
+            pos = np.searchsorted(keys, want)
+            ok = (pos < N)
+            ok[ok] = keys[pos[ok]] == want[ok]
+            nbr_idx[d] = np.where(ok, pos, 0)
+            nbr_ok[d] = ok
+            d += 1
+    deg = nbr_ok.sum(axis=0).astype(np.int64)
+    core = np.zeros(N, np.int64)
+    alive = np.ones(N, bool)
+    for k in range(1, 9):
+        while True:
+            rm = alive & (deg < k)
+            if not rm.any():
+                break
+            core[rm] = k - 1
+            alive[rm] = False
+            for dd in range(8):
+                tgt = nbr_idx[dd][rm & nbr_ok[dd]]
+                np.subtract.at(deg, tgt, 1)
+        if not alive.any():
+            break
+        core[alive] = k
+    u, c = np.unique(core, return_counts=True)
+    return pa.table({"core_k": pa.array(u, pa.int64()),
+                     "n_tiles": pa.array(c.astype(np.int64), pa.int64())})
+
+
 QUADKEY_Z = 12
 
 
@@ -2131,6 +2186,7 @@ QUERIES_ML = {
     "flow_directions": q_flow_directions,
     "layer_centroids": q_layer_centroids,
     "degree_census": q_degree_census,
+    "k_core": q_k_core,
     "tile_clusters": q_tile_clusters,
     "quadkey_cells": q_quadkey_cells,
     "grid_morphology": q_grid_morphology,
@@ -2813,4 +2869,6 @@ WHERE ia.l_partkey = t.pa AND ib.l_partkey = t.pb""",
             "SELECT * FROM read_parquet('/tmp/graft_expected/quality_score.parquet')",
         "target_affinity":
             "SELECT * FROM read_parquet('/tmp/graft_expected/target_affinity.parquet')",
+        "k_core":
+            "SELECT * FROM read_parquet('/tmp/graft_expected/k_core.parquet')",
     }

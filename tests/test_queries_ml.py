@@ -608,6 +608,41 @@ def test_layer_centroids_brute_force(ray_session):
         assert (r.n_points, r.cx_micro, r.cy_micro) == (n, tr(sx), tr(sy))
 
 
+def test_k_core_brute_force(ray_session):
+    """Core-number histogram == textbook peeling over the cell_smooth
+    occupied grid, plus hierarchy invariants (cores nest; max ≤ 8)."""
+    got = queries_ml.q_k_core(SF).to_pandas()
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y) for r in grid.itertuples()}
+    nbrs = {v: [(v[0] + dx, v[1] + dy) for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0) and (v[0] + dx, v[1] + dy) in occ]
+            for v in occ}
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    alive, core = set(occ), {}
+    for k in range(1, 9):
+        while True:
+            rm = [v for v in alive if deg[v] < k]
+            if not rm:
+                break
+            for v in rm:
+                core[v] = k - 1
+                alive.discard(v)
+                for u in nbrs[v]:
+                    if u in alive:
+                        deg[u] -= 1
+        for v in alive:
+            core[v] = k
+        if not alive:
+            break
+    want: dict[int, int] = {}
+    for c in core.values():
+        want[c] = want.get(c, 0) + 1
+    assert dict(zip(got.core_k, got.n_tiles)) == want
+    assert int(got.n_tiles.sum()) == len(occ)
+    assert got.core_k.max() <= 8
+
+
 def test_tile_clusters_bfs_brute_force(ray_session):
     """Independent BFS connected-components oracle over the engine's
     own occupied-tile counts."""
