@@ -432,6 +432,96 @@ def q_pair_octants(sf_dir: str):
     })
 
 
+def q_min_cross_layer_dist(sf_dir: str):
+    """Layer-proximity matrix: for every layer pair, the MINIMUM
+    haversine distance (integer mm) between their point features, when
+    it is within the 200 km chord-grid cap — the "how close do these
+    two datasets get" signal that complements layer_tile_overlap's
+    coarse grid overlap. Same chord-grid machinery; a qualifying pair
+    is seen in both endpoint cells but MIN is idempotent so no
+    dedup pass is needed. Pairs whose true minimum exceeds the cap are
+    omitted on both engines (the chord bound makes the grid-local min
+    equal to the global min whenever it qualifies)."""
+    from ray.data.aggregate import Min
+
+    from ..geom.ops import haversine_m
+    from .queries import _features_ds
+
+    pts = _features_ds(sf_dir).filter(expr="geom_type == 1")
+    cap = RIPLEY_RADII_MM[-1]
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        core = _chord_fan_out(b)
+        layer = b["layer"]
+        if isinstance(layer, pa.ChunkedArray):
+            layer = layer.combine_chunks()
+        n = len(layer)
+        rep = pa.array(np.repeat(np.arange(n), 27))
+        return core.append_column(
+            "layer", pa.concat_arrays([layer, layer.take(rep)]))
+
+    def pair_min(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lay = t["layer"]
+        if isinstance(lay, pa.ChunkedArray):
+            lay = lay.combine_chunks()
+        vocab, codes = np.unique(
+            np.asarray(lay.to_pylist(), object), return_inverse=True)
+        order = np.lexsort((side, cell))
+        cell, side, codes = cell[order], side[order], codes[order]
+        lon, lat = lon[order], lat[order]
+        starts = np.searchsorted(cell, np.unique(cell), "left")
+        bounds = np.append(starts, len(cell))
+        best: dict = {}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            nl = int(np.searchsorted(side[s:e], 1, "left"))
+            if nl == 0 or nl == e - s:
+                continue
+            nr = e - s - nl
+            rcode = codes[s + nl:e]
+            chunk = max(1, (1 << 21) // nr)
+            for c0 in range(0, nl, chunk):
+                c1 = min(nl, c0 + chunk)
+                m = c1 - c0
+                d = haversine_m(np.repeat(lon[s + c0:s + c1], nr),
+                                np.repeat(lat[s + c0:s + c1], nr),
+                                np.tile(lon[s + nl:e], m),
+                                np.tile(lat[s + nl:e], m))
+                mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+                lc = np.repeat(codes[s + c0:s + c1], nr)
+                rc = np.tile(rcode, m)
+                keep = (mm <= cap) & (lc != rc)
+                if not keep.any():
+                    continue
+                kmin = np.minimum(lc[keep], rc[keep])
+                kmax = np.maximum(lc[keep], rc[keep])
+                fused = kmin * len(vocab) + kmax
+                uf = np.unique(fused)
+                mins = np.full(len(uf), 1 << 62, np.int64)
+                np.minimum.at(mins, np.searchsorted(uf, fused), mm[keep])
+                for k, v in zip(uf, mins):  # ≤ C(layers,2) iterations
+                    key = (int(k) // len(vocab), int(k) % len(vocab))
+                    if int(v) < best.get(key, 1 << 62):
+                        best[key] = int(v)
+        items = sorted(best.items())
+        return pa.table({
+            "layer_a": pa.array([str(vocab[a]) for (a, _), _ in items],
+                                pa.string()),
+            "layer_b": pa.array([str(vocab[b2]) for (_, b2), _ in items],
+                                pa.string()),
+            "min_mm": pa.array([v for _, v in items], pa.int64()),
+        })
+
+    return pts.map_batches(fan_out, batch_format="pyarrow") \
+        .map_batches(_chord_addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pair_min, batch_format="pyarrow") \
+        .groupby(["layer_a", "layer_b"]) \
+        .aggregate(Min("min_mm", alias_name="min_mm"))
+
+
 NN_CAP_MM = RIPLEY_RADII_MM[-1]
 
 
@@ -566,6 +656,7 @@ QUERIES_GEO = {
     "ripley_k": q_ripley_k,
     "nn_dist": q_nn_dist,
     "pair_octants": q_pair_octants,
+    "min_cross_layer_dist": q_min_cross_layer_dist,
 }
 
 
@@ -653,6 +744,15 @@ HAVING MIN(CAST(FLOOR({hav_ab} * 1000.0 + 0.5) AS BIGINT))
         "radius_join": radius_sql,
         "ripley_k": ripley_sql,
         "nn_dist": nn_sql,
+        "min_cross_layer_dist": _BBOX_CTE + f"""
+, pts AS (SELECT layer, bbox_minx AS lon, bbox_miny AS lat
+          FROM g WHERE geom_type = 1)
+SELECT a.layer AS layer_a, b.layer AS layer_b,
+       MIN(CAST(FLOOR({hav_ab} * 1000.0 + 0.5) AS BIGINT)) AS min_mm
+FROM pts a JOIN pts b ON a.layer < b.layer
+GROUP BY 1, 2
+HAVING MIN(CAST(FLOOR({hav_ab} * 1000.0 + 0.5) AS BIGINT))
+       <= {RIPLEY_RADII_MM[-1]}""",
         "pair_octants": _BBOX_CTE + f"""
 , pts AS (SELECT ROW_NUMBER() OVER () AS id,
                  bbox_minx AS lon, bbox_miny AS lat,

@@ -847,6 +847,80 @@ def q_k_core(sf_dir: str):
                      "n_tiles": pa.array(c.astype(np.int64), pa.int64())})
 
 
+RFM_R_DAYS = (365, 1095)       # recency bucket edges (days before anchor)
+RFM_F = (15, 8)                # frequency edges (orders)
+RFM_M_CENTS = (350_000_000, 150_000_000)  # monetary edges (cents)
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation: per customer, Recency (days from last
+    order to the global anchor = max order date), Frequency (orders)
+    and Monetary (exact cents), each classified into 3 fixed buckets;
+    output is the segment census (r,f,m → customers) every CRM report
+    starts from. Distributed shape: one customer-domain groupby over
+    orders (count / cents-sum / max-day in one pass), materialized once
+    (it is orders-of-magnitude smaller than the fact table) so the tiny
+    anchor aggregate does not re-execute the lineage; bucketing and the
+    27-key census stay distributed. All arithmetic integer-exact."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages import relational
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice",
+                                      "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5).astype(np.int64)
+        day = relational._ts_us(b["o_orderdate"]) // 86_400_000_000
+        return pa.table({
+            "ck": pc.cast(b["o_custkey"], pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+        })
+
+    cust = orders.map_batches(prep, batch_format="pyarrow") \
+        .groupby("ck").aggregate(Count(alias_name="f"),
+                                 Sum("cents", alias_name="m"),
+                                 Max("day", alias_name="lastd")) \
+        .materialize()
+    anchor = int(cust.max("lastd"))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        f = b["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = b["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rec = anchor - b["lastd"].to_numpy(zero_copy_only=False)
+        rb = np.where(rec < RFM_R_DAYS[0], 2,
+                      np.where(rec < RFM_R_DAYS[1], 1, 0))
+        fb = np.where(f >= RFM_F[0], 2, np.where(f >= RFM_F[1], 1, 0))
+        mb = np.where(m >= RFM_M_CENTS[0], 2,
+                      np.where(m >= RFM_M_CENTS[1], 1, 0))
+        key = rb * 100 + fb * 10 + mb
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "seg": pa.array(u, pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum as Sum2
+
+    agg = cust.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("seg").aggregate(Sum2("n", alias_name="n_customers"))
+
+    def split(b: pa.Table) -> pa.Table:
+        seg = b["seg"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_bucket": pa.array(seg // 100, pa.int64()),
+            "f_bucket": pa.array(seg // 10 % 10, pa.int64()),
+            "m_bucket": pa.array(seg % 10, pa.int64()),
+            "n_customers": pc.cast(b["n_customers"], pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
 QUADKEY_Z = 12
 
 
@@ -2187,6 +2261,7 @@ QUERIES_ML = {
     "layer_centroids": q_layer_centroids,
     "degree_census": q_degree_census,
     "k_core": q_k_core,
+    "rfm_segments": q_rfm_segments,
     "tile_clusters": q_tile_clusters,
     "quadkey_cells": q_quadkey_cells,
     "grid_morphology": q_grid_morphology,
@@ -2625,6 +2700,28 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "flow_directions": flow_sql,
         "layer_centroids": layer_centroids_sql,
         "degree_census": degree_census_sql,
+        "rfm_segments": f"""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS m,
+         MAX(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
+           AS lastd
+  FROM orders GROUP BY 1),
+a AS (SELECT MAX(lastd) AS anchor FROM c),
+b AS (SELECT
+  CASE WHEN a.anchor - lastd < {RFM_R_DAYS[0]} THEN 2
+       WHEN a.anchor - lastd < {RFM_R_DAYS[1]} THEN 1 ELSE 0 END AS rb,
+  CASE WHEN f >= {RFM_F[0]} THEN 2
+       WHEN f >= {RFM_F[1]} THEN 1 ELSE 0 END AS fb,
+  CASE WHEN m >= {RFM_M_CENTS[0]} THEN 2
+       WHEN m >= {RFM_M_CENTS[1]} THEN 1 ELSE 0 END AS mb
+  FROM c, a)
+SELECT CAST(rb AS BIGINT) AS r_bucket, CAST(fb AS BIGINT) AS f_bucket,
+       CAST(mb AS BIGINT) AS m_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM b GROUP BY 1, 2, 3""",
         "tile_clusters": tile_clusters_sql,
         "quadkey_cells": quadkey_sql,
         "grid_morphology": morphology_sql,

@@ -225,3 +225,36 @@ def test_pair_octants_brute_force(ray_session):
     # each unordered pair appears once in each direction
     total = sum(want.values())
     assert total % 2 == 0 and total > 0
+
+
+def test_min_cross_layer_dist_brute_force(ray_session):
+    """Layer-pair minimum == O(n²) recompute with the cap filter."""
+    import duckdb
+
+    from grandine_ray.geom.ops import haversine_m
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(SF)
+    con = duckdb.connect()
+    g = con.execute(f"""
+        SELECT layer, xs[1] x, ys[1] y
+        FROM read_parquet('{corpus}/geoms.parquet')
+        WHERE geom_type = 1""").df()
+    n = len(g)
+    d = haversine_m(np.repeat(g.x.values, n), np.repeat(g.y.values, n),
+                    np.tile(g.x.values, n), np.tile(g.y.values, n))
+    mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+    lays = g.layer.values
+    la = np.repeat(lays, n)
+    lb = np.tile(lays, n)
+    want: dict = {}
+    keep = la < lb
+    for a, b, v in zip(la[keep], lb[keep], mm[keep]):
+        if v < want.get((a, b), 1 << 62):
+            want[(a, b)] = int(v)
+    want = {k: v for k, v in want.items()
+            if v <= queries_geo.RIPLEY_RADII_MM[-1]}
+    got = queries_geo.q_min_cross_layer_dist(SF).to_pandas()
+    mine = {(r.layer_a, r.layer_b): r.min_mm for r in got.itertuples()}
+    assert mine == want
+    assert len(mine) > 0
