@@ -847,6 +847,53 @@ def q_k_core(sf_dir: str):
                      "n_tiles": pa.array(c.astype(np.int64), pa.int64())})
 
 
+def q_customer_order_full(sf_dir: str):
+    """FULL OUTER hash join: positive-balance customers vs per-customer
+    order counts — keeps customers who never ordered (null n_orders)
+    AND ordering customers whose balance filter dropped them from the
+    left side (null acctbal_cents). Exercises hash_join_i64's
+    ``how="full"`` mode (union + hash-partition + per-partition
+    searchsorted resolve; unmatched right rows emitted once from their
+    owning partition)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import relational
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+
+    def left_prep(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        keep = pa.array(bal > 0)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "c_custkey": pc.cast(b["c_custkey"], pa.int64()).filter(keep),
+            "acctbal_cents": pa.array(cents[bal > 0], pa.int64()),
+        })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        k, c = np.unique(
+            b["o_custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64), return_counts=True)
+        return pa.table({"c_custkey": pa.array(k, pa.int64()),
+                         "n_orders": pa.array(c.astype(np.int64),
+                                              pa.int64())})
+
+    right = orders.map_batches(cnt_partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("n_orders",
+                                            alias_name="n_orders"))
+
+    return relational.hash_join_i64(
+        cust.map_batches(left_prep, batch_format="pyarrow"), right,
+        key="c_custkey",
+        left_carry={"acctbal_cents": pa.int64()},
+        right_carry={"n_orders": pa.int64()},
+        how="full")
+
+
 RFM_R_DAYS = (365, 1095)       # recency bucket edges (days before anchor)
 RFM_F = (15, 8)                # frequency edges (orders)
 RFM_M_CENTS = (350_000_000, 150_000_000)  # monetary edges (cents)
@@ -2262,6 +2309,7 @@ QUERIES_ML = {
     "degree_census": q_degree_census,
     "k_core": q_k_core,
     "rfm_segments": q_rfm_segments,
+    "customer_order_full": q_customer_order_full,
     "tile_clusters": q_tile_clusters,
     "quadkey_cells": q_quadkey_cells,
     "grid_morphology": q_grid_morphology,
@@ -2700,6 +2748,16 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "flow_directions": flow_sql,
         "layer_centroids": layer_centroids_sql,
         "degree_census": degree_census_sql,
+        "customer_order_full": """
+WITH l AS (SELECT c_custkey,
+                  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                    AS acctbal_cents
+           FROM customer WHERE c_acctbal > 0),
+r AS (SELECT o_custkey AS c_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+SELECT c_custkey, l.acctbal_cents, r.n_orders
+FROM l FULL OUTER JOIN r USING (c_custkey)""",
         "rfm_segments": f"""
 WITH c AS (
   SELECT o_custkey,

@@ -90,9 +90,12 @@ def hash_join_i64(left, right, key: str,
     per partition) for ``inner``/``left``. Carry dicts give the attached
     column types so no schema inference ever executes a dataset. Returns
     columns ``[key] + left_carry + right_carry``; ``how="left"`` keeps
-    unmatched left rows with nulls in the right carry. ``how="semi"`` /
-    ``"anti"`` are membership filters (right keys may repeat; right
-    carry must be empty; only left columns return).
+    unmatched left rows with nulls in the right carry; ``how="full"``
+    additionally keeps unmatched right rows with nulls in the left
+    carry (full outer; incompatible with ``salt`` — a replicated right
+    row would emit its unmatched form once per sub-partition).
+    ``how="semi"`` / ``"anti"`` are membership filters (right keys may
+    repeat; right carry must be empty; only left columns return).
 
     ``salt > 1`` is the skew lever for WHALE LEFT KEYS (a key holding a
     meaningful fraction of the fact table): every left row lands in one
@@ -105,6 +108,8 @@ def hash_join_i64(left, right, key: str,
         raise ValueError("semi/anti join carries no right columns")
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    if how == "full" and salt > 1:
+        raise ValueError("full outer join does not support salt")
     all_carry = list(left_carry) + list(right_carry)
     types = {**left_carry, **right_carry}
 
@@ -147,7 +152,7 @@ def hash_join_i64(left, right, key: str,
         rk = keys[~lmask]
         order = np.argsort(rk, kind="stable")
         rk_s = rk[order]
-        if how in ("inner", "left") and len(rk_s) > 1 \
+        if how in ("inner", "left", "full") and len(rk_s) > 1 \
                 and np.any(rk_s[1:] == rk_s[:-1]):
             raise ValueError("hash_join_i64: right side keys not unique")
         pos = np.searchsorted(rk_s, lk) if len(rk_s) else np.zeros(len(lk), np.int64)
@@ -171,7 +176,7 @@ def hash_join_i64(left, right, key: str,
                 cols[c] = t[c].take(take_l)
             for c in right_carry:
                 cols[c] = t[c].take(take_r)
-        else:  # left
+        else:  # left / full
             cols = {key: pa.array(lk, pa.int64())}
             take_l = pa.array(l_idx)
             r_of = np.where(hit, r_idx[order[safe]] if len(rk_s)
@@ -183,6 +188,19 @@ def hash_join_i64(left, right, key: str,
                 col = t[c].take(take_r)
                 cols[c] = pc.if_else(pa.array(hit), col,
                                      pa.nulls(len(lk), types[c]))
+            if how == "full":
+                rmatched = np.zeros(len(rk), bool)
+                if hit.any():
+                    rmatched[order[safe[hit]]] = True
+                um = np.nonzero(~rmatched)[0]
+                take_u = pa.array(r_idx[um])
+                extra = {key: pa.array(rk[um], pa.int64())}
+                for c in left_carry:
+                    extra[c] = pa.nulls(len(um), types[c])
+                for c in right_carry:
+                    extra[c] = t[c].take(take_u)
+                return pa.concat_tables([pa.table(cols),
+                                         pa.table(extra)])
         return pa.table(cols)
 
     return unioned.groupby("_part").map_groups(resolve,

@@ -107,6 +107,41 @@ def test_hash_join_vs_duckdb(ray_session, how):
     assert got == want
 
 
+def test_hash_join_full_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    lk, lval, rk, rval = _join_fixture()
+    left = rd.from_arrow(pa.table({"k": lk, "lv": lval})).repartition(4)
+    right = rd.from_arrow(pa.table({"k": rk, "rv": rval})).repartition(3)
+    out = relational.hash_join_i64(
+        left, right, "k", {"lv": pa.int64()}, {"rv": pa.int64()},
+        P=7, how="full").take_all()
+    got = sorted(((r["k"], r["lv"], r["rv"]) for r in out),
+                 key=lambda t: tuple(-2 if v is None else v for v in t))
+    con = duckdb.connect()
+    con.register("l", pa.table({"k": lk, "lv": lval}))
+    con.register("r", pa.table({"k": rk, "rv": rval}))
+    want = sorted(con.execute(
+        "SELECT COALESCE(l.k, r.k), lv, rv "
+        "FROM l FULL OUTER JOIN r ON l.k = r.k").fetchall(),
+        key=lambda t: tuple(-2 if v is None else v for v in t))
+    assert got == want
+    # keys 50..59 exist only on the right: they must appear exactly once
+    right_only = [r for r in want if r[1] is None]
+    assert len(right_only) > 0
+
+
+def test_hash_join_full_rejects_salt(ray_session):
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({"k": [1], "lv": [0]}))
+    right = rd.from_arrow(pa.table({"k": [2], "rv": [3]}))
+    with pytest.raises(ValueError, match="salt"):
+        relational.hash_join_i64(
+            left, right, "k", {"lv": pa.int64()}, {"rv": pa.int64()},
+            P=2, how="full", salt=2)
+
+
 def test_hash_join_rejects_dup_right(ray_session):
     import ray.data as rd
 
