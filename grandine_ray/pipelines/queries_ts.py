@@ -597,6 +597,181 @@ def q_theilsen_trend(sf_dir: str):
     })
 
 
+US_PER_HOUR = 3_600_000_000
+
+
+def q_peak_hour(sf_dir: str):
+    """Per-event-type peak load: the hour bucket (epoch hours) with the
+    most events and its count — argmax with earliest-hour tie-break on
+    both engines. One (hour,type) fused-key count shuffle; the argmax
+    runs per type on mergeable (count desc, hour asc) partials."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = _np(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        hour = us // US_PER_HOUR
+        fused = pc.binary_join_element_wise(
+            pa.array(hour.astype("U"), pa.string()),
+            _chunk(b["event_type"]), "\x1f")
+        t = _count_by_key(fused)
+        return pa.table({"ht": t["key"], "n": t["n"]})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ht").aggregate(Sum("n", alias_name="n"))
+
+    def best_partial(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["ht"], "\x1f")
+        hour = np.asarray(
+            _chunk(pc.list_element(parts, 0)).to_pylist(), "U").astype(
+            np.int64)
+        et = np.asarray(_chunk(pc.list_element(parts, 1)).to_pylist(),
+                        object)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-type argmax inside the block: sort by (type, -n, hour)
+        order = np.lexsort((hour, -n, et))
+        et_s = et[order]
+        first = np.ones(len(et_s), bool)
+        first[1:] = et_s[1:] != et_s[:-1]
+        sel = order[first]
+        return pa.table({
+            "event_type": pa.array(et[sel].tolist(), pa.string()),
+            "peak_hour": pa.array(hour[sel], pa.int64()),
+            "n_peak": pa.array(n[sel], pa.int64()),
+        })
+
+    # block partials then ONE more tiny reduce over ≤ types×blocks rows
+    part2 = agg.map_batches(best_partial, batch_format="pyarrow") \
+        .take_all()
+    best: dict = {}
+    for r in part2:
+        cur = best.get(r["event_type"])
+        cand = (-r["n_peak"], r["peak_hour"])
+        if cur is None or cand < cur:
+            best[r["event_type"]] = cand
+    types = sorted(best)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "peak_hour": pa.array([best[t][1] for t in types], pa.int64()),
+        "n_peak": pa.array([-best[t][0] for t in types], pa.int64()),
+    })
+
+
+ROLL_WIN = 7
+
+
+def q_rolling_median(sf_dir: str):
+    """7-day rolling DISCRETE median of each event type's daily count
+    over its observed days (DuckDB quantile_disc window parity: rank
+    ⌈w/2⌉ over the trailing ROLL_WIN-row frame). The corpus-sized work
+    is the shared (day,type) count shuffle; the window runs on the
+    aggregate-domain series. Output: (event_type, day, med)."""
+    rows = _daily_type_counts(sf_dir)
+    series: dict[str, list] = {}
+    for d, t, n in rows:
+        series.setdefault(t, []).append((d, n))
+    out_t, out_d, out_m = [], [], []
+    for t in sorted(series):
+        seq = sorted(series[t])
+        ns = [n for _, n in seq]
+        for i, (d, _n) in enumerate(seq):
+            w = ns[max(0, i - ROLL_WIN + 1):i + 1]
+            w = sorted(w)
+            out_t.append(t)
+            out_d.append(d)
+            out_m.append(w[(len(w) + 1) // 2 - 1])
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "day": pa.array(out_d, pa.int64()),
+        "med": pa.array(out_m, pa.int64()),
+    })
+
+
+def q_new_users_daily(sf_dir: str):
+    """User-acquisition curve: events per day attributable to each
+    user's FIRST-ever activity day (first-seen groupby-Min over the
+    user domain, then a day census). The shuffle is user-sized, the
+    output day-sized."""
+    from ray.data.aggregate import Min, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = _np(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        day = us // US_PER_DAY
+        uid = _np(b["user_id"]).astype(np.int64)
+        order = np.lexsort((day, uid))
+        first = np.ones(len(uid), bool)
+        first[1:] = uid[order][1:] != uid[order][:-1]
+        sel = order[first]
+        return pa.table({"user_id": pa.array(uid[sel], pa.int64()),
+                         "d": pa.array(day[sel], pa.int64())})
+
+    first_day = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("d", alias_name="d"))
+
+    def census(b: pa.Table) -> pa.Table:
+        d, c = np.unique(b["d"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    return first_day.map_batches(census, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n", alias_name="n_new_users"))
+
+
+VOCAB_COVER_K = 100
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Head-of-Zipf coverage: the share of ALL token occurrences
+    covered by the top-VOCAB_COVER_K terms (count desc, term asc
+    tie-break), in exact ppm — the one-number duplication/boilerplate
+    signal of a corpus. One vocabulary-domain count shuffle; the top-k
+    and ratio run on mergeable per-block (count, term) partials."""
+    from ray.data.aggregate import Sum
+    from ..stages.corpus import _batch_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def tc(b: pa.Table) -> pa.Table:
+        flat, _, _, _ = _batch_terms(b, "text")
+        t = _count_by_key(flat)
+        return pa.table({"term": t["key"], "n": t["n"]})
+
+    agg = docs.map_batches(tc, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        term = np.asarray(_chunk(b["term"]).to_pylist(), object)
+        order = np.lexsort((term, -n))[:VOCAB_COVER_K]
+        out = pa.table({
+            "term": pa.array(term[order].tolist() + ["\x01TOTAL"],
+                             pa.string()),
+            "n": pa.array(np.append(n[order], n.sum()), pa.int64()),
+        })
+        return out
+
+    rows = agg.map_batches(topk_partial, batch_format="pyarrow") \
+        .take_all()
+    total = sum(r["n"] for r in rows if r["term"] == "\x01TOTAL")
+    cand = sorted(((-r["n"], r["term"]) for r in rows
+                   if r["term"] != "\x01TOTAL"))[:VOCAB_COVER_K]
+    head = sum(-c for c, _ in cand)
+    return pa.table({
+        "n_terms": pa.array([min(VOCAB_COVER_K, len(cand))], pa.int64()),
+        "head_tokens": pa.array([head], pa.int64()),
+        "total_tokens": pa.array([total], pa.int64()),
+        "coverage_ppm": pa.array(
+            [head * 1_000_000 // total if total else 0], pa.int64()),
+    })
+
+
 def q_changepoint(sf_dir: str):
     """Per-event-type CUSUM changepoint on the daily count series: the
     day k (among the type's observed days, ordered) maximizing
@@ -634,6 +809,10 @@ QUERIES_TS = {
     "value_mode": q_value_mode,
     "trend_slope": q_trend_slope,
     "theilsen_trend": q_theilsen_trend,
+    "peak_hour": q_peak_hour,
+    "rolling_median": q_rolling_median,
+    "new_users_daily": q_new_users_daily,
+    "vocab_coverage": q_vocab_coverage,
     "changepoint": q_changepoint,
     "daily_type_corr": q_daily_type_corr,
     "daily_autocorr": q_daily_autocorr,
@@ -662,6 +841,44 @@ SELECT event_type,
        CAST(COUNT(*) * SUM(d * d) - SUM(d) * SUM(d) AS BIGINT)
          AS slope_den
 FROM dc GROUP BY event_type""",
+    "peak_hour": """
+WITH e AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                  event_type FROM events),
+hc AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e GROUP BY 1, 2),
+r AS (SELECT event_type, h, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, h) AS rn FROM hc)
+SELECT event_type, CAST(h AS BIGINT) AS peak_hour, n AS n_peak
+FROM r WHERE rn = 1""",
+    "rolling_median": """
+WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                  event_type FROM events),
+dc AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e GROUP BY 1, 2)
+SELECT event_type, d AS day,
+       CAST(quantile_disc(n, 0.5) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med
+FROM dc""",
+    "new_users_daily": """
+WITH f AS (SELECT user_id,
+                  MIN(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS d
+           FROM events GROUP BY 1)
+SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+FROM f GROUP BY 1""",
+    "vocab_coverage": r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY term),
+top AS (SELECT n FROM tc ORDER BY n DESC, term LIMIT 100),
+s AS (SELECT CAST(SUM(n) AS BIGINT) AS head,
+             CAST(COUNT(*) AS BIGINT) AS k FROM top),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM w)
+SELECT k AS n_terms, head AS head_tokens, total AS total_tokens,
+       CAST(head * 1000000 // total AS BIGINT) AS coverage_ppm
+FROM s, tot""",
     "theilsen_trend": """
 WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
                   event_type FROM events),

@@ -190,3 +190,61 @@ def test_theilsen_trend_brute(ray_session):
             assert slopes[0] <= sl <= slopes[-1]
         else:
             assert sl == 0
+
+
+def test_peak_hour_brute(ray_session):
+    ev = _events()
+    cnt: dict[str, Counter] = {}
+    for t, ts in zip(ev["event_type"], ev["ts"]):
+        us = np.datetime64(ts, "us").astype(np.int64)
+        cnt.setdefault(t, Counter())[int(us // 3_600_000_000)] += 1
+    got = queries_ts.q_peak_hour(SF).to_pydict()
+    assert got["event_type"] == sorted(cnt)
+    for t, h, n in zip(got["event_type"], got["peak_hour"],
+                       got["n_peak"]):
+        want = min(((-c, hh) for hh, c in cnt[t].items()))
+        assert (h, n) == (want[1], -want[0])
+
+
+def test_rolling_median_brute(ray_session):
+    ev = _events()
+    daily: dict[str, Counter] = {}
+    for t, ts in zip(ev["event_type"], ev["ts"]):
+        us = np.datetime64(ts, "us").astype(np.int64)
+        daily.setdefault(t, Counter())[int(us // 86_400_000_000)] += 1
+    got = queries_ts.q_rolling_median(SF).to_pydict()
+    idx = 0
+    for t in sorted(daily):
+        seq = sorted(daily[t].items())
+        ns = [n for _, n in seq]
+        for i, (d, _n) in enumerate(seq):
+            w = sorted(ns[max(0, i - 6):i + 1])
+            assert (got["event_type"][idx], got["day"][idx],
+                    got["med"][idx]) == (t, d, w[(len(w) + 1) // 2 - 1])
+            idx += 1
+    assert idx == len(got["day"])
+
+
+def test_new_users_and_vocab_coverage_brute(ray_session):
+    ev = _events()
+    first: dict[int, int] = {}
+    for u, ts in zip(ev["user_id"], ev["ts"]):
+        us = np.datetime64(ts, "us").astype(np.int64)
+        d = int(us // 86_400_000_000)
+        if u not in first or d < first[u]:
+            first[u] = d
+    want = Counter(first.values())
+    got = queries_ts.q_new_users_daily(SF).to_pandas()
+    assert dict(zip(got.day, got.n_new_users)) == dict(want)
+    assert int(got.n_new_users.sum()) == len(first)
+
+    docs = _docs()
+    c: Counter = Counter()
+    for txt in docs["text"]:
+        c.update(txt.lower().split())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    head, total = sum(n for _, n in top), sum(c.values())
+    vc = queries_ts.q_vocab_coverage(SF).to_pandas().iloc[0]
+    assert (vc.n_terms, vc.head_tokens, vc.total_tokens) == \
+        (min(100, len(c)), head, total)
+    assert vc.coverage_ppm == head * 1_000_000 // total
