@@ -48,6 +48,28 @@ def q_label_moments(sf_dir: str):
     return ann_stage.label_moments(emb)
 
 
+def q_vector_norms(sf_dir: str):
+    """Per-vector EXACT squared L2 norm in micro² units: each element
+    integer-izes once (floor(v·1e6+0.5), the repo float-parity rule)
+    and the square-sum is pure int64 (micro ≤ 2e6, 64 dims ⇒ ≤ 2.6e14)
+    — the norm table every cosine/IP ANN layout precomputes next to
+    the vectors. Zero-copy list decode, one map_batches, no shuffle."""
+    from ..stages.ann import _to_matrix
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def norms(b: pa.Table) -> pa.Table:
+        M = _to_matrix(b["embedding"], np.float64)
+        mi = np.floor(M * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": pc.cast(b["vec_id"], pa.int64()),
+            "norm2_micro2": pa.array((mi * mi).sum(axis=1), pa.int64()),
+        })
+
+    return emb.map_batches(norms, batch_format="pyarrow")
+
+
 def q_label_affinity(sf_dir: str):
     """Pairwise label-centroid dot products (the label-confusion /
     affinity matrix): centroids come from the streaming
@@ -75,6 +97,7 @@ def q_label_affinity(sf_dir: str):
 
 QUERIES_EMB = {
     "ann_lsh": q_ann_lsh,
+    "vector_norms": q_vector_norms,
     "label_moments": q_label_moments,
     "label_affinity": q_label_affinity,
 }
@@ -83,6 +106,15 @@ QUERIES_EMB = {
 ORACLE_SQL_EMB = {
     # ann_lsh: approximate by design — rows-only driver check; recall
     # property pinned in pytest.
+    "vector_norms": """
+WITH dims AS (SELECT UNNEST(generate_series(1, 64)) AS i),
+v AS (SELECT vec_id,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS vm
+      FROM embeddings CROSS JOIN dims)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(SUM(vm * vm) AS BIGINT) AS norm2_micro2
+FROM v GROUP BY vec_id""",
     "label_moments": """
 WITH dims AS (SELECT UNNEST(generate_series(1, 64)) AS i),
 v AS (SELECT label, i,

@@ -162,3 +162,16 @@ def test_embedding_near_dup_auto_switches_on_size(ray_session):
     key = lambda df: sorted(zip(df.vec_a, df.vec_b, df.cosine))
     assert key(small) == key(big)
     assert len(small) > 0
+
+
+def test_vector_norms_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    got = queries_emb.q_vector_norms(SF).to_pandas().set_index("vec_id")
+    for vid, emb in zip(t["vec_id"].to_pylist(),
+                        t["embedding"].to_pylist()):
+        mi = [int(np.floor(float(v) * 1e6 + 0.5)) for v in emb]
+        assert got.loc[vid].norm2_micro2 == sum(m * m for m in mi)
+    assert len(got) == t.num_rows
