@@ -1131,6 +1131,99 @@ def q_lexical_stats(sf_dir: str):
     return agg.map_batches(ratios, batch_format="pyarrow")
 
 
+SIMHASH_HAM_T = 3
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b).view(np.uint8).reshape(-1, 8)
+    return _POPCNT8[x].sum(axis=1).astype(np.int64)
+
+
+def q_simhash_hamming_pairs(sf_dir: str):
+    """EXACT SimHash near-duplicate pairs: every doc pair whose 64-bit
+    SimHash signatures differ in ≤ SIMHASH_HAM_T bits. The banded
+    pigeonhole makes it exact WITHOUT the O(n²) self-join: with 4
+    16-bit bands, ≤ 3 differing bits can dirty at most 3 bands, so
+    every qualifying pair agrees on ≥ 1 band — each signature fans out
+    4 (band_id, band_value) rows, candidates pair up inside band
+    buckets only, and an exact Hamming verify + one (a,b) dedup groupby
+    finish the job. Skewed band values (boilerplate-heavy corpora)
+    bound the bucket pair fan-out — at scale the hot-bucket salting of
+    pip_join applies. Oracle: O(n²) bit_count join over the INDEPENDENT
+    scalar SimHash table (oracle/expected.py) — also re-verifying the
+    engine's signature kernel end-to-end."""
+    from ray.data.aggregate import Min
+
+    from ..stages import text as text_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    sigs = docs.map_batches(text_stage.simhasher_batch,
+                            batch_format="pyarrow") \
+        .select_columns(["doc_id", "simhash"])
+
+    def band_fan_out(b: pa.Table) -> pa.Table:
+        h = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(h)
+        bands = np.empty(4 * n, np.int64)
+        for i in range(4):
+            val = (h >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+            bands[i * n:(i + 1) * n] = (np.int64(i) << 16) | \
+                val.astype(np.int64)
+        return pa.table({
+            "band": pa.array(bands, pa.int64()),
+            "doc_id": pa.array(np.tile(did, 4), pa.int64()),
+            "sig": pa.array(np.tile(h, 4).view(np.int64), pa.int64()),
+        })
+
+    def addpart(b: pa.Table) -> pa.Table:
+        v = b["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = ((v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)) \
+            % np.uint64(32)
+        return b.append_column("_part", pa.array(p.astype(np.int32),
+                                                 pa.int32()))
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = t["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((did, band))
+        band, did, sig = band[order], did[order], sig[order]
+        starts = np.searchsorted(band, np.unique(band), "left")
+        bounds = np.append(starts, len(band))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, k=1)
+            ham = _hamming64(sig[s + i], sig[s + j])
+            keep = ham <= SIMHASH_HAM_T
+            # identical doc repeated in a bucket cannot happen (one row
+            # per (doc, band)); a<b by doc_id from the lexsort
+            out_a.append(did[s + i[keep]])
+            out_b.append(did[s + j[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+        })
+
+    return sigs.map_batches(band_fan_out, batch_format="pyarrow") \
+        .map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(bucket_pairs,
+                                     batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]) \
+        .aggregate(Min("hamming", alias_name="hamming"))
+
+
 HH_K = 500  # heavy hitter = token share > 1/HH_K
 
 
@@ -1217,6 +1310,7 @@ def q_heavy_hitters(sf_dir: str):
 QUERIES_CSTATS = {
     "lexical_stats": q_lexical_stats,
     "heavy_hitters": q_heavy_hitters,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "source_overlap": q_source_overlap,
     "stopword_stats": q_stopword_stats,
     "prefix_dups": q_prefix_dups,
@@ -1240,6 +1334,13 @@ QUERIES_CSTATS = {
 
 
 ORACLE_SQL_CSTATS = {
+    "simhash_hamming_pairs": f"""
+WITH s AS (SELECT doc_id, simhash
+           FROM read_parquet('/tmp/graft_expected/simhash.parquet'))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_T}""",
     "heavy_hitters": rf"""
 WITH w AS (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

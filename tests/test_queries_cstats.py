@@ -36,7 +36,7 @@ def _cmp(got_df, sql):
            # inputs; their sf0.001 checks are the brute-force tests below
            if n not in ("compression_ratio", "pack_multimodal",
                         "video_frames", "audio_windows",
-                        "lang_confusion")))
+                        "lang_confusion", "simhash_hamming_pairs")))
 def test_cstats_query_parity(ray_session, name):
     got = queries_cstats.QUERIES_CSTATS[name](SF).to_pandas()
     _cmp(got, queries_cstats.ORACLE_SQL_CSTATS[name])
@@ -198,3 +198,26 @@ def test_lexical_stats_brute_force(ray_session):
         assert (r.n_tokens, r.n_types, r.n_hapax) == (tok, typ, hap)
         assert r.ttr_ppm == typ * 1_000_000 // tok
         assert r.hapax_ppm == hap * 1_000_000 // typ
+
+
+def test_simhash_hamming_pairs_brute_force(ray_session):
+    """Banded join == O(n²) popcount recompute over the ENGINE's own
+    signatures at sf0.001 (the expected-parquet oracle covers the
+    independent-signature check at sf0.01)."""
+    from grandine_ray.pipelines import queries
+
+    sigs = queries.q_simhash(SF).to_pandas()
+    h = sigs.simhash.values.astype(np.uint64)
+    did = sigs.doc_id.values.astype(np.int64)
+    n = len(h)
+    want = {}
+    for i in range(n):
+        x = np.bitwise_xor(h[i], h[i + 1:])
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.nonzero(ham <= queries_cstats.SIMHASH_HAM_T)[0]:
+            a, b = did[i], did[i + 1 + j]
+            want[(min(a, b), max(a, b))] = int(ham[j])
+    got = queries_cstats.q_simhash_hamming_pairs(SF).to_pandas()
+    mine = {(r.doc_a, r.doc_b): r.hamming for r in got.itertuples()}
+    assert mine == want
+    assert len(mine) > 0  # synth corpus plants duplicates
