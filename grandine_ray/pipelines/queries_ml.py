@@ -792,6 +792,75 @@ def q_degree_census(sf_dir: str):
                      "n_tiles": pa.array(c.astype(np.int64), pa.int64())})
 
 
+DT_CAP = 256  # BFS depth guard (components are cluster-sized at z-10)
+
+
+def q_grid_distance_transform(sf_dir: str):
+    """Grid distance transform: 8-connected BFS hop distance of every
+    occupied SMOOTH_Z tile from the density PEAKS (all tiles holding
+    the global maximum count) — the raster proximity operation behind
+    'how far is everything from the hotspot'. Unreachable tiles (other
+    connected components) report −1. Same bounded-aggregate shape as
+    k_core (ONE shared fan-out pass, ≤ 2^20 occupied z-10 tiles,
+    vectorized frontier rounds); a deeper-zoom variant would run the
+    tile_clusters-style distributed propagation instead. Output:
+    (dist, n_tiles) histogram. Depth is guarded at DT_CAP so the
+    recursive-CTE oracle's iteration bound is provably equivalent."""
+    terms = _grid_autocorr_terms(sf_dir)
+    if terms is None:
+        return pa.table({"dist": pa.array([], pa.int64()),
+                         "n_tiles": pa.array([], pa.int64())})
+    N, k_i, n_i, _nb_i, _deg_i, _nb2_i, _S = terms
+    order = np.argsort(k_i)
+    keys, n = k_i[order], n_i[order]
+    nbr_idx, nbr_ok = _packed_adjacency(keys)
+    dist = np.full(N, -1, np.int64)
+    frontier = np.nonzero(n == n.max())[0]
+    dist[frontier] = 0
+    d = 0
+    while len(frontier):
+        d += 1
+        if d > DT_CAP:
+            raise ValueError("grid_distance_transform: depth exceeds "
+                             f"DT_CAP={DT_CAP}")
+        nxt = []
+        for dd in range(8):
+            ok = nbr_ok[dd][frontier]
+            nxt.append(nbr_idx[dd][frontier][ok])
+        cand = np.unique(np.concatenate(nxt)) if nxt else \
+            np.empty(0, np.int64)
+        cand = cand[dist[cand] < 0]
+        dist[cand] = d
+        frontier = cand
+    u, c = np.unique(dist, return_counts=True)
+    return pa.table({"dist": pa.array(u, pa.int64()),
+                     "n_tiles": pa.array(c.astype(np.int64), pa.int64())})
+
+
+def _packed_adjacency(keys: np.ndarray):
+    """8-neighbor adjacency over SORTED packed tile keys via 8
+    vectorized searchsorted probes. Packed-lane arithmetic:
+    key + (dx<<32) + dy is exact because the shifted y lane stays in
+    [0, 2^20+1] (no borrow/carry). Returns (nbr_idx, nbr_ok) of shape
+    (8, N)."""
+    N = len(keys)
+    nbr_idx = np.empty((8, N), np.int64)
+    nbr_ok = np.zeros((8, N), bool)
+    d = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            want = keys + ((dx << 32) + dy)
+            pos = np.searchsorted(keys, want)
+            ok = (pos < N)
+            ok[ok] = keys[pos[ok]] == want[ok]
+            nbr_idx[d] = np.where(ok, pos, 0)
+            nbr_ok[d] = ok
+            d += 1
+    return nbr_idx, nbr_ok
+
+
 def q_k_core(sf_dir: str):
     """k-core decomposition of the occupied-tile 8-adjacency graph at
     SMOOTH_Z: a tile's core number is the largest k such that it
@@ -810,22 +879,7 @@ def q_k_core(sf_dir: str):
                          "n_tiles": pa.array([], pa.int64())})
     N, k_i, _n_i, _nb_i, _deg_i, _nb2_i, _S = terms
     keys = np.sort(k_i)
-    # packed-lane arithmetic: key + (dx<<32) + dy is exact because the
-    # shifted y lane stays in [0, 2^20+1] (no borrow/carry)
-    nbr_idx = np.empty((8, N), np.int64)
-    nbr_ok = np.zeros((8, N), bool)
-    d = 0
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            want = keys + ((dx << 32) + dy)
-            pos = np.searchsorted(keys, want)
-            ok = (pos < N)
-            ok[ok] = keys[pos[ok]] == want[ok]
-            nbr_idx[d] = np.where(ok, pos, 0)
-            nbr_ok[d] = ok
-            d += 1
+    nbr_idx, nbr_ok = _packed_adjacency(keys)
     deg = nbr_ok.sum(axis=0).astype(np.int64)
     core = np.zeros(N, np.int64)
     alive = np.ones(N, bool)
@@ -2308,6 +2362,7 @@ QUERIES_ML = {
     "layer_centroids": q_layer_centroids,
     "degree_census": q_degree_census,
     "k_core": q_k_core,
+    "grid_distance_transform": q_grid_distance_transform,
     "rfm_segments": q_rfm_segments,
     "customer_order_full": q_customer_order_full,
     "tile_clusters": q_tile_clusters,
@@ -2681,6 +2736,29 @@ SELECT CAST(direction AS BIGINT) AS direction,
        CAST(COUNT(*) AS BIGINT) AS n_tiles
 FROM fl GROUP BY direction"""
 
+    dist_transform_sql = f"""
+WITH RECURSIVE zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+cnt AS (
+  SELECT {tx} AS x, {ty} AS y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts, zz GROUP BY 1, 2),
+mx AS (SELECT MAX(n) AS mn FROM cnt),
+reach(x, y, d) AS (
+  SELECT x, y, 0 FROM cnt, mx WHERE n = mx.mn
+  UNION
+  SELECT b.x, b.y, r.d + 1
+  FROM reach r JOIN cnt b
+    ON b.x BETWEEN r.x - 1 AND r.x + 1
+   AND b.y BETWEEN r.y - 1 AND r.y + 1
+  WHERE r.d < {DT_CAP}
+),
+best AS (SELECT x, y, MIN(d) AS d FROM reach GROUP BY x, y)
+SELECT CAST(COALESCE(best.d, -1) AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles
+FROM cnt LEFT JOIN best ON best.x = cnt.x AND best.y = cnt.y
+GROUP BY 1"""
+
     tile_clusters_sql = f"""
 WITH RECURSIVE zz AS (SELECT {SMOOTH_Z} AS z),
 pts AS (SELECT xs[1] AS lon, ys[1] AS lat
@@ -2748,6 +2826,7 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "flow_directions": flow_sql,
         "layer_centroids": layer_centroids_sql,
         "degree_census": degree_census_sql,
+        "grid_distance_transform": dist_transform_sql,
         "customer_order_full": """
 WITH l AS (SELECT c_custkey,
                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)

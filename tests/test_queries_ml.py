@@ -643,6 +643,35 @@ def test_k_core_brute_force(ray_session):
     assert got.core_k.max() <= 8
 
 
+def test_grid_distance_transform_brute_force(ray_session):
+    """Distance histogram == dict BFS from the max-count tiles."""
+    from collections import deque
+
+    got = queries_ml.q_grid_distance_transform(SF).to_pandas()
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y): r.n for r in grid.itertuples()}
+    mx = max(occ.values())
+    dist = {v: 0 for v, n in occ.items() if n == mx}
+    dq = deque(dist)
+    while dq:
+        v = dq.popleft()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                u = (v[0] + dx, v[1] + dy)
+                if u in occ and u not in dist:
+                    dist[u] = dist[v] + 1
+                    dq.append(u)
+    want: dict[int, int] = {}
+    for v in occ:
+        d = dist.get(v, -1)
+        want[d] = want.get(d, 0) + 1
+    assert dict(zip(got.dist, got.n_tiles)) == want
+    assert int(got.n_tiles.sum()) == len(occ)
+    assert 0 in want  # sources exist
+
+
 def test_tile_clusters_bfs_brute_force(ray_session):
     """Independent BFS connected-components oracle over the engine's
     own occupied-tile counts."""
