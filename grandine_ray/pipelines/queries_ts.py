@@ -772,6 +772,89 @@ def q_vocab_coverage(sf_dir: str):
     })
 
 
+def q_locf_fill(sf_dir: str):
+    """Gap filling: each event type's daily count series re-emitted on
+    the FULL global day spine (min..max observed day across all types)
+    with gaps filled by Last Observation Carried Forward — the
+    missing-data repair step every downstream time-series model
+    assumes; days before a type's first observation fill with 0.
+    Output: (event_type, day, filled, is_gap). The corpus-sized work
+    is the shared (day,type) count shuffle; the spine expansion runs
+    on the aggregate domain (days × types, corpus-size-independent)."""
+    rows = _daily_type_counts(sf_dir)
+    if not rows:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "day": pa.array([], pa.int64()),
+                         "filled": pa.array([], pa.int64()),
+                         "is_gap": pa.array([], pa.int64())})
+    days = sorted({d for d, _, _ in rows})
+    spine = list(range(days[0], days[-1] + 1))
+    series: dict[str, dict[int, int]] = {}
+    for d, t, n in rows:
+        series.setdefault(t, {})[d] = n
+    out_t, out_d, out_v, out_g = [], [], [], []
+    for t in sorted(series):
+        have = series[t]
+        last = 0
+        for d in spine:
+            if d in have:
+                last = have[d]
+                gap = 0
+            else:
+                gap = 1
+            out_t.append(t)
+            out_d.append(d)
+            out_v.append(last)
+            out_g.append(gap)
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "day": pa.array(out_d, pa.int64()),
+        "filled": pa.array(out_v, pa.int64()),
+        "is_gap": pa.array(out_g, pa.int64()),
+    })
+
+
+def q_dow_seasonality(sf_dir: str):
+    """Weekday seasonality per event type: counts per day-of-week
+    (0 = Thursday epoch anchor convention: dow = day % 7) and the
+    EXACT uniformity χ²-numerator Σ_w (7·n_w − N)² — an integer that is
+    0 iff the weekday profile is perfectly flat, in the same
+    cross-multiplied style as the correlation family. One fused-key
+    (dow,type) groupby; 7×types output plus the per-type statistic."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = _np(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        dow = (us // US_PER_DAY) % 7
+        fused = pc.binary_join_element_wise(
+            pa.array(dow.astype("U"), pa.string()),
+            _chunk(b["event_type"]), "\x1f")
+        t = _count_by_key(fused)
+        return pa.table({"dt": t["key"], "n": t["n"]})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dt").aggregate(Sum("n", alias_name="n")).take_all()
+    per: dict[str, dict[int, int]] = {}
+    for r in agg:
+        w, t = r["dt"].split("\x1f")
+        per.setdefault(t, {})[int(w)] = int(r["n"])
+    types = sorted(per)
+    chi = []
+    for t in types:
+        tot = sum(per[t].values())
+        chi.append(sum((7 * per[t].get(w, 0) - tot) ** 2
+                       for w in range(7)))
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_events": pa.array([sum(per[t].values()) for t in types],
+                             pa.int64()),
+        "chi2_num": pa.array(chi, pa.int64()),
+    })
+
+
 def q_changepoint(sf_dir: str):
     """Per-event-type CUSUM changepoint on the daily count series: the
     day k (among the type's observed days, ordered) maximizing
@@ -810,6 +893,8 @@ QUERIES_TS = {
     "trend_slope": q_trend_slope,
     "theilsen_trend": q_theilsen_trend,
     "peak_hour": q_peak_hour,
+    "locf_fill": q_locf_fill,
+    "dow_seasonality": q_dow_seasonality,
     "rolling_median": q_rolling_median,
     "new_users_daily": q_new_users_daily,
     "vocab_coverage": q_vocab_coverage,
@@ -841,6 +926,40 @@ SELECT event_type,
        CAST(COUNT(*) * SUM(d * d) - SUM(d) * SUM(d) AS BIGINT)
          AS slope_den
 FROM dc GROUP BY event_type""",
+    "locf_fill": """
+WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                  event_type FROM events),
+dc AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e GROUP BY 1, 2),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM dc),
+spine AS (SELECT UNNEST(generate_series(lo, hi)) AS day FROM bounds),
+types AS (SELECT DISTINCT event_type FROM dc),
+g AS (SELECT t.event_type, s.day, dc.n
+      FROM types t CROSS JOIN spine s
+      LEFT JOIN dc ON dc.event_type = t.event_type AND dc.d = s.day)
+SELECT event_type, day,
+       CAST(COALESCE(last_value(n IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+            AS BIGINT) AS filled,
+       CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM g""",
+    "dow_seasonality": """
+WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 7 AS w,
+                  event_type FROM events),
+wc AS (SELECT event_type, w, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e GROUP BY 1, 2),
+tt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+       FROM wc GROUP BY 1),
+ww AS (SELECT UNNEST(generate_series(0, 6)) AS w),
+j AS (SELECT tt.event_type, tt.tot,
+             7 * COALESCE(wc.n, 0) - tt.tot AS dev
+      FROM tt CROSS JOIN ww
+      LEFT JOIN wc ON wc.event_type = tt.event_type AND wc.w = ww.w)
+SELECT event_type,
+       CAST(ANY_VALUE(tot) AS BIGINT) AS n_events,
+       CAST(SUM(dev * dev) AS BIGINT) AS chi2_num
+FROM j GROUP BY event_type""",
     "peak_hour": """
 WITH e AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
                   event_type FROM events),

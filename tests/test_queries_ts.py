@@ -248,3 +248,34 @@ def test_new_users_and_vocab_coverage_brute(ray_session):
     assert (vc.n_terms, vc.head_tokens, vc.total_tokens) == \
         (min(100, len(c)), head, total)
     assert vc.coverage_ppm == head * 1_000_000 // total
+
+
+def test_locf_and_dow_brute(ray_session):
+    ev = _events()
+    daily: dict[str, Counter] = {}
+    for t, ts in zip(ev["event_type"], ev["ts"]):
+        us = np.datetime64(ts, "us").astype(np.int64)
+        daily.setdefault(t, Counter())[int(us // 86_400_000_000)] += 1
+    days = sorted({d for c in daily.values() for d in c})
+    spine = list(range(days[0], days[-1] + 1))
+    got = queries_ts.q_locf_fill(SF).to_pandas()
+    assert len(got) == len(spine) * len(daily)
+    for t, g in got.groupby("event_type"):
+        g = g.sort_values("day")
+        last = 0
+        for r in g.itertuples():
+            if daily[t].get(r.day) is not None:
+                last = daily[t][r.day]
+                assert r.is_gap == 0
+            else:
+                assert r.is_gap == 1
+            assert r.filled == last
+    dow = queries_ts.q_dow_seasonality(SF).to_pandas() \
+        .set_index("event_type")
+    for t, c in daily.items():
+        w = Counter()
+        for d, n in c.items():
+            w[d % 7] += n
+        tot = sum(w.values())
+        chi = sum((7 * w.get(k, 0) - tot) ** 2 for k in range(7))
+        assert (dow.loc[t].n_events, dow.loc[t].chi2_num) == (tot, chi)
