@@ -1407,6 +1407,62 @@ def q_span_stats(sf_dir: str):
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
+def q_span_type_runs(sf_dir: str):
+    """Longest run of CONSECUTIVE same-kind spans per document over the
+    interleaved schema (in span order) — the interleaving-quality
+    signal of a multimodal corpus (a doc whose media spans all clump
+    together packs/trains differently from one that alternates).
+    Ties break toward the earliest run. Fully vectorized run-length
+    encoding: one boundary mask + cumsum over the flattened kind codes
+    per batch, no shuffle. DuckDB mirror is the classic
+    gaps-and-islands (pos − ROW_NUMBER per (doc, kind))."""
+    docs = _docs_ds(sf_dir)
+
+    def runs(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lens = pc.list_value_length(spans) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(lens)
+        flat = pc.list_flatten(spans)
+        enc = flat.field("kind")
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        enc = pc.dictionary_encode(enc)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), object)
+        doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+        total = len(codes)
+        if total == 0:
+            return pa.table({"doc_id": b["doc_id"].take(pa.array([],
+                                                                 pa.int64())),
+                             "max_run": pa.array([], pa.int64()),
+                             "run_kind": pa.array([], pa.string())})
+        boundary = np.ones(total, bool)
+        boundary[1:] = (codes[1:] != codes[:-1]) | \
+            (doc_of[1:] != doc_of[:-1])
+        starts = np.nonzero(boundary)[0]
+        rid = np.cumsum(boundary) - 1
+        run_len = np.bincount(rid).astype(np.int64)
+        run_doc = doc_of[starts]
+        doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        run_st = starts - doc_off[run_doc]   # in-doc start (tie-break)
+        order = np.lexsort((run_st, -run_len, run_doc))
+        first = np.ones(len(order), bool)
+        first[1:] = run_doc[order][1:] != run_doc[order][:-1]
+        sel = order[first]
+        return pa.table({
+            "doc_id": b["doc_id"].take(pa.array(run_doc[sel])),
+            "max_run": pa.array(run_len[sel], pa.int64()),
+            "run_kind": pa.array(vocab[codes[starts[sel]]].tolist(),
+                                 pa.string()),
+        })
+
+    return docs.map_batches(runs, batch_format="pyarrow")
+
+
 def q_zscore_events(sf_dir: str):
     """Per-event-type first/second moments (count, mean, population std)
     as one streaming pass of per-block partials (n, Σv, Σv²) + a tiny
@@ -2109,6 +2165,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "geohash_cells": q_geohash_cells,
     "span_stats": q_span_stats,
+    "span_type_runs": q_span_type_runs,
     "zscore_events": q_zscore_events,
     "sample_fixed_k": q_sample_fixed_k,
     "label_centroids": q_label_centroids,
@@ -2649,6 +2706,25 @@ SELECT doc_id,
             AS BIGINT) AS text_chars,
        CAST(MAX("offset") AS BIGINT) AS max_offset
 FROM s GROUP BY doc_id""",
+    "span_type_runs": f"""
+WITH s AS (
+  SELECT doc_id,
+         UNNEST(list_transform(spans, x -> x.kind)) AS kind,
+         UNNEST(generate_series(1, len(spans))) AS pos
+  FROM read_parquet('{ORACLE_CORPUS}/documents.parquet')),
+i AS (SELECT doc_id, kind, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, kind
+                                      ORDER BY pos) AS grp
+      FROM s),
+runs AS (SELECT doc_id, kind, CAST(COUNT(*) AS BIGINT) AS rl,
+                MIN(pos) AS st
+         FROM i GROUP BY doc_id, kind, grp),
+best AS (SELECT doc_id, kind, rl,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY rl DESC, st) AS rn
+         FROM runs)
+SELECT doc_id, rl AS max_run, kind AS run_kind
+FROM best WHERE rn = 1""",
     "zscore_events": """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -58,3 +58,40 @@ def test_tile_writer_fs_seam(tmp_path):
     import gzip
 
     assert gzip.decompress((tmp_path / "3" / "4" / "6.mvt.gz").read_bytes()) == b"abcabcabc"
+
+
+def test_span_type_runs_brute_force(ray_session):
+    """Longest same-kind run per doc == scalar RLE over the interleaved
+    spans (earliest-run tie-break)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from grandine_ray.pipelines.queries import q_span_type_runs
+    from grandine_ray.sources import synth
+
+    SF = "/root/testdata/sf0.001"
+    corpus = synth.corpus_for_sf(SF)
+    want = {}
+    for f in sorted(glob.glob(f"{corpus}/documents/*.parquet")):
+        t = pq.read_table(f, columns=["doc_id", "spans"])
+        for did, spans in zip(t["doc_id"].to_pylist(),
+                              t["spans"].to_pylist()):
+            if not spans:
+                continue
+            best = (0, 0, None)  # (len, -start, kind) maximized
+            cur_k, cur_len, cur_st = None, 0, 0
+            for i, sp in enumerate(spans + [{"kind": None}]):
+                k = sp["kind"]
+                if k == cur_k:
+                    cur_len += 1
+                    continue
+                if cur_k is not None and \
+                        (cur_len, -cur_st) > (best[0], best[1]):
+                    best = (cur_len, -cur_st, cur_k)
+                cur_k, cur_len, cur_st = k, 1, i
+            want[did] = (best[0], best[2])
+    got = q_span_type_runs(SF).to_pandas()
+    mine = {r.doc_id: (r.max_run, r.run_kind) for r in got.itertuples()}
+    assert mine == want
+    assert len(mine) > 0
