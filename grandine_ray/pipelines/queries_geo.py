@@ -127,6 +127,75 @@ def q_layer_tile_overlap(sf_dir: str):
     return pr.map_batches(split, batch_format="pyarrow")
 
 
+def q_layer_tile_jaccard(sf_dir: str):
+    """Layer joinability score: Jaccard similarity of every layer
+    pair's occupied base-zoom tile SETS, in exact ppm
+    (|A∩B|·1e6 // (|A|+|B|−|A∩B|)) — the normalized version of
+    layer_tile_overlap a spatial catalog actually ranks by.
+    Composition: the same (layer, tile) dedup + pair expansion, plus a
+    per-layer tile count that is layer-domain sized and broadcast into
+    the final ratio map (layers are bounded; tiles are not)."""
+    got = q_layer_tile_overlap(sf_dir).take_all()
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.coverage import make_coverage_fn
+    from .queries import _features_ds
+
+    Z = ROLLUP_BASE_Z
+
+    def lt_partial(b: pa.Table) -> pa.Table:
+        key = b["tile_key"].to_numpy(zero_copy_only=False).view(np.int64)
+        layer = b["layer"]
+        if isinstance(layer, pa.ChunkedArray):
+            layer = layer.combine_chunks()
+        fused = pc.binary_join_element_wise(
+            layer, pa.array(key.astype("U"), pa.string()), "\x1f")
+        uniq = pc.unique(fused)
+        return pa.table({"lt": uniq,
+                         "one": pa.array(np.ones(len(uniq), np.int64),
+                                         pa.int64())})
+
+    def to_layer(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["lt"], "\x1f")
+        lay = pc.list_element(parts, 0)
+        if isinstance(lay, pa.ChunkedArray):
+            lay = lay.combine_chunks()
+        enc = pc.dictionary_encode(lay)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "layer": enc.dictionary,
+            "n": pa.array(np.bincount(codes,
+                                      minlength=len(enc.dictionary))
+                          .astype(np.int64), pa.int64()),
+        })
+
+    per_layer = {
+        r["layer"]: r["n"]
+        for r in _features_ds(sf_dir).map_batches(
+            make_coverage_fn([Z]), batch_format="pyarrow")
+        .map_batches(lt_partial, batch_format="pyarrow")
+        .groupby("lt").aggregate(Sum("one", alias_name="one"))
+        .map_batches(to_layer, batch_format="pyarrow")
+        .groupby("layer").aggregate(Sum("n", alias_name="n"))
+        .take_all()}
+    la, lb, inter, jac = [], [], [], []
+    for r in sorted(got, key=lambda r: (r["layer_a"], r["layer_b"])):
+        a, b, i = r["layer_a"], r["layer_b"], r["n_shared_tiles"]
+        union = per_layer[a] + per_layer[b] - i
+        la.append(a)
+        lb.append(b)
+        inter.append(i)
+        jac.append(i * 1_000_000 // union)
+    return pa.table({
+        "layer_a": pa.array(la, pa.string()),
+        "layer_b": pa.array(lb, pa.string()),
+        "n_shared_tiles": pa.array(inter, pa.int64()),
+        "jaccard_ppm": pa.array(jac, pa.int64()),
+    })
+
+
 def q_tile_skew(sf_dir: str):
     """Tile-occupancy skew profile: per zoom level, exact quartiles and
     max of the per-tile feature count — the statistic that DECIDES the
@@ -657,6 +726,7 @@ QUERIES_GEO = {
     "nn_dist": q_nn_dist,
     "pair_octants": q_pair_octants,
     "min_cross_layer_dist": q_min_cross_layer_dist,
+    "layer_tile_jaccard": q_layer_tile_jaccard,
 }
 
 
@@ -703,6 +773,40 @@ FROM lt a JOIN lt b ON a.x = b.x AND a.y = b.y AND a.layer < b.layer
 GROUP BY a.layer, b.layer"""
     )
 
+    _lt_cte = (
+        _BBOX_CTE
+        + f"""
+, zz AS (SELECT UNNEST([{ROLLUP_BASE_Z}]) AS z)
+, ranges AS (
+  SELECT g.layer,
+         """
+        + _TILE_XY.format(lon="g.bbox_minx") + " AS x1,\n         "
+        + _TILE_XY.format(lon="g.bbox_maxx") + " AS x2,\n         "
+        + _TILE_Y.format(lat="g.bbox_maxy") + " AS y1,\n         "
+        + _TILE_Y.format(lat="g.bbox_miny") + """ AS y2
+  FROM g CROSS JOIN zz
+)
+, xs AS (
+  SELECT layer, UNNEST(generate_series(x1, x2)) AS x, y1, y2 FROM ranges
+)
+, cov AS (
+  SELECT layer, x, UNNEST(generate_series(y1, y2)) AS y FROM xs
+)
+, lt AS (SELECT DISTINCT layer, x, y FROM cov)"""
+    )
+
+    jaccard_sql = _lt_cte + """
+, lc AS (SELECT layer, CAST(COUNT(*) AS BIGINT) AS n
+         FROM lt GROUP BY 1)
+SELECT a.layer AS layer_a, b.layer AS layer_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_tiles,
+       CAST(COUNT(*) * 1000000 // (la.n + lb.n - COUNT(*)) AS BIGINT)
+         AS jaccard_ppm
+FROM lt a JOIN lt b ON a.x = b.x AND a.y = b.y AND a.layer < b.layer
+JOIN lc la ON la.layer = a.layer
+JOIN lc lb ON lb.layer = b.layer
+GROUP BY a.layer, b.layer, la.n, lb.n"""
+
     tile_skew_sql = _COVERAGE_CTE + """
 , per AS (SELECT z, x, y, CAST(COUNT(*) AS BIGINT) AS n
           FROM cov GROUP BY z, x, y)
@@ -740,6 +844,7 @@ HAVING MIN(CAST(FLOOR({hav_ab} * 1000.0 + 0.5) AS BIGINT))
 
     return {
         "layer_tile_overlap": layer_overlap_sql,
+        "layer_tile_jaccard": jaccard_sql,
         "tile_skew": tile_skew_sql,
         "radius_join": radius_sql,
         "ripley_k": ripley_sql,

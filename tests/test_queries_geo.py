@@ -258,3 +258,25 @@ def test_min_cross_layer_dist_brute_force(ray_session):
     mine = {(r.layer_a, r.layer_b): r.min_mm for r in got.itertuples()}
     assert mine == want
     assert len(mine) > 0
+
+
+def test_layer_tile_jaccard_consistency(ray_session):
+    """Jaccard row set == overlap row set; ratio recomputed from the
+    per-layer occupied-tile sets built brute-force."""
+    from grandine_ray.pipelines.queries import _features_ds
+    from grandine_ray.stages.coverage import make_coverage_fn
+
+    Z = queries_geo.ROLLUP_BASE_Z
+    tiled = _features_ds(SF).map_batches(
+        make_coverage_fn([Z]), batch_format="pyarrow").to_pandas()
+    occ: dict[str, set] = {}
+    for layer, key in zip(tiled["layer"], tiled["tile_key"]):
+        occ.setdefault(layer, set()).add(int(key))
+    got = queries_geo.q_layer_tile_jaccard(SF).to_pandas()
+    assert len(got) > 0
+    for r in got.itertuples():
+        inter = len(occ[r.layer_a] & occ[r.layer_b])
+        union = len(occ[r.layer_a] | occ[r.layer_b])
+        assert r.n_shared_tiles == inter
+        assert r.jaccard_ppm == inter * 1_000_000 // union
+        assert 0 < r.jaccard_ppm <= 1_000_000
