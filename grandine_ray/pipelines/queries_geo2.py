@@ -495,8 +495,68 @@ def q_bbox_overlap_area(sf_dir: str):
     return agg.map_batches(split, batch_format="pyarrow")
 
 
+def q_path_turn_count(sf_dir: str):
+    """Per-trajectory direction-change count: the number of consecutive
+    linestring segment pairs whose compass OCTANT class differs — an
+    exact integer sinuosity signal (straight GPS traces ≈ 0 turns,
+    wandering ones ≈ n_segments) using the same sign/|Δ| octant
+    classifier as segment_octants, so no angle float ever crosses
+    engines. Pure map_batches over the WKB decode path, no shuffle;
+    DuckDB mirror is LAG(octant) per (doc, span)."""
+    from .queries import _features_ds
+
+    lines = _features_ds(sf_dir).filter(expr="geom_type == 2")
+
+    def turns(b: pa.Table) -> pa.Table:
+        blobs = [v.as_py() for v in b["geom_wkb"]]
+        gb = wkbmod.decode_wkb_batch(blobs)
+        ro = np.asarray(gb.ring_offsets, np.int64)
+        go = np.asarray(gb.geom_offsets, np.int64)
+        total = len(gb.coords)
+        m = len(go) - 1
+        xi = np.floor(gb.coords[:, 0] * 1e6 + 0.5).astype(np.int64)
+        yi = np.floor(gb.coords[:, 1] * 1e6 + 0.5).astype(np.int64)
+        is_last = np.zeros(total, bool)
+        if total:
+            is_last[ro[1:] - 1] = True
+        s = np.nonzero(~is_last)[0]
+        dx = xi[s + 1] - xi[s]
+        dy = yi[s + 1] - yi[s]
+        q = np.where(dx >= 0, np.where(dy >= 0, 0, 3),
+                     np.where(dy >= 0, 1, 2))
+        octant = 2 * q + (np.abs(dy) > np.abs(dx)).astype(np.int64)
+        octant[(dx == 0) & (dy == 0)] = 8
+        ring_of_seg = np.searchsorted(ro, s, side="right") - 1
+        geom_of_ring = np.searchsorted(go, np.arange(len(ro) - 1),
+                                       side="right") - 1
+        geom_of_seg = geom_of_ring[ring_of_seg]
+        n_segs = np.bincount(geom_of_seg, minlength=m).astype(np.int64)
+        # a turn: consecutive segments in the SAME ring with different
+        # octant classes
+        same_ring = np.zeros(len(s), bool)
+        if len(s) > 1:
+            same_ring[1:] = (ring_of_seg[1:] == ring_of_seg[:-1]) & \
+                (s[1:] == s[:-1] + 1)
+        turn = np.zeros(len(s), bool)
+        if len(s) > 1:
+            turn[1:] = same_ring[1:] & (octant[1:] != octant[:-1])
+        n_turns = np.bincount(geom_of_seg[turn], minlength=m) \
+            .astype(np.int64)
+        keep = n_segs > 0
+        sel = pa.array(np.nonzero(keep)[0])
+        return pa.table({
+            "doc_id": b["doc_id"].take(sel),
+            "span_idx": pc.cast(b["span_idx"], pa.int64()).take(sel),
+            "n_segments": pa.array(n_segs[keep], pa.int64()),
+            "n_turns": pa.array(n_turns[keep], pa.int64()),
+        })
+
+    return lines.map_batches(turns, batch_format="pyarrow")
+
+
 QUERIES_GEO2 = {
     "kde_heatmap": q_kde_heatmap,
+    "path_turn_count": q_path_turn_count,
     "convex_hull": q_convex_hull,
     "segment_octants": q_segment_octants,
     "contour_cells": q_contour_cells,
@@ -605,8 +665,51 @@ SELECT layer, CAST(octant AS BIGINT) AS octant,
        CAST(COUNT(*) AS BIGINT) AS n_segments
 FROM cls GROUP BY layer, octant"""
 
+    turn_sql = f"""
+WITH lb AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, xs, ys
+  FROM {_GEOMS} WHERE geom_type = 2
+),
+verts AS (
+  SELECT doc_id, span_idx,
+         CAST(FLOOR(UNNEST(xs) * 1000000 + 0.5) AS BIGINT) AS xi,
+         CAST(FLOOR(UNNEST(ys) * 1000000 + 0.5) AS BIGINT) AS yi,
+         UNNEST(generate_series(1, len(xs))) AS pos
+  FROM lb
+),
+segs AS (
+  SELECT v.doc_id, v.span_idx, v.pos,
+         w.xi - v.xi AS dx, w.yi - v.yi AS dy
+  FROM verts v
+  JOIN verts w ON w.doc_id = v.doc_id AND w.span_idx = v.span_idx
+              AND w.pos = v.pos + 1
+),
+cls AS (
+  SELECT doc_id, span_idx, pos,
+         CASE WHEN dx = 0 AND dy = 0 THEN 8
+              ELSE 2 * (CASE WHEN dx >= 0 AND dy >= 0 THEN 0
+                             WHEN dx < 0 AND dy >= 0 THEN 1
+                             WHEN dx < 0 AND dy < 0 THEN 2
+                             ELSE 3 END)
+                   + (CASE WHEN ABS(dy) > ABS(dx) THEN 1 ELSE 0 END)
+         END AS octant
+  FROM segs
+),
+lagd AS (
+  SELECT doc_id, span_idx, octant,
+         LAG(octant) OVER (PARTITION BY doc_id, span_idx
+                           ORDER BY pos) AS prev
+  FROM cls
+)
+SELECT doc_id, span_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) FILTER (prev IS NOT NULL AND octant <> prev)
+            AS BIGINT) AS n_turns
+FROM lagd GROUP BY doc_id, span_idx"""
+
     return {
         "kde_heatmap": kde_sql,
+        "path_turn_count": turn_sql,
         "segment_octants": octants_sql,
         "contour_cells": contour_sql,
         "bbox_overlap_area": overlap_sql,

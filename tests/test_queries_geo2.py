@@ -209,3 +209,45 @@ def test_segment_octants_brute(ray_session):
     got_map = {(r.layer, int(r.octant)): int(r.n_segments)
                for r in got.itertuples()}
     assert got_map == cnt
+
+
+def test_path_turn_count_brute(ray_session):
+    """Turn counts == scalar octant-walk over ground-truth vertices."""
+    g = _geoms()
+    want = {}
+    for did, sidx, gt, xs, ys, ring in zip(
+            g["doc_id"], g["span_idx"], g["geom_type"], g["xs"],
+            g["ys"], g["ring_of"]):
+        if gt != 2:
+            continue
+        octs = []
+        xi = [int(math.floor(x * 1e6 + 0.5)) for x in xs]
+        yi = [int(math.floor(y * 1e6 + 0.5)) for y in ys]
+        for i in range(len(xi) - 1):
+            if ring[i] != ring[i + 1]:
+                octs.append(None)  # ring break marker
+                continue
+            dx, dy = xi[i + 1] - xi[i], yi[i + 1] - yi[i]
+            if dx == 0 and dy == 0:
+                octs.append(8)
+                continue
+            q = (0 if dy >= 0 else 3) if dx >= 0 else \
+                (1 if dy >= 0 else 2)
+            octs.append(2 * q + (1 if abs(dy) > abs(dx) else 0))
+        segs = [o for o in octs if o is not None]
+        turns = 0
+        prev = None
+        for o in octs:
+            if o is None:
+                prev = None
+                continue
+            if prev is not None and o != prev:
+                turns += 1
+            prev = o
+        if segs:
+            want[(did, sidx)] = (len(segs), turns)
+    got = queries_geo2.q_path_turn_count(SF).to_pandas()
+    mine = {(r.doc_id, r.span_idx): (r.n_segments, r.n_turns)
+            for r in got.itertuples()}
+    assert mine == want
+    assert len(mine) > 0
