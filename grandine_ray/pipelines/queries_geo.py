@@ -196,6 +196,112 @@ def q_layer_tile_jaccard(sf_dir: str):
     })
 
 
+def q_layer_contact(sf_dir: str):
+    """Cross-layer contact surface: for every ORDERED layer pair
+    (A, B), how many of A's occupied base-zoom tiles have at least one
+    B-occupied tile in their 3×3 neighborhood (self cell included) —
+    the raster boundary-adjacency statistic ('how much of the building
+    layer touches water'). Distributed shape: the (layer, tile)
+    distinct domain fans out 9 influence cells per (B, tile), dedups,
+    and one tile-hash-partitioned join against the same domain counts
+    (A-tile, B) hits — both sides are the occupied-tile domain, the
+    corpus never moves twice."""
+    from ray.data.aggregate import Sum
+
+    from ..index import xyz
+    from ..stages.coverage import make_coverage_fn
+    from .queries import _features_ds
+
+    Z = ROLLUP_BASE_Z
+    tiled = _features_ds(sf_dir).map_batches(
+        make_coverage_fn([Z]), batch_format="pyarrow")
+
+    def lt_partial(b: pa.Table) -> pa.Table:
+        key = b["tile_key"].to_numpy(zero_copy_only=False).view(np.int64)
+        layer = b["layer"]
+        if isinstance(layer, pa.ChunkedArray):
+            layer = layer.combine_chunks()
+        fused = pc.binary_join_element_wise(
+            layer, pa.array(key.astype("U"), pa.string()), "\x1f")
+        uniq = pc.unique(fused)
+        return pa.table({"lt": uniq,
+                         "one": pa.array(np.ones(len(uniq), np.int64),
+                                         pa.int64())})
+
+    lt = tiled.map_batches(lt_partial, batch_format="pyarrow") \
+        .groupby("lt").aggregate(Sum("one", alias_name="one"))
+
+    def expand(b: pa.Table) -> pa.Table:
+        """Each (layer, tile) row → 1 'own' row at its cell + 9
+        'influence' rows over the neighborhood (shifted +1 to stay
+        non-negative at grid edges)."""
+        parts = pc.split_pattern(b["lt"], "\x1f")
+        lay = pc.list_element(parts, 0)
+        if isinstance(lay, pa.ChunkedArray):
+            lay = lay.combine_chunks()
+        key = np.asarray(
+            _col(pc.list_element(parts, 1)).to_pylist(), "U") \
+            .astype(np.int64)
+        _, x, y = xyz.tile_key_unpack(key.view(np.uint64))
+        n = len(key)
+        ks, sides = [], []
+        own = ((x + 1) << 32) | (y + 1)
+        ks.append(own)
+        sides.append(np.zeros(n, np.int8))
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                ks.append(((x + dx) << 32) | (y + dy))
+                sides.append(np.ones(n, np.int8))
+        rep = pa.array(np.tile(np.arange(n), 10))
+        return pa.table({
+            "cell": pa.array(np.concatenate(ks), pa.int64()),
+            "side": pa.array(np.concatenate(sides), pa.int8()),
+            "layer": pa.concat_arrays([lay] + [lay.take(
+                pa.array(np.arange(n)))] * 9),
+        })
+
+    def addpart(b: pa.Table) -> pa.Table:
+        c = b["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = ((c * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)) \
+            % np.uint64(32)
+        return b.append_column("_part", pa.array(p.astype(np.int32),
+                                                 pa.int32()))
+
+    def contact(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lay = np.asarray(_col(t["layer"]).to_pylist(), object)
+        order = np.lexsort((side, cell))
+        cell, side, lay = cell[order], side[order], lay[order]
+        starts = np.searchsorted(cell, np.unique(cell), "left")
+        bounds = np.append(starts, len(cell))
+        cnt: dict = {}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            nl = int(np.searchsorted(side[s:e], 1, "left"))
+            if nl == 0 or nl == e - s:
+                continue
+            owns = lay[s:s + nl]
+            infl = set(lay[s + nl:e])
+            for a in owns:
+                for b2 in infl:
+                    if a != b2:
+                        k = (a, b2)
+                        cnt[k] = cnt.get(k, 0) + 1
+        items = sorted(cnt.items())
+        return pa.table({
+            "layer_a": pa.array([a for (a, _), _ in items], pa.string()),
+            "layer_b": pa.array([b2 for (_, b2), _ in items],
+                                pa.string()),
+            "n": pa.array([v for _, v in items], pa.int64()),
+        })
+
+    return lt.map_batches(expand, batch_format="pyarrow") \
+        .map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(contact, batch_format="pyarrow") \
+        .groupby(["layer_a", "layer_b"]) \
+        .aggregate(Sum("n", alias_name="n_contact_tiles"))
+
+
 def q_tile_skew(sf_dir: str):
     """Tile-occupancy skew profile: per zoom level, exact quartiles and
     max of the per-tile feature count — the statistic that DECIDES the
@@ -727,6 +833,7 @@ QUERIES_GEO = {
     "pair_octants": q_pair_octants,
     "min_cross_layer_dist": q_min_cross_layer_dist,
     "layer_tile_jaccard": q_layer_tile_jaccard,
+    "layer_contact": q_layer_contact,
 }
 
 
@@ -845,6 +952,15 @@ HAVING MIN(CAST(FLOOR({hav_ab} * 1000.0 + 0.5) AS BIGINT))
     return {
         "layer_tile_overlap": layer_overlap_sql,
         "layer_tile_jaccard": jaccard_sql,
+        "layer_contact": _lt_cte + """
+SELECT a.layer AS layer_a, b.layer AS layer_b,
+       CAST(COUNT(DISTINCT a.x * 4294967296 + a.y) AS BIGINT)
+         AS n_contact_tiles
+FROM lt a JOIN lt b
+  ON b.x BETWEEN a.x - 1 AND a.x + 1
+ AND b.y BETWEEN a.y - 1 AND a.y + 1
+ AND a.layer <> b.layer
+GROUP BY 1, 2""",
         "tile_skew": tile_skew_sql,
         "radius_join": radius_sql,
         "ripley_k": ripley_sql,

@@ -280,3 +280,33 @@ def test_layer_tile_jaccard_consistency(ray_session):
         assert r.n_shared_tiles == inter
         assert r.jaccard_ppm == inter * 1_000_000 // union
         assert 0 < r.jaccard_ppm <= 1_000_000
+
+
+def test_layer_contact_brute_force(ray_session):
+    """Contact counts == set recompute over engine tile assignments."""
+    from grandine_ray.index import xyz
+    from grandine_ray.pipelines.queries import _features_ds
+    from grandine_ray.stages.coverage import make_coverage_fn
+
+    Z = queries_geo.ROLLUP_BASE_Z
+    tiled = _features_ds(SF).map_batches(
+        make_coverage_fn([Z]), batch_format="pyarrow").to_pandas()
+    occ: dict[str, set] = {}
+    for layer, key in zip(tiled["layer"], tiled["tile_key"]):
+        _, x, y = xyz.tile_key_unpack(np.array([key], np.uint64))
+        occ.setdefault(layer, set()).add((int(x[0]), int(y[0])))
+    want = {}
+    for a, ta in occ.items():
+        for b, tb in occ.items():
+            if a == b:
+                continue
+            n = sum(1 for (x, y) in ta
+                    if any((x + dx, y + dy) in tb
+                           for dx in (-1, 0, 1) for dy in (-1, 0, 1)))
+            if n:
+                want[(a, b)] = n
+    got = queries_geo.q_layer_contact(SF).to_pandas()
+    mine = {(r.layer_a, r.layer_b): r.n_contact_tiles
+            for r in got.itertuples()}
+    assert mine == want
+    assert len(mine) > 0
