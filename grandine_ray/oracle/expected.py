@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v15"  # v15: +k_core (v14: +convex_hull)
+_VERSION = "v16"  # v16: +component_diameters (v15: +k_core)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -965,6 +965,61 @@ def expected_k_core(corpus_dir) -> pa.Table:
     })
 
 
+def expected_component_diameters(corpus_dir) -> pa.Table:
+    """Independent component-shape census: scalar mercator tiles,
+    python-set BFS components and textbook per-node BFS diameters."""
+    import math
+    from collections import deque
+
+    occ = set()
+    z = 10
+    n2 = float(2 ** z)
+    for _d, _s, gt, rings in _geom_rows(corpus_dir):
+        if gt != 1:
+            continue
+        lon, lat = rings[0][0]
+        lat = min(max(lat, -85.0511287), 85.0511287)
+        lr = math.radians(lat)
+        x = math.floor((lon + 180.0) / 360.0 * n2)
+        y = math.floor((1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr))
+                        / math.pi) / 2.0 * n2)
+        occ.add((int(min(max(x, 0), n2 - 1)), int(min(max(y, 0), n2 - 1))))
+
+    def nbrs(v):
+        return [(v[0] + dx, v[1] + dy) for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0) and (v[0] + dx, v[1] + dy) in occ]
+
+    def bfs(src, comp=None):
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for w in nbrs(u):
+                if w not in dist and (comp is None or w in comp):
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        return dist
+
+    seen, hist = set(), {}
+    for v in occ:
+        if v in seen:
+            continue
+        comp = set(bfs(v))
+        seen |= comp
+        diam = 0
+        for u in comp:
+            diam = max(diam, max(bfs(u, comp).values()))
+        k = (len(comp), diam)
+        hist[k] = hist.get(k, 0) + 1
+    items = sorted(hist.items())
+    return pa.table({
+        "n_tiles": pa.array([s for (s, _), _ in items], pa.int64()),
+        "diameter": pa.array([d for (_, d), _ in items], pa.int64()),
+        "n_components": pa.array([c for _, c in items], pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "lang_confusion": ("docs", expected_lang_confusion),
@@ -988,6 +1043,7 @@ GENERATORS = {
     "type_pagerank": ("events", expected_type_pagerank),
     "convex_hull": ("corpus", expected_convex_hull),
     "k_core": ("corpus", expected_k_core),
+    "component_diameters": ("corpus", expected_component_diameters),
 }
 
 

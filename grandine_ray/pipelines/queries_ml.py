@@ -792,6 +792,79 @@ def q_degree_census(sf_dir: str):
                      "n_tiles": pa.array(c.astype(np.int64), pa.int64())})
 
 
+DIAM_NODE_CAP = 4096  # exact all-pairs BFS guard per component
+
+
+def q_component_diameters(sf_dir: str):
+    """Connected-component shape census of the occupied tile grid:
+    for every 8-connected component, its size and EXACT graph diameter
+    (max BFS eccentricity), histogrammed as (n_tiles, diameter,
+    n_components) — the cluster-elongation profile (a diameter ≈ size
+    component is a road-like string, diameter ≈ √size a blob). Exact
+    all-pairs BFS per component with a loud DIAM_NODE_CAP guard (at
+    scale the double-sweep lower bound replaces exactness — documented
+    divergence, not silent). Oracle: independent scalar BFS in
+    oracle/expected.py over the ground-truth vertex table."""
+    terms = _grid_autocorr_terms(sf_dir)
+    if terms is None:
+        return pa.table({"n_tiles": pa.array([], pa.int64()),
+                         "diameter": pa.array([], pa.int64()),
+                         "n_components": pa.array([], pa.int64())})
+    _N, k_i, _n_i, _nb_i, _deg_i, _nb2_i, _S = terms
+    keys = np.sort(k_i)
+    nbr_idx, nbr_ok = _packed_adjacency(keys)
+    N = len(keys)
+
+    def bfs(start_set: np.ndarray, restrict: np.ndarray | None = None):
+        """Vectorized frontier BFS; returns dist array (-1 where
+        unreached)."""
+        dist = np.full(N, -1, np.int64)
+        dist[start_set] = 0
+        frontier = start_set
+        d = 0
+        while len(frontier):
+            d += 1
+            nxt = []
+            for dd in range(8):
+                ok = nbr_ok[dd][frontier]
+                nxt.append(nbr_idx[dd][frontier][ok])
+            cand = np.unique(np.concatenate(nxt)) if nxt else \
+                np.empty(0, np.int64)
+            cand = cand[dist[cand] < 0]
+            dist[cand] = d
+            frontier = cand
+        return dist
+
+    seen = np.zeros(N, bool)
+    hist: dict = {}
+    isolated = ~nbr_ok.any(axis=0)   # singleton fast path: most of a
+    n_iso = int(isolated.sum())      # sparse grid is isolated tiles
+    if n_iso:
+        hist[(1, 0)] = n_iso
+        seen[isolated] = True
+    for v in range(N):
+        if seen[v]:
+            continue
+        dist = bfs(np.asarray([v], np.int64))
+        comp = np.nonzero(dist >= 0)[0]
+        seen[comp] = True
+        if len(comp) > DIAM_NODE_CAP:
+            raise ValueError("component_diameters: component exceeds "
+                             f"DIAM_NODE_CAP={DIAM_NODE_CAP}")
+        diam = 0
+        for u in comp:
+            du = bfs(np.asarray([u], np.int64))
+            diam = max(diam, int(du[comp].max()))
+        k = (len(comp), diam)
+        hist[k] = hist.get(k, 0) + 1
+    items = sorted(hist.items())
+    return pa.table({
+        "n_tiles": pa.array([s for (s, _), _ in items], pa.int64()),
+        "diameter": pa.array([d for (_, d), _ in items], pa.int64()),
+        "n_components": pa.array([c for _, c in items], pa.int64()),
+    })
+
+
 DT_CAP = 256  # BFS depth guard (components are cluster-sized at z-10)
 
 
@@ -2362,6 +2435,7 @@ QUERIES_ML = {
     "layer_centroids": q_layer_centroids,
     "degree_census": q_degree_census,
     "k_core": q_k_core,
+    "component_diameters": q_component_diameters,
     "grid_distance_transform": q_grid_distance_transform,
     "rfm_segments": q_rfm_segments,
     "customer_order_full": q_customer_order_full,
@@ -3105,4 +3179,7 @@ WHERE ia.l_partkey = t.pa AND ib.l_partkey = t.pb""",
             "SELECT * FROM read_parquet('/tmp/graft_expected/target_affinity.parquet')",
         "k_core":
             "SELECT * FROM read_parquet('/tmp/graft_expected/k_core.parquet')",
+        "component_diameters":
+            "SELECT * FROM read_parquet("
+            "'/tmp/graft_expected/component_diameters.parquet')",
     }

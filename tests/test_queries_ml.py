@@ -1064,3 +1064,21 @@ def test_lang_centroids_brute_force(ray_session):
         # final-scalar micro rounding: allow 1 ulp-induced off-by-one
         assert (np.abs(g.centroid_micro.values - want) <= 1).all()
         assert (g.centroid_micro.values == want).mean() > 0.95
+
+
+def test_component_diameters_vs_expected(ray_session):
+    """Engine census == independent scalar BFS at sf0.001, plus shape
+    invariants (diameter < size; singletons have diameter 0)."""
+    from grandine_ray.oracle.expected import expected_component_diameters
+    from grandine_ray.sources import synth
+
+    corpus = synth.corpus_for_sf(SF)
+    want = expected_component_diameters(corpus).to_pandas()
+    got = queries_ml.q_component_diameters(SF).to_pandas()
+    g = sorted(map(tuple, got.values.tolist()))
+    w = sorted(map(tuple, want.values.tolist()))
+    assert g == w and len(g) > 0
+    for r in got.itertuples():
+        assert r.diameter < max(r.n_tiles, 1) or r.n_tiles == 1
+        if r.n_tiles == 1:
+            assert r.diameter == 0
