@@ -855,6 +855,71 @@ def q_dow_seasonality(sf_dir: str):
     })
 
 
+EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
+                   "signup": 8, "view": 16}
+
+
+def q_behavior_census(sf_dir: str):
+    """Behavioral segmentation census: (user, day) sessions grouped by
+    the exact SET of event types triggered that day (bitmask over the
+    fixed type domain) — 'how many user-days view but never purchase'
+    and every other daily segment in one table. Distributed OR without
+    a BitOr aggregate: the (user-day, type) domain dedups per block
+    and globally, each distinct pair contributes its type bit once, so
+    a plain Sum IS the bitwise OR; the final census groups the
+    session-domain masks. Unknown event types fail loudly (the bit
+    table is part of the contract)."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        us = _np(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        day = us // US_PER_DAY
+        uid = _np(b["user_id"]).astype(np.int64)
+        # user-day key: uid << 20 | (day & 0xFFFFF) — synth days are a
+        # narrow contiguous range, no collision within it
+        ud = (uid << 20) | (day & 0xFFFFF)
+        et = _chunk(b["event_type"])
+        fused = pc.binary_join_element_wise(
+            pa.array(ud.astype("U"), pa.string()), et, "\x1f")
+        uniq = _chunk(pc.unique(fused))
+        parts = pc.split_pattern(uniq, "\x1f")
+        u = np.asarray(_chunk(pc.list_element(parts, 0)).to_pylist(),
+                       "U").astype(np.int64)
+        t = _chunk(pc.list_element(parts, 1)).to_pylist()
+        try:
+            bits = np.asarray([EVENT_TYPE_BITS[x] for x in t], np.int64)
+        except KeyError as e:
+            raise ValueError(f"behavior_census: unknown event type {e}")
+        return pa.table({"ud": pa.array(u, pa.int64()),
+                         "bit": pa.array(bits, pa.int64()),
+                         "one": pa.array(np.ones(len(u), np.int64),
+                                         pa.int64())})
+
+    # global (user-day, bit) dedup first — a pair seen in many blocks
+    # must contribute its bit ONCE
+    ub = ev.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["ud", "bit"]).aggregate(Sum("one", alias_name="one"))
+
+    def to_mask(b: pa.Table) -> pa.Table:
+        return pa.table({"ud": b["ud"],
+                         "bit": pc.cast(b["bit"], pa.int64())})
+
+    masks = ub.map_batches(to_mask, batch_format="pyarrow") \
+        .groupby("ud").aggregate(Sum("bit", alias_name="mask"))
+
+    def census(b: pa.Table) -> pa.Table:
+        m, c = np.unique(b["mask"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"mask": pa.array(m, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    return masks.map_batches(census, batch_format="pyarrow") \
+        .groupby("mask").aggregate(Sum("n", alias_name="n_user_days"))
+
+
 def q_changepoint(sf_dir: str):
     """Per-event-type CUSUM changepoint on the daily count series: the
     day k (among the type's observed days, ordered) maximizing
@@ -895,6 +960,7 @@ QUERIES_TS = {
     "peak_hour": q_peak_hour,
     "locf_fill": q_locf_fill,
     "dow_seasonality": q_dow_seasonality,
+    "behavior_census": q_behavior_census,
     "rolling_median": q_rolling_median,
     "new_users_daily": q_new_users_daily,
     "vocab_coverage": q_vocab_coverage,
@@ -926,6 +992,19 @@ SELECT event_type,
        CAST(COUNT(*) * SUM(d * d) - SUM(d) * SUM(d) AS BIGINT)
          AS slope_den
 FROM dc GROUP BY event_type""",
+    "behavior_census": """
+WITH ut AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                   event_type
+            FROM events),
+b AS (SELECT user_id, d,
+             CAST(SUM(CASE event_type
+                      WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                      WHEN 'view' THEN 16 END) AS BIGINT) AS mask
+      FROM ut GROUP BY 1, 2)
+SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM b GROUP BY mask""",
     "locf_fill": """
 WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
                   event_type FROM events),

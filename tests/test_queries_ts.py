@@ -279,3 +279,17 @@ def test_locf_and_dow_brute(ray_session):
         tot = sum(w.values())
         chi = sum((7 * w.get(k, 0) - tot) ** 2 for k in range(7))
         assert (dow.loc[t].n_events, dow.loc[t].chi2_num) == (tot, chi)
+
+
+def test_behavior_census_brute(ray_session):
+    ev = _events()
+    bits = queries_ts.EVENT_TYPE_BITS
+    masks: dict[tuple, int] = {}
+    for u, t, ts in zip(ev["user_id"], ev["event_type"], ev["ts"]):
+        us = np.datetime64(ts, "us").astype(np.int64)
+        k = (u, int(us // 86_400_000_000))
+        masks[k] = masks.get(k, 0) | bits[t]
+    want = Counter(masks.values())
+    got = queries_ts.q_behavior_census(SF).to_pandas()
+    assert dict(zip(got["mask"], got.n_user_days)) == dict(want)
+    assert int(got.n_user_days.sum()) == len(masks)
