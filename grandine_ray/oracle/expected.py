@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v16"  # v16: +component_diameters (v15: +k_core)
+_VERSION = "v17"  # v17: +layer_diameter, +segment_crossings (v16: +component_diameters)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -1020,6 +1020,118 @@ def expected_component_diameters(corpus_dir) -> pa.Table:
     })
 
 
+def expected_layer_diameter(corpus_dir) -> pa.Table:
+    """Independent farthest-pair ground truth: chunked ALL-PAIRS max
+    squared micro-degree distance per layer (no hull involved — the
+    pipeline's hull-of-hulls reduction is checked against brute
+    force)."""
+    import math
+
+    import numpy as np
+
+    t = pq.read_table(f"{corpus_dir}/geoms.parquet",
+                      columns=["layer", "xs", "ys"])
+    pts: dict[str, list] = {}
+    cols = t.to_pydict()
+    for lay, xs, ys in zip(cols["layer"], cols["xs"], cols["ys"]):
+        lst = pts.setdefault(lay, [])
+        for x, y in zip(xs, ys):
+            lst.append((math.floor(x * 1e6 + 0.5),
+                        math.floor(y * 1e6 + 0.5)))
+    out_l, out_d2, out_d = [], [], []
+    for lay in sorted(pts):
+        P = np.asarray(pts[lay], np.int64)
+        best = 0
+        for s in range(0, len(P), 2048):
+            c = P[s:s + 2048]
+            dx = c[:, 0][:, None] - P[:, 0][None, :]
+            dy = c[:, 1][:, None] - P[:, 1][None, :]
+            best = max(best, int((dx * dx + dy * dy).max()))
+        out_l.append(lay)
+        out_d2.append(best)
+        out_d.append(math.isqrt(best))
+    return pa.table({
+        "layer": pa.array(out_l, pa.string()),
+        "diam2_udeg2": pa.array(out_d2, pa.int64()),
+        "diam_udeg": pa.array(out_d, pa.int64()),
+    })
+
+
+def expected_segment_crossings(corpus_dir) -> pa.Table:
+    """Independent cross-layer segment-crossing census: chunked bbox
+    overlap candidate scan over ALL unordered segment pairs, then a
+    scalar exact integer predicate per candidate (sign-of-orientation
+    + collinear bbox test) — no grid, no canonical-cell logic."""
+    import numpy as np
+
+    t = pq.read_table(f"{corpus_dir}/geoms.parquet",
+                      columns=["geom_type", "layer", "xs", "ys"])
+    cols = t.to_pydict()
+    ax, ay, bx, by, lay = [], [], [], [], []
+    for gt, la, xs, ys in zip(cols["geom_type"], cols["layer"],
+                              cols["xs"], cols["ys"]):
+        if gt != 2:
+            continue
+        xi = [int(np.floor(x * 1e6 + 0.5)) for x in xs]
+        yi = [int(np.floor(y * 1e6 + 0.5)) for y in ys]
+        for i in range(len(xi) - 1):
+            ax.append(xi[i]); ay.append(yi[i])
+            bx.append(xi[i + 1]); by.append(yi[i + 1])
+            lay.append(la)
+    ax = np.asarray(ax, np.int64); ay = np.asarray(ay, np.int64)
+    bx = np.asarray(bx, np.int64); by = np.asarray(by, np.int64)
+    lay = np.asarray(lay, dtype=object)
+    mnx, mxx = np.minimum(ax, bx), np.maximum(ax, bx)
+    mny, mxy = np.minimum(ay, by), np.maximum(ay, by)
+    n = len(ax)
+
+    def sgn(v: int) -> int:
+        return (v > 0) - (v < 0)
+
+    def hit(i: int, j: int) -> bool:
+        p1 = (int(ax[i]), int(ay[i])); p2 = (int(bx[i]), int(by[i]))
+        p3 = (int(ax[j]), int(ay[j])); p4 = (int(bx[j]), int(by[j]))
+
+        def orient(p, q, r):
+            return sgn((q[0] - p[0]) * (r[1] - p[1])
+                       - (q[1] - p[1]) * (r[0] - p[0]))
+
+        def on(p, q, r):
+            return (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+                    and min(p[1], q[1]) <= r[1] <= max(p[1], q[1]))
+
+        d1, d2 = orient(p3, p4, p1), orient(p3, p4, p2)
+        d3, d4 = orient(p1, p2, p3), orient(p1, p2, p4)
+        if d1 * d2 < 0 and d3 * d4 < 0:
+            return True
+        return ((d1 == 0 and on(p3, p4, p1))
+                or (d2 == 0 and on(p3, p4, p2))
+                or (d3 == 0 and on(p1, p2, p3))
+                or (d4 == 0 and on(p1, p2, p4)))
+
+    counts: dict[tuple, int] = {}
+    for s in range(0, n, 1024):
+        e = min(s + 1024, n)
+        idx = np.arange(s, e)
+        ov = ((mnx[s:e, None] <= mxx[None, :])
+              & (mxx[s:e, None] >= mnx[None, :])
+              & (mny[s:e, None] <= mxy[None, :])
+              & (mxy[s:e, None] >= mny[None, :])
+              & (lay[s:e, None] != lay[None, :])
+              & (idx[:, None] < np.arange(n)[None, :]))
+        ii, jj = np.nonzero(ov)
+        for i, j in zip((ii + s).tolist(), jj.tolist()):
+            if hit(i, j):
+                k = (min(lay[i], lay[j]), max(lay[i], lay[j]))
+                counts[k] = counts.get(k, 0) + 1
+    items = sorted(counts.items())
+    return pa.table({
+        "layer_a": pa.array([a for (a, _), _ in items], pa.string()),
+        "layer_b": pa.array([b for (_, b), _ in items], pa.string()),
+        "n_crossings": pa.array([c for _, c in items], pa.int64()),
+    })
+
+
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "lang_confusion": ("docs", expected_lang_confusion),
@@ -1044,6 +1156,8 @@ GENERATORS = {
     "convex_hull": ("corpus", expected_convex_hull),
     "k_core": ("corpus", expected_k_core),
     "component_diameters": ("corpus", expected_component_diameters),
+    "layer_diameter": ("corpus", expected_layer_diameter),
+    "segment_crossings": ("corpus", expected_segment_crossings),
 }
 
 

@@ -2903,3 +2903,7 @@ from .queries_fuzzy import QUERIES_FUZZY, ORACLE_SQL_FUZZY  # noqa: E402
 
 QUERIES.update(QUERIES_FUZZY)
 ORACLE_SQL.update(ORACLE_SQL_FUZZY)
+from .queries_geo3 import QUERIES_GEO3, _oracle_sql_geo3  # noqa: E402
+
+QUERIES.update(QUERIES_GEO3)
+ORACLE_SQL.update(_oracle_sql_geo3())

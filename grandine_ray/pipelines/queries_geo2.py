@@ -163,6 +163,45 @@ def _shoelace2_abs(hull: np.ndarray) -> int:
     return abs(s)
 
 
+def hull_partial(b: pa.Table) -> pa.Table:
+    """Block-level mergeable hull partial: per-layer local hull
+    vertices as (layer, hx, hy) rows — the shuffle payload is bounded
+    by hull sizes, not block sizes. Shared by q_convex_hull and
+    queries_geo3.q_layer_diameter (hull(A∪B) = hull(hull(A)∪hull(B)),
+    and the farthest pair of a point set is a pair of hull vertices,
+    so both reduce over the same partial)."""
+    blobs = [v.as_py() for v in b["geom_wkb"]]
+    gb = wkbmod.decode_wkb_batch(blobs)
+    xi = np.floor(gb.coords[:, 0] * 1e6 + 0.5).astype(np.int64)
+    yi = np.floor(gb.coords[:, 1] * 1e6 + 0.5).astype(np.int64)
+    starts, stops = gb.geom_point_ranges()
+    nv = stops - starts
+    layer = b["layer"]
+    if isinstance(layer, pa.ChunkedArray):
+        layer = layer.combine_chunks()
+    lay_codes, inv = np.unique(
+        np.asarray(layer.to_pylist(), dtype=object), return_inverse=True)
+    vert_lay = np.repeat(inv, nv)      # layer code per vertex
+    out_lay: list[str] = []
+    out_x: list[np.ndarray] = []
+    out_y: list[np.ndarray] = []
+    for code, name in enumerate(lay_codes):
+        m = vert_lay == code
+        if not m.any():
+            continue
+        h = hull_int(np.column_stack([xi[m], yi[m]]))
+        out_lay.extend([str(name)] * len(h))
+        out_x.append(h[:, 0])
+        out_y.append(h[:, 1])
+    return pa.table({
+        "layer": pa.array(out_lay, pa.string()),
+        "hx": pa.array(np.concatenate(out_x) if out_x
+                       else np.empty(0, np.int64), pa.int64()),
+        "hy": pa.array(np.concatenate(out_y) if out_y
+                       else np.empty(0, np.int64), pa.int64()),
+    })
+
+
 def q_convex_hull(sf_dir: str):
     """Per-layer strict convex hull of every geometry vertex: hull
     vertex count + exact |2·area| in micro-deg² (integer shoelace).
@@ -171,38 +210,6 @@ def q_convex_hull(sf_dir: str):
     from .queries import _features_ds
 
     feats = _features_ds(sf_dir)
-
-    def partial(b: pa.Table) -> pa.Table:
-        blobs = [v.as_py() for v in b["geom_wkb"]]
-        gb = wkbmod.decode_wkb_batch(blobs)
-        xi = np.floor(gb.coords[:, 0] * 1e6 + 0.5).astype(np.int64)
-        yi = np.floor(gb.coords[:, 1] * 1e6 + 0.5).astype(np.int64)
-        starts, stops = gb.geom_point_ranges()
-        nv = stops - starts
-        layer = b["layer"]
-        if isinstance(layer, pa.ChunkedArray):
-            layer = layer.combine_chunks()
-        lay_codes, inv = np.unique(
-            np.asarray(layer.to_pylist(), dtype=object), return_inverse=True)
-        vert_lay = np.repeat(inv, nv)      # layer code per vertex
-        out_lay: list[str] = []
-        out_x: list[np.ndarray] = []
-        out_y: list[np.ndarray] = []
-        for code, name in enumerate(lay_codes):
-            m = vert_lay == code
-            if not m.any():
-                continue
-            h = hull_int(np.column_stack([xi[m], yi[m]]))
-            out_lay.extend([str(name)] * len(h))
-            out_x.append(h[:, 0])
-            out_y.append(h[:, 1])
-        return pa.table({
-            "layer": pa.array(out_lay, pa.string()),
-            "hx": pa.array(np.concatenate(out_x) if out_x
-                           else np.empty(0, np.int64), pa.int64()),
-            "hy": pa.array(np.concatenate(out_y) if out_y
-                           else np.empty(0, np.int64), pa.int64()),
-        })
 
     def finish(t: pa.Table) -> pa.Table:
         pts = np.column_stack([
@@ -215,7 +222,7 @@ def q_convex_hull(sf_dir: str):
             "area2": pa.array([_shoelace2_abs(h)], pa.int64()),
         })
 
-    return feats.map_batches(partial, batch_format="pyarrow") \
+    return feats.map_batches(hull_partial, batch_format="pyarrow") \
         .groupby("layer").map_groups(finish, batch_format="pyarrow")
 
 
