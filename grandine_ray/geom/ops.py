@@ -206,6 +206,59 @@ def polygon_area2_micro(gb) -> tuple:
     return n_rings, n_vertices, area2
 
 
+def polygon_edge_stats_micro(gb) -> tuple:
+    """Per-geometry ring-edge statistics in EXACT integer micro-degrees.
+
+    Vertices are micro-integerized like :func:`polygon_area2_micro`
+    (floor(v·1e6 + 0.5) — the repo's cross-engine float-parity rule)
+    and every ring edge including the wraparound closing edge of the
+    (unclosed-stored) ring contributes
+
+    - Manhattan length ``|dx| + |dy|`` (≤ 5.4e8 per edge), and
+    - squared Euclidean length ``dx² + dy²`` (≤ 2.0e17 per edge,
+      int64-safe).
+
+    Returns ``(n_edges, manh_perim, max_edge2)`` int64 arrays per
+    geometry: edge count (= vertex count over all rings), the Manhattan
+    perimeter sum, and the longest edge's squared length. The per-
+    geometry Manhattan sum is guarded loudly (a 10M-edge geometry is
+    still < 5.4e15 ≪ 2^63; beyond the guard the caller must split).
+    """
+    n = len(gb.types)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    xi = np.floor(gb.coords[:, 0] * 1e6 + 0.5).astype(np.int64)
+    yi = np.floor(gb.coords[:, 1] * 1e6 + 0.5).astype(np.int64)
+    if np.abs(xi).max(initial=0) > 200_000_000 or \
+            np.abs(yi).max(initial=0) > 200_000_000:
+        raise ValueError(
+            "polygon_edge_stats_micro: coordinate out of range")
+    ro = np.asarray(gb.ring_offsets, np.int64)
+    go = np.asarray(gb.geom_offsets, np.int64)
+    total = len(xi)
+    nxt = np.arange(1, total + 1, dtype=np.int64)
+    last = ro[1:] - 1          # last vertex index of each ring
+    nxt[last] = ro[:-1]        # wraparound to ring start
+    dx = np.abs(xi[nxt] - xi)
+    dy = np.abs(yi[nxt] - yi)
+    manh = dx + dy
+    e2 = dx * dx + dy * dy
+    starts = ro[go[:-1]]
+    stops = ro[go[1:]]
+    n_edges = (stops - starts).astype(np.int64)
+    if int(n_edges.max(initial=0)) > 10_000_000:
+        raise ValueError(
+            "polygon_edge_stats_micro: per-geometry edge budget exceeded")
+    manh_perim = np.zeros(n, np.int64)
+    max_edge2 = np.zeros(n, np.int64)
+    nz = n_edges > 0
+    if nz.any():
+        manh_perim[nz] = np.add.reduceat(manh, starts[nz])
+        max_edge2[nz] = np.maximum.reduceat(e2, starts[nz])
+    return n_edges, manh_perim, max_edge2
+
+
 def polygon_centroid_micro(gb) -> tuple:
     """Outer-ring shoelace centroid per polygon in EXACT integer
     micro-degrees.

@@ -111,6 +111,35 @@ def q_polygon_area(sf_dir: str):
     return polys.map_batches(area, batch_format="pyarrow")
 
 
+def q_polygon_edges(sf_dir: str):
+    """Per-polygon ring-edge statistics in EXACT integer micro-degrees
+    (edge count, Manhattan perimeter, longest-edge squared length) from
+    the engine's own WKB decode path — the vertex-density / sliver
+    signal simplification thresholds are tuned on (a huge max_edge2
+    next to a small manh_perim flags a degenerate spike). Vertices are
+    micro-integerized per the float-parity rule so the DuckDB mirror
+    over the ground-truth vertex table is bit-identical; the closing
+    wraparound edge of each (unclosed-stored) ring is included on both
+    sides. Pure map_batches — no shuffle."""
+    from .queries import _features_ds
+
+    polys = _features_ds(sf_dir).filter(expr="geom_type == 3")
+
+    def edges(b: pa.Table) -> pa.Table:
+        blobs = [v.as_py() for v in b["geom_wkb"]]
+        gb = wkbmod.decode_wkb_batch(blobs)
+        n_edges, manh, max2 = geo_ops.polygon_edge_stats_micro(gb)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "n_edges": pa.array(n_edges, pa.int64()),
+            "manh_perim": pa.array(manh, pa.int64()),
+            "max_edge2": pa.array(max2, pa.int64()),
+        })
+
+    return polys.map_batches(edges, batch_format="pyarrow")
+
+
 def q_polygon_centroid(sf_dir: str):
     """Per-polygon outer-ring shoelace centroid in EXACT integer
     micro-degrees (the 'label point' every map renderer needs), from
@@ -790,6 +819,44 @@ def q_degree_census(sf_dir: str):
     u, c = np.unique(deg_i, return_counts=True)
     return pa.table({"degree": pa.array(u, pa.int64()),
                      "n_tiles": pa.array(c.astype(np.int64), pa.int64())})
+
+
+def q_local_clustering(sf_dir: str):
+    """Joint (degree, closed-wedge) census of the occupied-tile
+    8-adjacency graph at SMOOTH_Z — the local-clustering-coefficient
+    profile of the grid graph in exact integers (tri_pairs /
+    C(degree,2) is each tile's local clustering coefficient; the
+    census keeps the integer numerator and the degree instead of a
+    float ratio, per the float-parity rule). Rides the shared autocorr
+    fan-out + the packed-adjacency probe (the collected occupied-tile
+    aggregate is ≤ 2^20 z-10 rows by construction); whether two of a
+    tile's neighbor SLOTS are themselves grid-adjacent is a static
+    property of the direction pair, so closed wedges per node are a
+    vectorized AND-sum over the 8·7/2 direction pairs — no extra
+    shuffle beyond the one shared exchange. SQL mirror: ordered
+    neighbor-pair self-join."""
+    terms = _grid_autocorr_terms(sf_dir)
+    if terms is None:
+        return pa.table({"degree": pa.array([], pa.int64()),
+                         "tri_pairs": pa.array([], pa.int64()),
+                         "n_tiles": pa.array([], pa.int64())})
+    _N, k_i, _n_i, _nb_i, _deg_i, _nb2_i, _S = terms
+    keys = np.sort(k_i)
+    _nbr_idx, nbr_ok = _packed_adjacency(keys)
+    deg = nbr_ok.sum(axis=0).astype(np.int64)
+    tp = np.zeros(len(keys), np.int64)
+    for i, (ax, ay) in enumerate(_DIRS):
+        for j in range(i + 1, len(_DIRS)):
+            bx, by = _DIRS[j]
+            if max(abs(ax - bx), abs(ay - by)) <= 1:
+                tp += nbr_ok[i] & nbr_ok[j]
+    fused = deg * 64 + tp                     # tp ≤ C(8,2) = 28 < 64
+    u, c = np.unique(fused, return_counts=True)
+    return pa.table({
+        "degree": pa.array(u >> 6, pa.int64()),
+        "tri_pairs": pa.array(u & 63, pa.int64()),
+        "n_tiles": pa.array(c.astype(np.int64), pa.int64()),
+    })
 
 
 DIAM_NODE_CAP = 4096  # exact all-pairs BFS guard per component
@@ -2467,6 +2534,8 @@ QUERIES_ML = {
     "ann_range": q_ann_range,
     "polygon_area": q_polygon_area,
     "polygon_centroid": q_polygon_centroid,
+    "polygon_edges": q_polygon_edges,
+    "local_clustering": q_local_clustering,
 }
 
 
@@ -2565,6 +2634,43 @@ SELECT doc_id, span_idx,
        CAST(SUM(nv) AS BIGINT) AS n_vertices,
        CAST(SUM(a2) AS BIGINT) AS area2_sum
 FROM rings GROUP BY doc_id, span_idx"""
+
+    polygon_edges_sql = f"""
+WITH pb AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, xs, ys, ring_of
+  FROM {_GEOMS} WHERE geom_type = 3
+),
+verts AS (
+  SELECT doc_id, span_idx,
+         CAST(FLOOR(UNNEST(xs) * 1000000 + 0.5) AS BIGINT) AS xi,
+         CAST(FLOOR(UNNEST(ys) * 1000000 + 0.5) AS BIGINT) AS yi,
+         UNNEST(ring_of) AS rid,
+         UNNEST(generate_series(1, len(xs))) AS pos
+  FROM pb
+),
+ring_info AS (
+  SELECT doc_id, span_idx, rid, MIN(pos) AS mn
+  FROM verts GROUP BY doc_id, span_idx, rid
+),
+segs AS (
+  SELECT v.doc_id, v.span_idx,
+         COALESCE(w.xi, f.xi) - v.xi AS dx,
+         COALESCE(w.yi, f.yi) - v.yi AS dy
+  FROM verts v
+  JOIN ring_info ri
+    ON ri.doc_id = v.doc_id AND ri.span_idx = v.span_idx AND ri.rid = v.rid
+  LEFT JOIN verts w
+    ON w.doc_id = v.doc_id AND w.span_idx = v.span_idx AND w.rid = v.rid
+       AND w.pos = v.pos + 1
+  JOIN verts f
+    ON f.doc_id = v.doc_id AND f.span_idx = v.span_idx AND f.rid = v.rid
+       AND f.pos = ri.mn
+)
+SELECT doc_id, span_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(ABS(dx) + ABS(dy)) AS BIGINT) AS manh_perim,
+       CAST(MAX(dx * dx + dy * dy) AS BIGINT) AS max_edge2
+FROM segs GROUP BY doc_id, span_idx"""
 
     ann_range_sql = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -2893,6 +2999,7 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
     return {
         "polygon_area": polygon_area_sql,
         "polygon_centroid": centroid_sql,
+        "polygon_edges": polygon_edges_sql,
         "moran_i": moran_sql,
         "geary_c": geary_sql,
         "getis_hotspots": getis_sql,
@@ -3139,6 +3246,36 @@ tris AS (
 SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_tiles,
        CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
        CAST((SELECT COUNT(*) FROM tris) AS BIGINT) AS n_triangles""",
+        "local_clustering": f"""
+WITH zz AS (SELECT {SMOOTH_Z} AS z),
+pts AS (SELECT xs[1] AS lon, ys[1] AS lat
+        FROM {_GEOMS} WHERE geom_type = 1),
+occ AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM pts, zz),
+nbr AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM occ a JOIN occ b
+    ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+   AND NOT (a.x = b.x AND a.y = b.y)),
+deg AS (SELECT ax, ay, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM nbr GROUP BY ax, ay),
+tp AS (
+  SELECT n1.ax, n1.ay, CAST(COUNT(*) AS BIGINT) AS tri_pairs
+  FROM nbr n1 JOIN nbr n2
+    ON n1.ax = n2.ax AND n1.ay = n2.ay
+   AND (n1.bx < n2.bx OR (n1.bx = n2.bx AND n1.by < n2.by))
+   AND abs(n1.bx - n2.bx) <= 1 AND abs(n1.by - n2.by) <= 1
+  GROUP BY n1.ax, n1.ay),
+pern AS (
+  SELECT o.x, o.y,
+         COALESCE(d.degree, 0) AS degree,
+         COALESCE(t.tri_pairs, 0) AS tri_pairs
+  FROM occ o
+  LEFT JOIN deg d ON d.ax = o.x AND d.ay = o.y
+  LEFT JOIN tp t ON t.ax = o.x AND t.ay = o.y)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(tri_pairs AS BIGINT) AS tri_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles
+FROM pern GROUP BY degree, tri_pairs""",
         "bigram_pmi": bigram_pmi_sql,
         "cell_smooth": cell_smooth_sql,
         "part_skyline": """

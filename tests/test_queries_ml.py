@@ -1082,3 +1082,46 @@ def test_component_diameters_vs_expected(ray_session):
         assert r.diameter < max(r.n_tiles, 1) or r.n_tiles == 1
         if r.n_tiles == 1:
             assert r.diameter == 0
+
+
+def test_polygon_edge_stats_micro_known_values():
+    class GB:
+        pass
+
+    gb = GB()
+    gb.types = np.array([3, 3], np.uint8)
+    # unit square; triangle with a small triangular hole
+    gb.coords = np.array(
+        [[0, 0], [1, 0], [1, 1], [0, 1],
+         [0, 0], [3, 0], [0, 3], [1, 1], [1.5, 1], [1, 1.5]], float)
+    gb.ring_offsets = np.array([0, 4, 7, 10])
+    gb.geom_offsets = np.array([0, 1, 3])
+    n_edges, manh, max2 = geo_ops.polygon_edge_stats_micro(gb)
+    assert n_edges.tolist() == [4, 6]
+    # square: 4 axis edges of 1e6 micro each
+    assert manh[0] == 4_000_000 and max2[0] == 10**12
+    # outer 3+6+3 Mmicro, hole 0.5+1+0.5 Mmicro; hypotenuse dx=dy=3e6
+    assert manh[1] == 14_000_000
+    assert max2[1] == 18 * 10**12
+
+
+def test_local_clustering_brute_force(ray_session):
+    from itertools import combinations
+
+    got = queries_ml.q_local_clustering(SF).to_pandas()
+    grid = queries_ml.q_cell_smooth(SF).to_pandas()
+    occ = {(r.x, r.y) for r in grid.itertuples()}
+    census: dict = {}
+    for c in occ:
+        nbrs = [d for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+                and (d := (c[0] + dx, c[1] + dy)) in occ]
+        tp = sum(1 for a, b in combinations(nbrs, 2)
+                 if abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1)
+        k = (len(nbrs), tp)
+        census[k] = census.get(k, 0) + 1
+    want = sorted((d, t, n) for (d, t), n in census.items())
+    have = sorted(zip(got.degree, got.tri_pairs, got.n_tiles))
+    assert [tuple(map(int, r)) for r in have] == want
+    # every census row satisfies the wedge bound tp <= C(deg, 2)
+    assert all(t <= d * (d - 1) // 2 for d, t, _ in have)
