@@ -920,6 +920,104 @@ def q_behavior_census(sf_dir: str):
         .groupby("mask").aggregate(Sum("n", alias_name="n_user_days"))
 
 
+def q_session_type_pairs(sf_dir: str):
+    """Market-basket co-occurrence of event types inside gap-based
+    sessions (the 30-min events_sessions contract): for every unordered
+    type pair, how many sessions contain both, and the lift vs the
+    types' marginal session counts (×1e6, integer truncation on both
+    engines). ONE user-hash exchange; each partition sessionizes in a
+    single numpy pass (lexsort + gap mask) and reduces straight to a
+    fixed-size partial — pair counts over the 5-type domain plus
+    sentinel rows for marginals (i,−1) and the session total (−1,−1) —
+    so the final groupby and the driver collection are O(|types|²),
+    independent of event volume. Lift numerators use Python ints off
+    the hot path (n·N·1e6 exceeds int64 at planet scale). The bit
+    order of EVENT_TYPE_BITS is alphabetical, which keeps the Ray-side
+    (i<j) pair order identical to the oracle's string inequality."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import relational
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    P = relational.adaptive_parts(sf_dir)
+    names = [k for k, _ in sorted(EVENT_TYPE_BITS.items(),
+                                  key=lambda kv: kv[1])]
+    assert names == sorted(names), "bit order must match string order"
+    V = len(names)
+
+    def addpart(b: pa.Table) -> pa.Table:
+        u = _np(b["user_id"]).astype(np.int64)
+        return b.append_column(
+            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z, "n": z})
+        u = _np(t["user_id"]).astype(np.int64)
+        e_us = _np(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        et = _chunk(t["event_type"]).to_pylist()
+        try:
+            code = np.asarray([EVENT_TYPE_BITS[x] for x in et], np.int64)
+        except KeyError as e:
+            raise ValueError(
+                f"session_type_pairs: unknown event type {e}")
+        order = np.lexsort((e_us, u))
+        u_s, e_s, c_s = u[order], e_us[order], code[order]
+        new_sess = np.ones(n, bool)
+        new_sess[1:] = (u_s[1:] != u_s[:-1]) | \
+            ((e_s[1:] - e_s[:-1]) > 1_800_000_000)
+        starts = np.nonzero(new_sess)[0]
+        masks = np.bitwise_or.reduceat(c_s, starts)
+        present = [(masks & (1 << i)) != 0 for i in range(V)]
+        aa, bb, nn = [-1], [-1], [len(masks)]     # total-sessions row
+        for i in range(V):
+            ni = int(present[i].sum())
+            if ni:
+                aa.append(i)
+                bb.append(-1)
+                nn.append(ni)                     # marginal row
+            for j in range(i + 1, V):
+                nij = int((present[i] & present[j]).sum())
+                if nij:
+                    aa.append(i)
+                    bb.append(j)
+                    nn.append(nij)                # pair row
+        return pa.table({"a": pa.array(aa, pa.int64()),
+                         "b": pa.array(bb, pa.int64()),
+                         "n": pa.array(nn, pa.int64())})
+
+    agg = ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pair_partial, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n")) \
+        .take_all()                                # ≤ 1+V+V(V−1)/2 rows
+    ns = 0
+    marg: dict[int, int] = {}
+    pairs: list[tuple[int, int, int]] = []
+    for r in agg:
+        a, b, cnt = int(r["a"]), int(r["b"]), int(r["n"])
+        if a == -1:
+            ns = cnt
+        elif b == -1:
+            marg[a] = cnt
+        else:
+            pairs.append((a, b, cnt))
+    ta, tb, nc, lift = [], [], [], []
+    for a, b, cnt in sorted(pairs):
+        ta.append(names[a])
+        tb.append(names[b])
+        nc.append(cnt)
+        lift.append((cnt * ns * 1_000_000) // (marg[a] * marg[b]))
+    return pa.table({
+        "type_a": pa.array(ta, pa.string()),
+        "type_b": pa.array(tb, pa.string()),
+        "n_sessions": pa.array(nc, pa.int64()),
+        "lift_micro": pa.array(lift, pa.int64()),
+    })
+
+
 def q_changepoint(sf_dir: str):
     """Per-event-type CUSUM changepoint on the daily count series: the
     day k (among the type's observed days, ordered) maximizing
@@ -961,6 +1059,7 @@ QUERIES_TS = {
     "locf_fill": q_locf_fill,
     "dow_seasonality": q_dow_seasonality,
     "behavior_census": q_behavior_census,
+    "session_type_pairs": q_session_type_pairs,
     "rolling_median": q_rolling_median,
     "new_users_daily": q_new_users_daily,
     "vocab_coverage": q_vocab_coverage,
@@ -976,6 +1075,34 @@ QUERIES_TS = {
 
 
 ORACLE_SQL_TS = {
+    "session_type_pairs": """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked),
+st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS ns
+        FROM (SELECT DISTINCT user_id, session_id FROM st)),
+tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+       FROM st GROUP BY event_type),
+pc2 AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.n_sessions,
+       CAST((CAST(p.n_sessions AS HUGEINT) * ns * 1000000)
+            // (ca.c * cb.c) AS BIGINT) AS lift_micro
+FROM pc2 p, tot, tc ca, tc cb
+WHERE ca.event_type = p.type_a AND cb.event_type = p.type_b""",
     "trend_slope": """
 WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
                   event_type FROM events),

@@ -293,3 +293,38 @@ def test_behavior_census_brute(ray_session):
     got = queries_ts.q_behavior_census(SF).to_pandas()
     assert dict(zip(got["mask"], got.n_user_days)) == dict(want)
     assert int(got.n_user_days.sum()) == len(masks)
+
+
+def test_session_type_pairs_brute(ray_session):
+    from itertools import combinations
+
+    ev = _events()
+    per_user: dict = {}
+    for u, t, ts in zip(ev["user_id"], ev["event_type"], ev["ts"]):
+        us = int(np.datetime64(ts, "us").astype(np.int64))
+        per_user.setdefault(u, []).append((us, t))
+    sessions = []
+    for u, rows in per_user.items():
+        rows.sort()
+        cur: set = set()
+        last = None
+        for us, t in rows:
+            if last is not None and us - last > 1_800_000_000:
+                sessions.append(cur)
+                cur = set()
+            cur.add(t)
+            last = us
+        sessions.append(cur)
+    ns = len(sessions)
+    marg = Counter(t for s in sessions for t in s)
+    co = Counter()
+    for s in sessions:
+        for a, b in combinations(sorted(s), 2):
+            co[(a, b)] += 1
+    got = queries_ts.q_session_type_pairs(SF).to_pandas()
+    assert len(got) == len(co)
+    for r in got.itertuples():
+        k = (r.type_a, r.type_b)
+        assert co[k] == r.n_sessions
+        assert r.lift_micro == \
+            co[k] * ns * 1_000_000 // (marg[r.type_a] * marg[r.type_b])
