@@ -1018,6 +1018,86 @@ def q_session_type_pairs(sf_dir: str):
     })
 
 
+def q_session_attribution(sf_dir: str):
+    """First-touch attribution census: per entry event type (the FIRST
+    event of a 30-min gap session, ties broken by event_id like every
+    window query here), how many sessions start that way, how many of
+    them convert (contain ≥1 purchase), and the total purchases they
+    carry — the landing-page-effectiveness table. Same single
+    user-hash exchange as session_type_pairs; each partition reduces
+    to a |types|-row partial (vectorized reduceat over session
+    starts), so the final shuffle is O(|types|)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import relational
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    P = relational.adaptive_parts(sf_dir)
+    names = [k for k, _ in sorted(EVENT_TYPE_BITS.items(),
+                                  key=lambda kv: kv[1])]
+    code_of = {k: i for i, k in enumerate(names)}
+    pur = code_of["purchase"]
+
+    def addpart(b: pa.Table) -> pa.Table:
+        u = _np(b["user_id"]).astype(np.int64)
+        return b.append_column(
+            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+
+    def attr_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"ft": z, "ns": z, "nc": z, "np": z})
+        u = _np(t["user_id"]).astype(np.int64)
+        e_us = _np(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        eid = _np(t["event_id"]).astype(np.int64)
+        et = _chunk(t["event_type"]).to_pylist()
+        try:
+            code = np.asarray([code_of[x] for x in et], np.int64)
+        except KeyError as e:
+            raise ValueError(
+                f"session_attribution: unknown event type {e}")
+        order = np.lexsort((eid, e_us, u))
+        u_s, e_s, c_s = u[order], e_us[order], code[order]
+        new_sess = np.ones(n, bool)
+        new_sess[1:] = (u_s[1:] != u_s[:-1]) | \
+            ((e_s[1:] - e_s[:-1]) > 1_800_000_000)
+        starts = np.nonzero(new_sess)[0]
+        first = c_s[starts]
+        n_pur = np.add.reduceat((c_s == pur).astype(np.int64), starts)
+        out_ft, out_ns, out_nc, out_np = [], [], [], []
+        for i in range(len(names)):
+            m = first == i
+            if m.any():
+                out_ft.append(i)
+                out_ns.append(int(m.sum()))
+                out_nc.append(int((n_pur[m] > 0).sum()))
+                out_np.append(int(n_pur[m].sum()))
+        return pa.table({"ft": pa.array(out_ft, pa.int64()),
+                         "ns": pa.array(out_ns, pa.int64()),
+                         "nc": pa.array(out_nc, pa.int64()),
+                         "np": pa.array(out_np, pa.int64())})
+
+    agg = ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(attr_partial, batch_format="pyarrow") \
+        .groupby("ft").aggregate(Sum("ns", alias_name="ns"),
+                                 Sum("nc", alias_name="nc"),
+                                 Sum("np", alias_name="np")) \
+        .take_all()                               # ≤ |types| rows
+    rows = sorted((int(r["ft"]), int(r["ns"]), int(r["nc"]),
+                   int(r["np"])) for r in agg)
+    return pa.table({
+        "first_type": pa.array([names[f] for f, *_ in rows],
+                               pa.string()),
+        "n_sessions": pa.array([ns for _, ns, _, _ in rows], pa.int64()),
+        "n_conv_sessions": pa.array([nc for _, _, nc, _ in rows],
+                                    pa.int64()),
+        "n_purchases": pa.array([np_ for *_, np_ in rows], pa.int64()),
+    })
+
+
 def q_changepoint(sf_dir: str):
     """Per-event-type CUSUM changepoint on the daily count series: the
     day k (among the type's observed days, ordered) maximizing
@@ -1060,6 +1140,7 @@ QUERIES_TS = {
     "dow_seasonality": q_dow_seasonality,
     "behavior_census": q_behavior_census,
     "session_type_pairs": q_session_type_pairs,
+    "session_attribution": q_session_attribution,
     "rolling_median": q_rolling_median,
     "new_users_daily": q_new_users_daily,
     "vocab_coverage": q_vocab_coverage,
@@ -1103,6 +1184,34 @@ SELECT p.type_a, p.type_b, p.n_sessions,
             // (ca.c * cb.c) AS BIGINT) AS lift_micro
 FROM pc2 p, tot, tc ca, tc cb
 WHERE ca.event_type = p.type_a AND cb.event_type = p.type_b""",
+    "session_attribution": """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked),
+fs AS (
+  SELECT user_id, session_id, event_type,
+         FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+                                       ORDER BY ts, event_id) AS ft
+  FROM sess),
+per AS (
+  SELECT user_id, session_id, MIN(ft) AS first_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM fs GROUP BY user_id, session_id)
+SELECT first_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conv_sessions,
+       CAST(SUM(np) AS BIGINT) AS n_purchases
+FROM per GROUP BY first_type""",
     "trend_slope": """
 WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
                   event_type FROM events),

@@ -328,3 +328,37 @@ def test_session_type_pairs_brute(ray_session):
         assert co[k] == r.n_sessions
         assert r.lift_micro == \
             co[k] * ns * 1_000_000 // (marg[r.type_a] * marg[r.type_b])
+
+
+def test_session_attribution_brute(ray_session):
+    ev = _events()
+    per_user: dict = {}
+    for u, t, ts, eid in zip(ev["user_id"], ev["event_type"],
+                             ev["ts"], ev["event_id"]):
+        us = int(np.datetime64(ts, "us").astype(np.int64))
+        per_user.setdefault(u, []).append((us, eid, t))
+    stats: dict = {}
+    for u, rows in per_user.items():
+        rows.sort()
+        sessions = []
+        cur = []
+        last = None
+        for us, eid, t in rows:
+            if last is not None and us - last > 1_800_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(t)
+            last = us
+        sessions.append(cur)
+        for s in sessions:
+            ft = s[0]
+            np_ = sum(1 for t in s if t == "purchase")
+            ns, nc, tot = stats.get(ft, (0, 0, 0))
+            stats[ft] = (ns + 1, nc + (np_ > 0), tot + np_)
+    got = queries_ts.q_session_attribution(SF).to_pandas()
+    assert len(got) == len(stats)
+    for r in got.itertuples():
+        assert stats[r.first_type] == \
+            (r.n_sessions, r.n_conv_sessions, r.n_purchases)
+    # census totals = total session count
+    assert int(got.n_sessions.sum()) == sum(v[0] for v in stats.values())
