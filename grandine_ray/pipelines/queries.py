@@ -1463,6 +1463,60 @@ def q_span_type_runs(sf_dir: str):
     return docs.map_batches(runs, batch_format="pyarrow")
 
 
+def q_span_kind_bigrams(sf_dir: str):
+    """Corpus-wide span-kind transition census over the interleaved
+    schema: counts of consecutive (kind → next kind) pairs in span
+    order within each document — the interleaving grammar of a
+    multimodal corpus (does an image follow its caption text, or
+    clump with other media?). Fully vectorized per batch: dictionary-
+    encode the flattened kinds, mask document boundaries, bincount
+    fused code pairs; the only exchange is the final |kinds|²-row
+    groupby on a \\x1f-fused string key (repo fuse convention)."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs_ds(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lens = pc.list_value_length(spans) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(spans)
+        enc = flat.field("kind")
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        enc = pc.dictionary_encode(enc)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        V = max(len(vocab), 1)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(codes) < 2:
+            z = pa.array([], pa.string())
+            return pa.table({"k": z, "n": pa.array([], pa.int64())})
+        adj = doc_of[1:] == doc_of[:-1]
+        fused = codes[:-1][adj] * V + codes[1:][adj]
+        cnt = np.bincount(fused, minlength=V * V).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        keys = [f"{vocab[f // V]}\x1f{vocab[f % V]}" for f in nz]
+        return pa.table({"k": pa.array(keys, pa.string()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["k"], "\x1f")
+        return pa.table({
+            "kind_a": pc.list_element(parts, 0),
+            "kind_b": pc.list_element(parts, 1),
+            "n_pairs": pc.cast(b["n"], pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
 def q_zscore_events(sf_dir: str):
     """Per-event-type first/second moments (count, mean, population std)
     as one streaming pass of per-block partials (n, Σv, Σv²) + a tiny
@@ -2166,6 +2220,7 @@ QUERIES = {
     "geohash_cells": q_geohash_cells,
     "span_stats": q_span_stats,
     "span_type_runs": q_span_type_runs,
+    "span_kind_bigrams": q_span_kind_bigrams,
     "zscore_events": q_zscore_events,
     "sample_fixed_k": q_sample_fixed_k,
     "label_centroids": q_label_centroids,
@@ -2725,6 +2780,16 @@ best AS (SELECT doc_id, kind, rl,
          FROM runs)
 SELECT doc_id, rl AS max_run, kind AS run_kind
 FROM best WHERE rn = 1""",
+    "span_kind_bigrams": f"""
+WITH s AS (
+  SELECT doc_id,
+         UNNEST(list_transform(spans, x -> x.kind)) AS kind,
+         UNNEST(generate_series(1, len(spans))) AS pos
+  FROM read_parquet('{ORACLE_CORPUS}/documents.parquet')),
+p AS (SELECT a.kind AS kind_a, b.kind AS kind_b
+      FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+SELECT kind_a, kind_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY kind_a, kind_b""",
     "zscore_events": """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -95,3 +95,28 @@ def test_span_type_runs_brute_force(ray_session):
     mine = {r.doc_id: (r.max_run, r.run_kind) for r in got.itertuples()}
     assert mine == want
     assert len(mine) > 0
+
+
+def test_span_kind_bigrams_brute_force(ray_session):
+    """Transition census == scalar pair count over the interleaved
+    spans in span order."""
+    import glob
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from grandine_ray.pipelines.queries import q_span_kind_bigrams
+    from grandine_ray.sources import synth
+
+    SF = "/root/testdata/sf0.001"
+    corpus = synth.corpus_for_sf(SF)
+    want: Counter = Counter()
+    for f in sorted(glob.glob(f"{corpus}/documents/*.parquet")):
+        t = pq.read_table(f, columns=["spans"])
+        for spans in t["spans"].to_pylist():
+            kinds = [sp["kind"] for sp in spans or []]
+            for a, b in zip(kinds, kinds[1:]):
+                want[(a, b)] += 1
+    got = q_span_kind_bigrams(SF).to_pandas()
+    mine = {(r.kind_a, r.kind_b): r.n_pairs for r in got.itertuples()}
+    assert mine == dict(want) and len(mine) > 0
