@@ -1517,6 +1517,68 @@ def q_span_kind_bigrams(sf_dir: str):
     return agg.map_batches(split, batch_format="pyarrow")
 
 
+def q_media_ref_census(sf_dir: str):
+    """Asset-reuse histogram over the interleaved schema: for every
+    shared media reference, in how many DISTINCT documents it appears,
+    histogrammed as (n_docs, n_refs) — the hot-asset / dedup-benefit
+    profile of a multimodal corpus (a ref in thousands of docs is a
+    fetch-once-broadcast candidate; the long tail of singletons is
+    not). A document's spans live in one row, so per-row uniquing is
+    already per-document uniquing — no cross-block dedup exchange:
+    per block, distinct (doc, ref) pairs reduce to per-ref partial
+    counts, ONE groupby sums true doc counts per ref, and a second
+    aggregate-domain groupby builds the histogram."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs_ds(sf_dir)
+
+    def ref_partial(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lens = pc.list_value_length(spans) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(spans)
+        mr = flat.field("media_ref")
+        if isinstance(mr, pa.ChunkedArray):
+            mr = mr.combine_chunks()
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # null mr → is_valid False, so and_kleene is definite everywhere
+        keep = pc.and_kleene(mr.is_valid(), pc.not_equal(mr, ""))
+        keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+        mr_k = mr.filter(pa.array(keep_np))
+        d_k = doc_of[keep_np]
+        fused = pc.binary_join_element_wise(
+            pa.array(d_k.astype("U"), pa.string()), mr_k, "\x1f")
+        uniq = pc.unique(fused)
+        refs = pc.list_element(pc.split_pattern(uniq, "\x1f"), 1)
+        # per-block partial count per ref (each doc contributes ≤ 1)
+        enc = pc.dictionary_encode(refs)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({
+            "mr": enc.dictionary,
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    per_ref = docs.map_batches(ref_partial, batch_format="pyarrow") \
+        .groupby("mr").aggregate(Sum("n", alias_name="n_docs"))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            b["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"n_docs": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    return per_ref.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("n_docs").aggregate(Sum("n", alias_name="n_refs")) \
+        .map_batches(lambda b: pa.table({
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "n_refs": pc.cast(b["n_refs"], pa.int64())}),
+            batch_format="pyarrow")
+
+
 def q_zscore_events(sf_dir: str):
     """Per-event-type first/second moments (count, mean, population std)
     as one streaming pass of per-block partials (n, Σv, Σv²) + a tiny
@@ -2221,6 +2283,7 @@ QUERIES = {
     "span_stats": q_span_stats,
     "span_type_runs": q_span_type_runs,
     "span_kind_bigrams": q_span_kind_bigrams,
+    "media_ref_census": q_media_ref_census,
     "zscore_events": q_zscore_events,
     "sample_fixed_k": q_sample_fixed_k,
     "label_centroids": q_label_centroids,
@@ -2790,6 +2853,17 @@ p AS (SELECT a.kind AS kind_a, b.kind AS kind_b
       FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
 SELECT kind_a, kind_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM p GROUP BY kind_a, kind_b""",
+    "media_ref_census": f"""
+WITH raw AS (
+  SELECT doc_id,
+         UNNEST(list_transform(spans, x -> x.media_ref)) AS mr
+  FROM read_parquet('{ORACLE_CORPUS}/documents.parquet')),
+s AS (SELECT DISTINCT doc_id, mr FROM raw
+      WHERE mr IS NOT NULL AND mr <> ''),
+c AS (SELECT mr, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM s GROUP BY mr)
+SELECT n_docs, CAST(COUNT(*) AS BIGINT) AS n_refs
+FROM c GROUP BY n_docs""",
     "zscore_events": """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,

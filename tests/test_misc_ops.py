@@ -120,3 +120,30 @@ def test_span_kind_bigrams_brute_force(ray_session):
     got = q_span_kind_bigrams(SF).to_pandas()
     mine = {(r.kind_a, r.kind_b): r.n_pairs for r in got.itertuples()}
     assert mine == dict(want) and len(mine) > 0
+
+
+def test_media_ref_census_brute_force(ray_session):
+    """Hot-asset histogram == scalar distinct-(doc, ref) count."""
+    import glob
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from grandine_ray.pipelines.queries import q_media_ref_census
+    from grandine_ray.sources import synth
+
+    SF = "/root/testdata/sf0.001"
+    corpus = synth.corpus_for_sf(SF)
+    per_ref: Counter = Counter()
+    for f in sorted(glob.glob(f"{corpus}/documents/*.parquet")):
+        t = pq.read_table(f, columns=["doc_id", "spans"])
+        for did, spans in zip(t["doc_id"].to_pylist(),
+                              t["spans"].to_pylist()):
+            refs = {sp["media_ref"] for sp in spans or []
+                    if sp["media_ref"]}
+            for r in refs:
+                per_ref[r] += 1
+    want = Counter(per_ref.values())
+    got = q_media_ref_census(SF).to_pandas()
+    mine = {r.n_docs: r.n_refs for r in got.itertuples()}
+    assert mine == dict(want) and len(mine) > 0
