@@ -1125,3 +1125,43 @@ def test_local_clustering_brute_force(ray_session):
     assert [tuple(map(int, r)) for r in have] == want
     # every census row satisfies the wedge bound tp <= C(deg, 2)
     assert all(t <= d * (d - 1) // 2 for d, t, _ in have)
+
+
+def test_polygon_edge_stats_micro_random_vs_scalar():
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n_geoms = int(rng.integers(1, 5))
+        rings_per = [int(rng.integers(1, 4)) for _ in range(n_geoms)]
+        coords, ro, go = [], [0], [0]
+        for nr in rings_per:
+            for _ in range(nr):
+                nv = int(rng.integers(3, 9))
+                pts = rng.uniform(-50, 50, (nv, 2))
+                coords.extend(pts.tolist())
+                ro.append(ro[-1] + nv)
+            go.append(go[-1] + nr)
+
+        class GB:
+            pass
+
+        gb = GB()
+        gb.types = np.full(n_geoms, 3, np.uint8)
+        gb.coords = np.array(coords, float)
+        gb.ring_offsets = np.array(ro)
+        gb.geom_offsets = np.array(go)
+        n_edges, manh, max2 = geo_ops.polygon_edge_stats_micro(gb)
+        # scalar re-implementation over the same micro-integerization
+        xi = np.floor(gb.coords[:, 0] * 1e6 + 0.5).astype(np.int64)
+        yi = np.floor(gb.coords[:, 1] * 1e6 + 0.5).astype(np.int64)
+        for g in range(n_geoms):
+            ne = ms = mx = 0
+            for r in range(go[g], go[g + 1]):
+                lo, hi = ro[r], ro[r + 1]
+                for i in range(lo, hi):
+                    j = i + 1 if i + 1 < hi else lo
+                    dx = abs(int(xi[j]) - int(xi[i]))
+                    dy = abs(int(yi[j]) - int(yi[i]))
+                    ne += 1
+                    ms += dx + dy
+                    mx = max(mx, dx * dx + dy * dy)
+            assert (n_edges[g], manh[g], max2[g]) == (ne, ms, mx)
