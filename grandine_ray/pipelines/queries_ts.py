@@ -1098,6 +1098,95 @@ def q_session_attribution(sf_dir: str):
     })
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Distributed sweep-line: the maximum number of SIMULTANEOUSLY
+    active 30-min gap sessions across all users, and the earliest
+    instant it is reached — the capacity-planning number behind 'how
+    many concurrent users must the service hold'. Shape: sessions
+    (one user-hash exchange) → ±1 boundary deltas → hour-bucket
+    exchange where each bucket computes its local prefix run (sorted
+    by (t, +1-before-−1)) as (total, max_prefix, argmax t) — the
+    classic two-phase distributed prefix-max; the driver combines the
+    O(hours) bucket summaries with cumulative offsets. Ties at the
+    same instant count starts before ends (a zero-length session
+    still peaks), and the earliest peak instant wins on both engines."""
+    from ray.data.aggregate import Sum  # noqa: F401 (shape parity)
+
+    from ..stages import relational
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    P = relational.adaptive_parts(sf_dir)
+    BUCKET_US = 3_600_000_000
+
+    def addpart(b: pa.Table) -> pa.Table:
+        u = _np(b["user_id"]).astype(np.int64)
+        return b.append_column(
+            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+
+    def deltas(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"t": z, "d": z})
+        u = _np(t["user_id"]).astype(np.int64)
+        e_us = _np(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((e_us, u))
+        u_s, e_s = u[order], e_us[order]
+        new_sess = np.ones(n, bool)
+        new_sess[1:] = (u_s[1:] != u_s[:-1]) | \
+            ((e_s[1:] - e_s[:-1]) > 1_800_000_000)
+        starts = np.nonzero(new_sess)[0]
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            "t": pa.array(np.concatenate([e_s[starts], e_s[ends]]),
+                          pa.int64()),
+            "d": pa.array(np.concatenate([
+                np.ones(len(starts), np.int64),
+                -np.ones(len(starts), np.int64)]), pa.int64()),
+        })
+
+    def addbucket(b: pa.Table) -> pa.Table:
+        t = _np(b["t"]).astype(np.int64)
+        return b.append_column(
+            "bucket", pa.array(t // BUCKET_US, pa.int64()))
+
+    def bucket_run(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"bucket": z, "total": z, "mx": z, "tx": z})
+        ts = _np(t["t"]).astype(np.int64)
+        d = _np(t["d"]).astype(np.int64)
+        order = np.lexsort((-d, ts))      # +1 before −1 at equal t
+        run = np.cumsum(d[order])
+        i = int(np.argmax(run))           # FIRST index at the max
+        return pa.table({
+            "bucket": pa.array([int(ts[0] // BUCKET_US)], pa.int64()),
+            "total": pa.array([int(run[-1])], pa.int64()),
+            "mx": pa.array([int(run[i])], pa.int64()),
+            "tx": pa.array([int(ts[order][i])], pa.int64()),
+        })
+
+    rows = ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(deltas, batch_format="pyarrow") \
+        .map_batches(addbucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_run, batch_format="pyarrow") \
+        .take_all()                       # O(hours) bucket summaries
+    rows.sort(key=lambda r: int(r["bucket"]))
+    offset = 0
+    peak, t_peak = 0, None
+    for r in rows:
+        cand = offset + int(r["mx"])
+        if cand > peak or (cand == peak and t_peak is None):
+            peak, t_peak = cand, int(r["tx"])
+        offset += int(r["total"])
+    return pa.table({
+        "peak_concurrency": pa.array([peak], pa.int64()),
+        "t_peak_us": pa.array([t_peak if t_peak is not None else 0],
+                              pa.int64()),
+    })
+
+
 def q_changepoint(sf_dir: str):
     """Per-event-type CUSUM changepoint on the daily count series: the
     day k (among the type's observed days, ordered) maximizing
@@ -1141,6 +1230,7 @@ QUERIES_TS = {
     "behavior_census": q_behavior_census,
     "session_type_pairs": q_session_type_pairs,
     "session_attribution": q_session_attribution,
+    "peak_concurrency": q_peak_concurrency,
     "rolling_median": q_rolling_median,
     "new_users_daily": q_new_users_daily,
     "vocab_coverage": q_vocab_coverage,
@@ -1184,6 +1274,33 @@ SELECT p.type_a, p.type_b, p.n_sessions,
             // (ca.c * cb.c) AS BIGINT) AS lift_micro
 FROM pc2 p, tot, tc ca, tc cb
 WHERE ca.event_type = p.type_a AND cb.event_type = p.type_b""",
+    "peak_concurrency": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+bounds AS (
+  SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM sess GROUP BY user_id, sid),
+deltas AS (
+  SELECT CAST(epoch_us(t0) AS BIGINT) AS t, 1 AS d FROM bounds
+  UNION ALL
+  SELECT CAST(epoch_us(t1) AS BIGINT) AS t, -1 AS d FROM bounds),
+run AS (
+  SELECT t, SUM(d) OVER (ORDER BY t, d DESC
+                         ROWS UNBOUNDED PRECEDING) AS c
+  FROM deltas),
+mx AS (SELECT MAX(c) AS peak FROM run)
+SELECT CAST(peak AS BIGINT) AS peak_concurrency,
+       CAST((SELECT MIN(t) FROM run WHERE c = peak) AS BIGINT)
+         AS t_peak_us
+FROM mx""",
     "session_attribution": """
 WITH marked AS (
   SELECT user_id, ts, event_id, event_type,

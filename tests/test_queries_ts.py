@@ -362,3 +362,35 @@ def test_session_attribution_brute(ray_session):
             (r.n_sessions, r.n_conv_sessions, r.n_purchases)
     # census totals = total session count
     assert int(got.n_sessions.sum()) == sum(v[0] for v in stats.values())
+
+
+def test_peak_concurrency_brute(ray_session):
+    ev = _events()
+    per_user: dict = {}
+    for u, ts in zip(ev["user_id"], ev["ts"]):
+        us = int(np.datetime64(ts, "us").astype(np.int64))
+        per_user.setdefault(u, []).append(us)
+    deltas = []
+    for u, times in per_user.items():
+        times.sort()
+        s0 = times[0]
+        last = times[0]
+        for t in times[1:]:
+            if t - last > 1_800_000_000:
+                deltas.append((s0, 1))
+                deltas.append((last, -1))
+                s0 = t
+            last = t
+        deltas.append((s0, 1))
+        deltas.append((last, -1))
+    deltas.sort(key=lambda x: (x[0], -x[1]))   # +1 before -1 at ties
+    c = peak = 0
+    t_peak = None
+    for t, d in deltas:
+        c += d
+        if c > peak:
+            peak, t_peak = c, t
+    got = queries_ts.q_peak_concurrency(SF).to_pandas()
+    assert len(got) == 1
+    assert int(got.peak_concurrency[0]) == peak
+    assert int(got.t_peak_us[0]) == t_peak
