@@ -1187,6 +1187,64 @@ def q_peak_concurrency(sf_dir: str):
     })
 
 
+def q_session_gaps(sf_dir: str):
+    """Per-user BETWEEN-session gap statistics (session count, total
+    and longest away-time in exact integer microseconds) — the churn /
+    re-engagement profile that complements the within-session windows.
+    Same single user-hash exchange; the partition kernel reduces
+    session-level arrays per user with reduceat (a user's sessions are
+    contiguous after the lexsort), padding user boundaries with 0 —
+    safe because a real between-session gap is > 30 min by
+    construction, so the pad never wins a max and never biases a sum.
+    Single-session users report 0/0 (COALESCE parity in the oracle)."""
+    from ..stages import relational
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    P = relational.adaptive_parts(sf_dir)
+
+    def addpart(b: pa.Table) -> pa.Table:
+        u = _np(b["user_id"]).astype(np.int64)
+        return b.append_column(
+            "_part", pa.array((u % P).astype(np.int32), pa.int32()))
+
+    def gaps(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "n_sessions": z,
+                             "sum_gap_us": z, "max_gap_us": z})
+        u = _np(t["user_id"]).astype(np.int64)
+        e_us = _np(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((e_us, u))
+        u_s, e_s = u[order], e_us[order]
+        new_user = np.ones(n, bool)
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (e_s[1:] - e_s[:-1]) > 1_800_000_000
+        starts = np.nonzero(new_sess)[0]
+        ends = np.append(starts[1:], n) - 1
+        s_user = u_s[starts]
+        t0, t1 = e_s[starts], e_s[ends]
+        m = len(starts)
+        same = s_user[1:] == s_user[:-1]
+        g2 = np.zeros(m, np.int64)
+        g2[1:] = np.where(same, t0[1:] - t1[:-1], 0)
+        ub = np.ones(m, bool)
+        ub[1:] = ~same
+        ui = np.nonzero(ub)[0]
+        return pa.table({
+            "user_id": pa.array(s_user[ui], pa.int64()),
+            "n_sessions": pa.array(np.diff(np.append(ui, m)), pa.int64()),
+            "sum_gap_us": pa.array(np.add.reduceat(g2, ui), pa.int64()),
+            "max_gap_us": pa.array(np.maximum.reduceat(g2, ui),
+                                   pa.int64()),
+        })
+
+    return ev.map_batches(addpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(gaps, batch_format="pyarrow")
+
+
 def q_changepoint(sf_dir: str):
     """Per-event-type CUSUM changepoint on the daily count series: the
     day k (among the type's observed days, ordered) maximizing
@@ -1231,6 +1289,7 @@ QUERIES_TS = {
     "session_type_pairs": q_session_type_pairs,
     "session_attribution": q_session_attribution,
     "peak_concurrency": q_peak_concurrency,
+    "session_gaps": q_session_gaps,
     "rolling_median": q_rolling_median,
     "new_users_daily": q_new_users_daily,
     "vocab_coverage": q_vocab_coverage,
@@ -1274,6 +1333,31 @@ SELECT p.type_a, p.type_b, p.n_sessions,
             // (ca.c * cb.c) AS BIGINT) AS lift_micro
 FROM pc2 p, tot, tc ca, tc cb
 WHERE ca.event_type = p.type_a AND cb.event_type = p.type_b""",
+    "session_gaps": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+bounds AS (
+  SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM sess GROUP BY user_id, sid),
+g AS (
+  SELECT user_id,
+         CAST(epoch_us(t0) AS BIGINT) -
+         CAST(epoch_us(LAG(t1) OVER (PARTITION BY user_id
+                                     ORDER BY sid)) AS BIGINT) AS gap
+  FROM bounds)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id""",
     "peak_concurrency": """
 WITH marked AS (
   SELECT user_id, ts,

@@ -394,3 +394,30 @@ def test_peak_concurrency_brute(ray_session):
     assert len(got) == 1
     assert int(got.peak_concurrency[0]) == peak
     assert int(got.t_peak_us[0]) == t_peak
+
+
+def test_session_gaps_brute(ray_session):
+    ev = _events()
+    per_user: dict = {}
+    for u, ts in zip(ev["user_id"], ev["ts"]):
+        us = int(np.datetime64(ts, "us").astype(np.int64))
+        per_user.setdefault(u, []).append(us)
+    want = {}
+    for u, times in per_user.items():
+        times.sort()
+        bounds = []
+        s0 = last = times[0]
+        for t in times[1:]:
+            if t - last > 1_800_000_000:
+                bounds.append((s0, last))
+                s0 = t
+            last = t
+        bounds.append((s0, last))
+        gaps = [bounds[i + 1][0] - bounds[i][1]
+                for i in range(len(bounds) - 1)]
+        want[u] = (len(bounds), sum(gaps), max(gaps) if gaps else 0)
+    got = queries_ts.q_session_gaps(SF).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.user_id] == \
+            (r.n_sessions, r.sum_gap_us, r.max_gap_us)
