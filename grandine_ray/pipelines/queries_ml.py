@@ -140,6 +140,58 @@ def q_polygon_edges(sf_dir: str):
     return polys.map_batches(edges, batch_format="pyarrow")
 
 
+def q_polygon_fill(sf_dir: str):
+    """Per-polygon bounding-box fill ratio in EXACT integers — the
+    compactness / sliver signal (a road sliver fills ~0 of its bbox, a
+    building ~1): shoelace Σ|2·ring area| (holes ADD, same contract as
+    polygon_area) against twice the bbox rectangle area, ratio in ppm.
+    area2·1e6 exceeds int64, so the bounded per-row division runs on
+    Python ints (object dtype — the polygon_centroid int128 precedent)
+    with DuckDB HUGEINT `//` truncation parity (numerators are
+    non-negative, so trunc == floor). Degenerate zero-extent bboxes
+    report 0 on both engines. Pure map_batches — no shuffle."""
+    from .queries import _features_ds
+
+    polys = _features_ds(sf_dir).filter(expr="geom_type == 3")
+
+    def fill(b: pa.Table) -> pa.Table:
+        blobs = [v.as_py() for v in b["geom_wkb"]]
+        gb = wkbmod.decode_wkb_batch(blobs)
+        _nr, _nv, area2 = geo_ops.polygon_area2_micro(gb)
+        n = len(gb.types)
+        xi = np.floor(gb.coords[:, 0] * 1e6 + 0.5).astype(np.int64)
+        yi = np.floor(gb.coords[:, 1] * 1e6 + 0.5).astype(np.int64)
+        ro = np.asarray(gb.ring_offsets, np.int64)
+        go = np.asarray(gb.geom_offsets, np.int64)
+        starts = ro[go[:-1]]
+        stops = ro[go[1:]]
+        nz = stops > starts
+        mnx = np.zeros(n, np.int64)
+        mxx = np.zeros(n, np.int64)
+        mny = np.zeros(n, np.int64)
+        mxy = np.zeros(n, np.int64)
+        if nz.any():
+            mnx[nz] = np.minimum.reduceat(xi, starts[nz])
+            mxx[nz] = np.maximum.reduceat(xi, starts[nz])
+            mny[nz] = np.minimum.reduceat(yi, starts[nz])
+            mxy[nz] = np.maximum.reduceat(yi, starts[nz])
+        bbox2 = 2 * (mxx - mnx) * (mxy - mny)     # ≤ 1.3e17, int64-safe
+        fill_ppm = np.zeros(n, np.int64)
+        pos = bbox2 > 0
+        if pos.any():
+            num = area2[pos].astype(object) * 1_000_000
+            fill_ppm[pos] = (num // bbox2[pos].astype(object)) \
+                .astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "bbox_area2": pa.array(bbox2, pa.int64()),
+            "fill_ppm": pa.array(fill_ppm, pa.int64()),
+        })
+
+    return polys.map_batches(fill, batch_format="pyarrow")
+
+
 def q_polygon_centroid(sf_dir: str):
     """Per-polygon outer-ring shoelace centroid in EXACT integer
     micro-degrees (the 'label point' every map renderer needs), from
@@ -2535,6 +2587,7 @@ QUERIES_ML = {
     "polygon_area": q_polygon_area,
     "polygon_centroid": q_polygon_centroid,
     "polygon_edges": q_polygon_edges,
+    "polygon_fill": q_polygon_fill,
     "local_clustering": q_local_clustering,
 }
 
@@ -2671,6 +2724,33 @@ SELECT doc_id, span_idx,
        CAST(SUM(ABS(dx) + ABS(dy)) AS BIGINT) AS manh_perim,
        CAST(MAX(dx * dx + dy * dy) AS BIGINT) AS max_edge2
 FROM segs GROUP BY doc_id, span_idx"""
+
+    polygon_fill_sql = f"""
+WITH areas AS ({polygon_area_sql}),
+pb AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, xs, ys
+  FROM {_GEOMS} WHERE geom_type = 3
+),
+verts AS (
+  SELECT doc_id, span_idx,
+         CAST(FLOOR(UNNEST(xs) * 1000000 + 0.5) AS BIGINT) AS xi,
+         CAST(FLOOR(UNNEST(ys) * 1000000 + 0.5) AS BIGINT) AS yi
+  FROM pb
+),
+bb AS (
+  SELECT doc_id, span_idx,
+         MIN(xi) AS mnx, MAX(xi) AS mxx,
+         MIN(yi) AS mny, MAX(yi) AS mxy
+  FROM verts GROUP BY doc_id, span_idx
+)
+SELECT a.doc_id, a.span_idx,
+       CAST(2 * (mxx - mnx) * (mxy - mny) AS BIGINT) AS bbox_area2,
+       CAST(CASE WHEN (mxx - mnx) * (mxy - mny) = 0 THEN 0
+            ELSE (CAST(a.area2_sum AS HUGEINT) * 1000000)
+                 // (2 * (mxx - mnx) * (mxy - mny)) END AS BIGINT)
+         AS fill_ppm
+FROM areas a
+JOIN bb ON bb.doc_id = a.doc_id AND bb.span_idx = a.span_idx"""
 
     ann_range_sql = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -3000,6 +3080,7 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
         "polygon_area": polygon_area_sql,
         "polygon_centroid": centroid_sql,
         "polygon_edges": polygon_edges_sql,
+        "polygon_fill": polygon_fill_sql,
         "moran_i": moran_sql,
         "geary_c": geary_sql,
         "getis_hotspots": getis_sql,

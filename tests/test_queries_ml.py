@@ -1165,3 +1165,18 @@ def test_polygon_edge_stats_micro_random_vs_scalar():
                     ms += dx + dy
                     mx = max(mx, dx * dx + dy * dy)
             assert (n_edges[g], manh[g], max2[g]) == (ne, ms, mx)
+
+
+def test_polygon_fill_invariants(ray_session):
+    got = queries_ml.q_polygon_fill(SF).to_pandas()
+    area = queries_ml.q_polygon_area(SF).to_pandas()
+    assert len(got) == len(area) > 0
+    j = got.merge(area, on=["doc_id", "span_idx"])
+    # shoelace |2A| of each ring ≤ bbox 2A; holes add, so ≤ 2× bbox
+    assert (j.fill_ppm >= 0).all()
+    assert (j.fill_ppm <= 2_000_000).all()
+    # exact ratio re-derivation on Python ints
+    for r in j.sample(min(50, len(j)), random_state=0).itertuples():
+        want = 0 if r.bbox_area2 == 0 else \
+            int(r.area2_sum) * 1_000_000 // int(r.bbox_area2)
+        assert r.fill_ppm == want
