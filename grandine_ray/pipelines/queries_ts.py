@@ -1245,6 +1245,65 @@ def q_session_gaps(sf_dir: str):
         .groupby("_part").map_groups(gaps, batch_format="pyarrow")
 
 
+def q_user_tenure(sf_dir: str):
+    """Per-user activity-span profile: first/last active day, calendar
+    span, number of DISTINCT active days and total events — the
+    engagement-density table (n_active_days/span_days separates the
+    daily habitual from the one-burst drive-by). Two aggregate-domain
+    exchanges: per-block (user-day, count) partials dedup-sum on the
+    fused uid<<20|day key (behavior_census key contract, loud 20-bit
+    day guard), then one per-user groupby of Min/Max/Count/Sum — raw
+    event rows never shuffle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = _np(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        day = us // US_PER_DAY
+        if len(day) and (day.min() < 0 or day.max() >= (1 << 20)):
+            raise ValueError("user_tenure: day outside the 20-bit lane")
+        uid = _np(b["user_id"]).astype(np.int64)
+        ud = (uid << 20) | day
+        uk, cnt = np.unique(ud, return_counts=True)
+        return pa.table({"ud": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    per_day = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ud").aggregate(Sum("n", alias_name="n"))
+
+    def split(b: pa.Table) -> pa.Table:
+        ud = _np(b["ud"]).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(ud >> 20, pa.int64()),
+            "d": pa.array(ud & 0xFFFFF, pa.int64()),
+            "one": pa.array(np.ones(len(ud), np.int64), pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    agg = per_day.map_batches(split, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Min("d", alias_name="first_day"),
+            Max("d", alias_name="last_day"),
+            Sum("one", alias_name="n_active_days"),
+            Sum("n", alias_name="n_events"))
+
+    def final(b: pa.Table) -> pa.Table:
+        f = _np(b["first_day"]).astype(np.int64)
+        l = _np(b["last_day"]).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "first_day": pa.array(f, pa.int64()),
+            "last_day": pa.array(l, pa.int64()),
+            "span_days": pa.array(l - f + 1, pa.int64()),
+            "n_active_days": pc.cast(b["n_active_days"], pa.int64()),
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 def q_changepoint(sf_dir: str):
     """Per-event-type CUSUM changepoint on the daily count series: the
     day k (among the type's observed days, ordered) maximizing
@@ -1290,6 +1349,7 @@ QUERIES_TS = {
     "session_attribution": q_session_attribution,
     "peak_concurrency": q_peak_concurrency,
     "session_gaps": q_session_gaps,
+    "user_tenure": q_user_tenure,
     "rolling_median": q_rolling_median,
     "new_users_daily": q_new_users_daily,
     "vocab_coverage": q_vocab_coverage,
@@ -1333,6 +1393,19 @@ SELECT p.type_a, p.type_b, p.n_sessions,
             // (ca.c * cb.c) AS BIGINT) AS lift_micro
 FROM pc2 p, tot, tc ca, tc cb
 WHERE ca.event_type = p.type_a AND cb.event_type = p.type_b""",
+    "user_tenure": """
+WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+           FROM events),
+ud AS (SELECT user_id, d, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e GROUP BY user_id, d)
+SELECT user_id,
+       CAST(MIN(d) AS BIGINT) AS first_day,
+       CAST(MAX(d) AS BIGINT) AS last_day,
+       CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS span_days,
+       CAST(COUNT(*) AS BIGINT) AS n_active_days,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM ud GROUP BY user_id""",
     "session_gaps": """
 WITH marked AS (
   SELECT user_id, ts,

@@ -421,3 +421,21 @@ def test_session_gaps_brute(ray_session):
     for r in got.itertuples():
         assert want[r.user_id] == \
             (r.n_sessions, r.sum_gap_us, r.max_gap_us)
+
+
+def test_user_tenure_brute(ray_session):
+    ev = _events()
+    days: dict = {}
+    nev: Counter = Counter()
+    for u, ts in zip(ev["user_id"], ev["ts"]):
+        us = int(np.datetime64(ts, "us").astype(np.int64))
+        days.setdefault(u, set()).add(us // 86_400_000_000)
+        nev[u] += 1
+    got = queries_ts.q_user_tenure(SF).to_pandas()
+    assert len(got) == len(days)
+    for r in got.itertuples():
+        d = days[r.user_id]
+        assert (r.first_day, r.last_day, r.span_days,
+                r.n_active_days, r.n_events) == \
+            (min(d), max(d), max(d) - min(d) + 1, len(d),
+             nev[r.user_id])
