@@ -237,6 +237,12 @@ def polygon_edge_stats_micro(gb) -> tuple:
     ro = np.asarray(gb.ring_offsets, np.int64)
     go = np.asarray(gb.geom_offsets, np.int64)
     total = len(xi)
+    if (ro[1:] == ro[:-1]).any():
+        # An empty ring's `last` index (ro[k]-1) collides with the
+        # previous ring's last vertex and would silently rewire that
+        # ring's closing edge. Unreachable from the WKB decode path,
+        # but this kernel takes arbitrary geometry batches.
+        raise ValueError("polygon_edge_stats_micro: empty ring")
     nxt = np.arange(1, total + 1, dtype=np.int64)
     last = ro[1:] - 1          # last vertex index of each ring
     nxt[last] = ro[:-1]        # wraparound to ring start

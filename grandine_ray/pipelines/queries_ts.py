@@ -878,6 +878,9 @@ def q_behavior_census(sf_dir: str):
         us = _np(b["ts"]).astype("datetime64[us]").astype(np.int64)
         day = us // US_PER_DAY
         uid = _np(b["user_id"]).astype(np.int64)
+        if len(uid) and (uid.min() < 0 or uid.max() >= (1 << 43)):
+            raise ValueError(
+                "behavior_census: uid outside the 43-bit lane")
         # user-day key: uid << 20 | (day & 0xFFFFF) — synth days are a
         # narrow contiguous range, no collision within it
         ud = (uid << 20) | (day & 0xFFFFF)
@@ -945,6 +948,11 @@ def q_session_type_pairs(sf_dir: str):
                                   key=lambda kv: kv[1])]
     assert names == sorted(names), "bit order must match string order"
     V = len(names)
+    bits = [EVENT_TYPE_BITS[k] for k in names]
+    # the probe below assumes the bit values are exactly consecutive
+    # powers of two — a non-contiguous bit (e.g. 64) would silently
+    # misattribute marginals/pairs
+    assert bits == [1 << i for i in range(V)], bits
 
     def addpart(b: pa.Table) -> pa.Table:
         u = _np(b["user_id"]).astype(np.int64)
@@ -971,7 +979,7 @@ def q_session_type_pairs(sf_dir: str):
             ((e_s[1:] - e_s[:-1]) > 1_800_000_000)
         starts = np.nonzero(new_sess)[0]
         masks = np.bitwise_or.reduceat(c_s, starts)
-        present = [(masks & (1 << i)) != 0 for i in range(V)]
+        present = [(masks & bits[i]) != 0 for i in range(V)]
         aa, bb, nn = [-1], [-1], [len(masks)]     # total-sessions row
         for i in range(V):
             ni = int(present[i].sum())
@@ -1265,6 +1273,8 @@ def q_user_tenure(sf_dir: str):
         if len(day) and (day.min() < 0 or day.max() >= (1 << 20)):
             raise ValueError("user_tenure: day outside the 20-bit lane")
         uid = _np(b["user_id"]).astype(np.int64)
+        if len(uid) and (uid.min() < 0 or uid.max() >= (1 << 43)):
+            raise ValueError("user_tenure: uid outside the 43-bit lane")
         ud = (uid << 20) | day
         uk, cnt = np.unique(ud, return_counts=True)
         return pa.table({"ud": pa.array(uk, pa.int64()),

@@ -60,23 +60,7 @@ _EMPTY_MANIFEST_TABLE = pa.table({
 })
 
 
-def _pin_local(ds: rd.Dataset) -> rd.Dataset:
-    """Pin a small intermediate ONLY in single-node (local/test/bench) mode.
-
-    Two all-to-all exchanges in one streaming graph starve the upstream map
-    stage of CPU slots at low parallelism (measured 44 s vs 5 s for the
-    prepare stage at 8 cpus), so local runs pin the encoded-layer
-    intermediate between them. On a multi-node cluster the pipeline must
-    stream instead — pinning the full encoded tile set there is an
-    object-store spill storm at 100 TB scale.
-    """
-    try:
-        alive = [n for n in ray.nodes() if n.get("Alive", False)]
-    except Exception:  # not initialised yet — behave like local
-        alive = [None]
-    if len(alive) <= 1:
-        return ds.materialize()
-    return ds
+from ..state.runtime import pin_local as _pin_local  # shared util (r5)
 
 
 def read_documents(path: str) -> rd.Dataset:

@@ -621,10 +621,13 @@ def minhash_near_dup(docs, threshold: float = 0.5,
     bands = sigs.map_batches(
         lambda b: lsh_bands(b, id_col="doc_id"), batch_format="pyarrow"
     )
-    # pin the (tiny: id pairs) candidate set — its groupby would otherwise
-    # share one streaming graph with the two join operators and starve them
-    # of CPU slots at low parallelism (measured deadlock at 8 cpus)
-    cand = lsh_candidate_pairs(bands, band_cap=band_cap).materialize()
+    # pin the (tiny: id pairs) candidate set in LOCAL mode only — its
+    # groupby would otherwise share one streaming graph with the two join
+    # operators and starve them of CPU slots at low parallelism (measured
+    # deadlock at 8 cpus); multi-node streams (pin_local contract)
+    from ..state.runtime import pin_local
+
+    cand = pin_local(lsh_candidate_pairs(bands, band_cap=band_cap))
     return verify_jaccard(cand, docs, threshold=threshold,
                           num_partitions=num_partitions)
 
@@ -893,9 +896,11 @@ def jaccard_near_dup_exact(docs, threshold: float = 0.5, k: int = 5,
     distinct = cand.groupby("_pk").aggregate(
         Count(alias_name="_nb")).drop_columns(["_nb"])
     pairs = distinct.map_batches(unpack, batch_format="pyarrow")
-    # pin the id-pair set before the verify graph (same CPU-starvation
-    # avoidance as minhash_near_dup)
-    pairs = pairs.materialize()
+    # pin the id-pair set before the verify graph in LOCAL mode only (same
+    # CPU-starvation avoidance as minhash_near_dup; multi-node streams)
+    from ..state.runtime import pin_local
+
+    pairs = pin_local(pairs)
     sigs = docs.map_batches(signatures, batch_format="pyarrow")
 
     n_docs = docs.count()
@@ -967,7 +972,15 @@ def dedup_clusters(pairs, num_partitions: int = 8, max_iters: int = 50):
                          "_part": pa.array((src % P).astype(np.int32),
                                            pa.int32())})
 
-    edges = pairs.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    # Iterative-reuse pin (NOT gated by pin_local): the pair set feeds the
+    # initial labels AND every propagation round below — unpinned, each
+    # round would re-execute the caller's whole candidate-generation graph
+    # (LSH bands + verify) from scratch. Pin the caller's pairs ONCE (the
+    # dedup OUTPUT, orders smaller than the corpus) and keep the symmetric
+    # edge doubling lazy — a trivial map recomputed per round from the
+    # pinned pairs, halving the pinned bytes vs pinning edges.
+    pairs = pairs.materialize()
+    edges = pairs.map_batches(sym_edges, batch_format="pyarrow")
 
     def init_labels(b: pa.Table) -> pa.Table:
         n = np.unique(np.concatenate([
