@@ -661,6 +661,102 @@ def q_passage_dedup(sf_dir: str):
         .sort("doc_id")
 
 
+SUBSTR_W = 8            # words per sliding window (ExactSubstr-style)
+
+
+def q_substring_dedup(sf_dir: str):
+    """Substring-level exact dedup signals (the ExactSubstr mode of Lee
+    et al.'s 'Deduplicating Training Data Makes Language Models Better',
+    word-granular): every length-8 SLIDING word window (not fixed
+    chunks — that's passage_dedup) is hashed; a window duplicated
+    anywhere in the corpus (≥2 occurrences corpus-wide, same doc
+    included) marks its token span, and per doc the overlapping marked
+    windows merge into MAXIMAL duplicated runs — arbitrary-length
+    repeated substrings, reported as (n_runs, dup_tokens,
+    max_run_tokens) per affected doc.
+
+    Sorted-fingerprint design, no whole-corpus suffix array on one
+    node: window hashing is two chained polynomial prefix passes inside
+    map_batches (stages/text.word_window_hashes — zero Python loops);
+    duplicate marking hash-partitions the window table and counts runs
+    of equal hashes per partition (one argsort each); run merging
+    re-partitions the surviving (doc, i) rows by doc and islands
+    consecutive offsets vectorized. Two exchanges over the window table
+    (≈ one row per corpus token, 20 B/row) — the honest cost of exact
+    substring dedup, and both are hash-bucketed, never sorted globally.
+    64-bit window-hash exact-key contract as exact_dedup/passage_dedup.
+    """
+    P = relational.adaptive_parts(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row, i1, h = text_stage.word_window_hashes(b["text"], SUBSTR_W)
+        return pa.table({
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc[row], pa.int64()),
+            "i": pa.array(i1, pa.int64()),
+            "_part": pa.array((h % np.uint64(P)).astype(np.int32),
+                              pa.int32()),
+        })
+
+    def dups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "i": z,
+                             "_p2": pa.array([], pa.int32())})
+        h = t["h"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        first = np.ones(len(hs), bool)
+        first[1:] = hs[1:] != hs[:-1]
+        grp = np.cumsum(first) - 1
+        cnt = np.bincount(grp)
+        keep = order[cnt[grp] >= 2]
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "i": pa.array(t["i"].to_numpy(zero_copy_only=False)[keep],
+                          pa.int64()),
+            "_p2": pa.array((doc % P).astype(np.int32), pa.int32()),
+        })
+
+    def runs(t: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.array([], pa.int64()) for c in
+                          ("doc_id", "n_runs", "dup_tokens",
+                           "max_run_tokens")})
+        if t.num_rows == 0:
+            return empty
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        ii = t["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ii, doc))
+        d, i_s = doc[order], ii[order]
+        newrun = np.ones(len(d), bool)
+        newrun[1:] = (d[1:] != d[:-1]) | ((i_s[1:] - i_s[:-1]) != 1)
+        starts = np.nonzero(newrun)[0]
+        ends = np.r_[starts[1:], len(d)] - 1
+        run_len = i_s[ends] - i_s[starts] + SUBSTR_W
+        run_doc = d[starts]
+        newdoc = np.ones(len(run_doc), bool)
+        newdoc[1:] = run_doc[1:] != run_doc[:-1]
+        dstarts = np.nonzero(newdoc)[0]
+        n_runs = np.diff(np.r_[dstarts, len(run_doc)])
+        return pa.table({
+            "doc_id": pa.array(run_doc[dstarts], pa.int64()),
+            "n_runs": pa.array(n_runs.astype(np.int64), pa.int64()),
+            "dup_tokens": pa.array(np.add.reduceat(run_len, dstarts),
+                                   pa.int64()),
+            "max_run_tokens": pa.array(
+                np.maximum.reduceat(run_len, dstarts), pa.int64()),
+        })
+
+    return docs.map_batches(windows, batch_format="pyarrow") \
+        .groupby("_part").map_groups(dups, batch_format="pyarrow") \
+        .groupby("_p2").map_groups(runs, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
 REP_NCHARS_OFF = np.int64(1 << 19)       # n_chars inverted below 2^19 so
 REP_DOC_W = np.int64(1 << 43)            # min(fused) = (max chars, min id)
 
@@ -2252,6 +2348,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "cluster_size_hist": q_cluster_size_hist,
     "passage_dedup": q_passage_dedup,
+    "substring_dedup": q_substring_dedup,
     "cluster_representatives": q_cluster_representatives,
     "mix_sources": q_mix_sources,
     "filter_corpus": q_filter_corpus,
@@ -2683,6 +2780,28 @@ FROM chunks c JOIN winners ON c.chunk = winners.chunk
 WHERE c.doc_id * 1048576 + c.ci = winners.w
 GROUP BY c.doc_id
 ORDER BY c.doc_id""",
+    "substring_dedup": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(w) - 7)) AS s(i)
+),
+dup AS (
+  SELECT doc_id, i FROM wins
+  QUALIFY COUNT(*) OVER (PARTITION BY gram) >= 2
+),
+runs AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dup
+),
+agg AS (SELECT doc_id, grp, MIN(i) AS lo, MAX(i) AS hi
+        FROM runs GROUP BY doc_id, grp)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(SUM(hi - lo + 8) AS BIGINT) AS dup_tokens,
+       CAST(MAX(hi - lo + 8) AS BIGINT) AS max_run_tokens
+FROM agg GROUP BY doc_id ORDER BY doc_id""",
     "cluster_representatives": """
 WITH RECURSIVE
   e AS (

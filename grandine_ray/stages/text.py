@@ -278,6 +278,69 @@ def _shingles(text: str, k: int = 5) -> np.ndarray:
     return h
 
 
+def word_window_hashes(col, L: int):
+    """All L-word sliding-window hashes of a string column — zero Python
+    loops, two chained polynomial prefix passes.
+
+    Tokenization is ``split_pattern(col, " ")`` (DuckDB ``string_split``
+    parity — empty tokens from doubled spaces survive on both sides).
+    Level 1 hashes every token straight from the flattened utf8 value
+    buffer (``_hash_slices`` over the byte prefix array); level 2 runs
+    the same prefix machinery over the token-hash sequence, so a window
+    hash covers the exact token SEQUENCE (boundaries included for free:
+    tokens are atomic level-2 symbols). Windows straddling a row
+    boundary are delta-masked out like _batch_shingle_hashes.
+
+    Returns ``(row_idx, i, h)``: int64 row index into the column, int64
+    1-based word offset (SQL ``generate_series`` parity), uint64 window
+    hash. Rows with fewer than L words emit nothing. 64-bit exact-key
+    contract: a collision merges two distinct grams (same contract as
+    exact_dedup's blake2b keys; ~1e-7 at 10^6 windows).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = (col.combine_chunks() if col.num_chunks != 1
+               else col.chunk(0))
+    toks = pc.split_pattern(col, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()                      # offset-aware (ADVICE r3)
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    total = int(n.sum())
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.uint64))
+    if total < L:
+        return empty
+    # token byte hashes from the shared utf8 value buffer
+    fo = np.frombuffer(flat.buffers()[1], np.int32)[
+        flat.offset:flat.offset + len(flat) + 1].astype(np.int64)
+    dbuf = flat.buffers()[2]
+    data = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
+            else np.empty(0, np.uint8))
+    A, Binv = _poly_prefix(data)
+    th = _hash_slices(A, Binv, fo[:-1], fo[1:])
+    # level-2 prefix over the token-hash sequence
+    A2, Binv2 = _poly_prefix(th)
+    n_win_all = total - L + 1
+    Hall = (A2[L:] - A2[:-L]) * Binv2[:n_win_all]
+    tok_start = np.zeros(len(n) + 1, np.int64)
+    np.cumsum(n, out=tok_start[1:])
+    counts = np.maximum(n - L + 1, 0)
+    long_rows = np.nonzero(n >= L)[0]
+    if len(long_rows) == 0:
+        return empty
+    delta = np.zeros(n_win_all + 1, np.int32)
+    np.add.at(delta, tok_start[long_rows], 1)
+    np.add.at(delta, tok_start[long_rows] + counts[long_rows], -1)
+    valid = np.cumsum(delta[:-1]) > 0
+    H = Hall[valid]
+    row_of = np.repeat(long_rows, counts[long_rows])
+    cum = np.zeros(len(long_rows), np.int64)
+    np.cumsum(counts[long_rows][:-1], out=cum[1:])
+    i1 = np.arange(len(H), dtype=np.int64) - np.repeat(cum, counts[long_rows]) + 1
+    return row_of, i1, H
+
+
 class MinHasher:
     """Per-doc minhash signature (n_perm hashes) as a fixed-size list col.
 

@@ -356,3 +356,53 @@ def test_cluster_representatives_argmin_rule(ray_session):
     for cid, rep, nc, sz in zip(got["cluster_id"], got["rep_doc_id"],
                                 got["rep_n_chars"], got["cluster_size"]):
         assert want[int(cid)] == (int(rep), int(nc), int(sz)), cid
+
+
+def test_substring_dedup_matches_bruteforce(ray_session):
+    """q_substring_dedup must equal a pure-python brute-force pass over
+    the whole sf0.001 corpus (independent of both DuckDB and the Ray
+    kernels): every 8-word sliding window counted corpus-wide, windows
+    seen >=2 times marked, consecutive marked offsets merged into
+    maximal runs per doc."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from grandine_ray.pipelines.queries import SUBSTR_W, q_substring_dedup
+
+    sf = "/root/testdata/sf0.001"
+    df = pd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    wins = []            # (doc, i) in corpus order
+    counts = Counter()
+    for doc, text in zip(df["doc_id"], df["text"]):
+        toks = text.split(" ")
+        for i in range(len(toks) - SUBSTR_W + 1):
+            gram = " ".join(toks[i:i + SUBSTR_W])
+            wins.append((int(doc), i + 1, gram))
+            counts[gram] += 1
+    per_doc: dict[int, list[int]] = {}
+    for doc, i, gram in wins:
+        if counts[gram] >= 2:
+            per_doc.setdefault(doc, []).append(i)
+    want = {}
+    for doc, offs in per_doc.items():
+        runs = []
+        lo = prev = offs[0]
+        for i in offs[1:]:
+            if i != prev + 1:
+                runs.append((lo, prev))
+                lo = i
+            prev = i
+        runs.append((lo, prev))
+        lens = [hi - lo + SUBSTR_W for lo, hi in runs]
+        want[doc] = (len(runs), sum(lens), max(lens))
+
+    got = q_substring_dedup(sf).to_pandas()
+    assert len(got) == len(want) and len(want) > 0
+    for doc, nr, dt, mr in zip(got["doc_id"], got["n_runs"],
+                               got["dup_tokens"], got["max_run_tokens"]):
+        assert want[int(doc)] == (int(nr), int(dt), int(mr)), doc
+    # sliding windows actually merge: some run must be LONGER than one
+    # window (the capability passage_dedup's fixed chunks lack)
+    assert got["max_run_tokens"].max() > SUBSTR_W
