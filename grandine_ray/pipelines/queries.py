@@ -661,6 +661,149 @@ def q_passage_dedup(sf_dir: str):
         .sort("doc_id")
 
 
+SNAP_MOD = 5            # batch = doc_id % 5 == 0; snapshot = the rest
+SNAP_PREFIX_W = 8       # words in the prefix fingerprint
+
+
+def _prefix_fingerprint(b: pa.Table) -> pa.Table:
+    """Append 'content_hash': blake2b-64 of the first SNAP_PREFIX_W
+    words (the boilerplate/URL-prefix near-exact dedup key — whole-text
+    hashing would never fire on corpora whose dups share openings but
+    diverge in tails). List-slice + binary_join are vectorized; the
+    blake2b pass is the exact-key contract shared with exact_dedup."""
+    toks = pc.split_pattern(b["text"], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    prefix = pc.binary_join(pc.list_slice(toks, 0, SNAP_PREFIX_W), " ")
+    t = pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                  "prefix": prefix})
+    return text_stage.content_hash(t, col="prefix").drop_columns(
+        ["prefix"])
+
+
+def _fingerprint_snapshot(sf_dir: str) -> str:
+    """Build (once) and return the persisted fingerprint snapshot of
+    'yesterday's corpus' (doc_id % SNAP_MOD != 0): a parquet directory
+    holding the DISTINCT prefix fingerprints, written by a distributed
+    pass and cached under /tmp keyed by the sf dir — the artifact an
+    incremental pipeline keeps between ingest batches so a new batch
+    never re-reads the historical corpus."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/graft_snapshots/{tag}_fp"
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def snap_side(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % SNAP_MOD != 0))
+
+    from ray.data.aggregate import Count
+
+    distinct = docs.map_batches(snap_side, batch_format="pyarrow") \
+        .map_batches(_prefix_fingerprint, batch_format="pyarrow") \
+        .groupby("content_hash").aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda b: pa.table(
+            {"content_hash": pc.cast(b["content_hash"], pa.int64())}),
+            batch_format="pyarrow")
+    tmp = out + ".building"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    distinct.write_parquet(tmp)
+    os.makedirs("/tmp/graft_snapshots", exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:          # lost a (benign) race — another run finished
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental / cross-snapshot dedup on the prefix fingerprint
+    (blake2b of the first 8 words — _prefix_fingerprint): dedup TODAY'S
+    ingest batch (doc_id % 5 == 0) against YESTERDAY'S corpus without
+    re-reading it — only its persisted fingerprint snapshot
+    (_fingerprint_snapshot) is touched. Within-batch winners (min
+    doc_id per content hash, one aggregate-domain groupby) then split
+    on a broadcast Bloom filter built from the snapshot's block refs:
+    misses are DEFINITELY new (no false negatives) and bypass the
+    exchange entirely; only the bloom-hit minority pays the exact anti
+    join that clears false positives. Equivalent by construction to
+    'exact dedup of batch ∪ snapshot, restricted to batch newcomers' —
+    the oracle states exactly that. The winner set (distinct batch
+    fingerprints, 16 B/row) is pin_local-pinned so the two bloom
+    branches don't re-execute it in local mode; multi-node re-executes
+    one small groupby instead of pinning."""
+    import ray
+
+    from ..stages.relational import (_bloom_build_task, _bloom_positions,
+                                     _cached_bloom, BLOOM_K, BLOOM_M_LOG2,
+                                     hash_join_i64)
+    from ..state.runtime import pin_local
+    from ray.data.aggregate import Count, Min
+
+    P = relational.adaptive_parts(sf_dir)
+    snap_dir = _fingerprint_snapshot(sf_dir)
+    snap = rd.read_parquet(snap_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def batch_side(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % SNAP_MOD == 0))
+
+    winners = docs.map_batches(batch_side, batch_format="pyarrow") \
+        .map_batches(_prefix_fingerprint, batch_format="pyarrow") \
+        .groupby("content_hash").aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Count(alias_name="n_batch_dups"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "content_hash": pc.cast(b["content_hash"], pa.int64()),
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_batch_dups": pc.cast(b["n_batch_dups"], pa.int64()),
+        })
+
+    winners = pin_local(winners.map_batches(widen, batch_format="pyarrow"))
+
+    snap_k = snap.map_batches(
+        lambda b: pa.table({"k": pc.cast(b["content_hash"], pa.int64())}),
+        batch_format="pyarrow")
+    blocks = snap_k.materialize().get_internal_block_refs()
+    bm_ref = ray.remote(num_cpus=1)(_bloom_build_task) \
+        .remote(BLOOM_M_LOG2, BLOOM_K, *blocks)
+
+    def bloom_flag(want_hit: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            bm = _cached_bloom(bm_ref)
+            keys = b["content_hash"].to_numpy(zero_copy_only=False)
+            pos = _bloom_positions(keys, BLOOM_M_LOG2, BLOOM_K)
+            hit = np.ones(len(keys), bool)
+            for i in range(BLOOM_K):
+                p = pos[i]
+                hit &= (bm[p >> np.uint64(6)]
+                        >> (p & np.uint64(63))) & np.uint64(1) != 0
+            return b.filter(pa.array(hit if want_hit else ~hit))
+        return fn
+
+    definitely_new = winners.map_batches(bloom_flag(False),
+                                         batch_format="pyarrow") \
+        .drop_columns(["content_hash"])
+    candidates = winners.map_batches(bloom_flag(True),
+                                     batch_format="pyarrow")
+    survivors = hash_join_i64(
+        candidates, snap, key="content_hash",
+        left_carry={"doc_id": pa.int64(), "n_batch_dups": pa.int64()},
+        right_carry={}, how="anti", P=P) \
+        .drop_columns(["content_hash"])
+    return definitely_new.union(survivors).sort("doc_id")
+
+
 SUBSTR_W = 8            # words per sliding window (ExactSubstr-style)
 
 
@@ -2349,6 +2492,7 @@ QUERIES = {
     "cluster_size_hist": q_cluster_size_hist,
     "passage_dedup": q_passage_dedup,
     "substring_dedup": q_substring_dedup,
+    "incremental_dedup": q_incremental_dedup,
     "cluster_representatives": q_cluster_representatives,
     "mix_sources": q_mix_sources,
     "filter_corpus": q_filter_corpus,
@@ -2802,6 +2946,19 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(SUM(hi - lo + 8) AS BIGINT) AS dup_tokens,
        CAST(MAX(hi - lo + 8) AS BIGINT) AS max_run_tokens
 FROM agg GROUP BY doc_id ORDER BY doc_id""",
+    "incremental_dedup": """
+WITH k AS (SELECT doc_id,
+                  array_to_string((string_split(text, ' '))[1:8], ' ')
+                  AS fp
+           FROM documents),
+     w AS (SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_dups
+           FROM k WHERE doc_id % 5 = 0 GROUP BY fp)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       CAST(w.n_batch_dups AS BIGINT) AS n_batch_dups
+FROM w
+WHERE NOT EXISTS (SELECT 1 FROM k s
+                  WHERE s.doc_id % 5 <> 0 AND s.fp = w.fp)
+ORDER BY doc_id""",
     "cluster_representatives": """
 WITH RECURSIVE
   e AS (

@@ -406,3 +406,36 @@ def test_substring_dedup_matches_bruteforce(ray_session):
     # sliding windows actually merge: some run must be LONGER than one
     # window (the capability passage_dedup's fixed chunks lack)
     assert got["max_run_tokens"].max() > SUBSTR_W
+
+
+def test_incremental_dedup_matches_union_dedup(ray_session):
+    """incremental_dedup (bloom prefilter + anti join against the
+    persisted fingerprint snapshot) must equal brute-force 'dedup of
+    batch ∪ snapshot, restricted to batch newcomers' computed in pure
+    pandas — and must keep working from the cached snapshot on a second
+    call."""
+    import shutil
+
+    import pandas as pd
+
+    from grandine_ray.pipelines.queries import (SNAP_MOD, SNAP_PREFIX_W,
+                                                q_incremental_dedup)
+
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree("/tmp/graft_snapshots/sf0.001_fp", ignore_errors=True)
+    df = pd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    df["fp"] = [" ".join(t.split(" ")[:SNAP_PREFIX_W]) for t in df["text"]]
+    snap_fps = set(df[df["doc_id"] % SNAP_MOD != 0]["fp"])
+    batch = df[df["doc_id"] % SNAP_MOD == 0]
+    grp = batch.groupby("fp")["doc_id"].agg(["min", "count"])
+    want = {int(r["min"]): int(r["count"])
+            for fp, r in grp.iterrows() if fp not in snap_fps}
+
+    for attempt in ("cold", "cached"):
+        got = q_incremental_dedup(sf).to_pandas()
+        assert len(got) == len(want) and len(want) > 0, attempt
+        for doc, n in zip(got["doc_id"], got["n_batch_dups"]):
+            assert want[int(doc)] == int(n), (attempt, doc)
+    # the snapshot actually bites: some batch doc must have been dropped
+    assert len(want) < batch["fp"].nunique()
