@@ -1329,6 +1329,29 @@ def q_ann_ivf(sf_dir: str):
     return out.map_batches(final, batch_format="pandas")
 
 
+def q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ approximate ANN — the compressed scale path: the IVF
+    hive-partitioned layout with 8-byte PQ residual codes instead of
+    raw float vectors (32× smaller index; nlist ∝ √N), ADC scoring.
+    Rows-only (approximate by design; recall@10 ≥ 0.9 asserted in
+    pytest on the planted-cluster fixture)."""
+    import zlib
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(expr="vec_id < 4").take_all()
+    qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    idx_dir = f"/tmp/graft_ivfpq_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
+    out = ann_stage.ivfpq_topk(emb, [r["vec_id"] for r in qrows], qm,
+                               k=10, index_dir=idx_dir)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["score"].round(4)
+        return g[["query_id", "vec_id", "rank", "score"]]
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 def q_embedding_dedup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs — SIZE-SWITCHED like
     pip_join_auto: ≤100k vectors (every sf here) runs the exact
@@ -2506,6 +2529,7 @@ QUERIES = {
     "sample_corpus": q_sample_corpus,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_ivf": q_ann_ivf,
+    "ann_ivfpq": q_ann_ivfpq,
     "embedding_dedup": q_embedding_dedup,
     "global_bbox": q_global_bbox,
     "simplify": q_simplify,

@@ -274,6 +274,230 @@ def ivf_topk(ds, query_ids, query_matrix, k: int = 10, nlist: int = 16,
     return ivf_search(index_dir, query_ids, query_matrix, k=k, nprobe=nprobe)
 
 
+def _pq_train(residuals: np.ndarray, M: int, ks: int, seed: int,
+              iters: int = 12) -> np.ndarray:
+    """Per-subspace Lloyd k-means over training residuals → codebooks
+    [M, ks, dsub] (float32). Plain numpy, |x|²−2x·c+|c|² distance form
+    (never materializes the [n, ks, dsub] cube); empty codewords keep
+    their previous position."""
+    n, D = residuals.shape
+    if D % M:
+        raise ValueError(f"PQ: dim {D} not divisible by M={M}")
+    dsub = D // M
+    books = np.zeros((M, ks, dsub), np.float32)
+    rng = np.random.default_rng(seed)
+    for m in range(M):
+        x = np.ascontiguousarray(residuals[:, m * dsub:(m + 1) * dsub],
+                                 dtype=np.float32)
+        kk = min(ks, n)
+        c = x[rng.choice(n, size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) \
+                + (c * c).sum(1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            for j in range(kk):
+                sel = assign == j
+                if sel.any():
+                    c[j] = x[sel].mean(axis=0)
+        books[m, :kk] = c
+    return books
+
+
+def _pq_encode(residuals: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Residuals [n, D] → codes [n, M] uint8 (nearest codeword per
+    subspace, same distance form as training)."""
+    M, ks, dsub = books.shape
+    n = len(residuals)
+    codes = np.empty((n, M), np.uint8)
+    for m in range(M):
+        x = np.ascontiguousarray(residuals[:, m * dsub:(m + 1) * dsub],
+                                 dtype=np.float32)
+        c = books[m]
+        d2 = -2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def _codes_matrix(col, M: int) -> np.ndarray:
+    """binary column of M-byte PQ codes → [n, M] uint8, zero-copy from
+    the value buffer (uniform length by construction)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], np.int32)[
+        col.offset:col.offset + len(col) + 1]
+    flat = np.frombuffer(col.buffers()[2], np.uint8)
+    return flat[offs[0]:offs[-1]].reshape(len(col), M)
+
+
+def ivfpq_build(ds, index_dir: str, nlist: int | None = None, M: int = 8,
+                ks: int = 256, train_sample: int = 4096, seed: int = 42):
+    """Build a persisted IVF-PQ index with a refinement level (the
+    IVFPQR shape): the hive-partitioned IVF layout of ivf_build, but
+    each partition stores ONLY (vec_id, list_id, 2·M bytes of PQ
+    codes) — M bytes quantizing the residual to the list centroid plus
+    M bytes quantizing the residual OF that quantization (the refine
+    code ADC re-ranking uses) — never the raw float vector. Index
+    payload is 2·M bytes/vector + 12 B of ids (vs 4·dim raw: 64-dim
+    float32 = 256 B → 16 B codes, 16× smaller — the 10¹²-doc index
+    fits where raw vectors were tens of TB).
+
+    ``nlist`` defaults to max(16, √N) — the standard IVF scaling rule,
+    so list size stays ~√N as the corpus grows. Training (coarse
+    centroids + two per-subspace codebook levels) runs once on a
+    bounded sample; the full-corpus pass assigns + encodes in one
+    map_batches.
+    """
+    import math
+
+    if nlist is None:
+        nlist = max(16, int(math.isqrt(max(ds.count(), 1))))
+    sample = np.asarray(
+        [r["embedding"] for r in ds.limit(train_sample).take_all()],
+        dtype=np.float32)
+    index = IVFIndex(sample.shape[1], nlist=nlist, seed=seed).train(sample)
+    xs = normalize(sample)
+    resid = xs - index.centroids[index.assign(xs)]
+    books = _pq_train(resid, M=M, ks=ks, seed=seed)
+    dec1 = books[np.arange(M)[None, :], _pq_encode(resid, books)] \
+        .reshape(len(xs), -1)
+    refine = _pq_train(resid - dec1, M=M, ks=ks, seed=seed + 1)
+    ref = ray.put({"centroids": index.centroids, "books": books,
+                   "refine": refine})
+
+    def encode(batch: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "partition": pa.array([], pa.int32()),
+                             "list_id": pa.array([], pa.int32()),
+                             "code": pa.array([], pa.binary())})
+        m = normalize(_to_matrix(batch["embedding"]))
+        lists = np.argmax(m @ p["centroids"].T, axis=1)
+        r1 = m - p["centroids"][lists]
+        c1 = _pq_encode(r1, p["books"])
+        Mw = c1.shape[1]
+        d1 = p["books"][np.arange(Mw)[None, :], c1].reshape(len(m), -1)
+        c2 = _pq_encode(r1 - d1, p["refine"])
+        codes = np.concatenate([c1, c2], axis=1)
+        n, Mw = codes.shape
+        code_col = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None,
+             pa.py_buffer((np.arange(n + 1, dtype=np.int32) * Mw).tobytes()),
+             pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "partition": pa.array(lists.astype(np.int32), pa.int32()),
+            "list_id": pa.array(lists.astype(np.int32), pa.int32()),
+            "code": code_col,
+        })
+
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["partition"])
+    np.save(f"{index_dir}/centroids.npy", index.centroids)
+    np.save(f"{index_dir}/codebooks.npy", books)
+    np.save(f"{index_dir}/refine.npy", refine)
+    return index
+
+
+def ivfpq_search(index_dir: str, query_ids, query_matrix, k: int = 10,
+                 nprobe: int = 8, refine_factor: int = 4):
+    """ADC (asymmetric distance) top-k over a persisted IVF-PQ index
+    with refinement re-rank (IVFPQR): only the probed hive partitions
+    are read (same I/O pruning as ivf_search); per batch the coarse
+    approximate cosine q·c_list + Σ_m LUT1[q, m, code_m] selects the
+    top refine_factor·k candidates, which re-rank with the refinement
+    LUT added. Both [nq, M, ks] lookup tables are built once per
+    search and broadcast — scoring is numpy gathers per (query,
+    batch), no float vectors anywhere."""
+    import glob
+
+    import ray.data as rd
+
+    centroids = np.load(f"{index_dir}/centroids.npy")
+    books = np.load(f"{index_dir}/codebooks.npy")
+    refine = np.load(f"{index_dir}/refine.npy")
+    M, ks, dsub = books.shape
+    qm = normalize(np.asarray(query_matrix, dtype=np.float32))
+    csims = qm @ centroids.T                             # [nq, nlist]
+    probes = np.argsort(-csims, axis=1)[:, :nprobe]
+    # LUT[qi, m, j] = q_sub(m) · book[m, j]
+    qsub = qm.reshape(len(qm), M, dsub)
+    lut1 = np.einsum("qmd,mjd->qmj", qsub, books).astype(np.float32)
+    lut2 = np.einsum("qmd,mjd->qmj", qsub, refine).astype(np.float32)
+    probed = np.unique(probes)
+    paths = [f for j in probed for f in sorted(
+        glob.glob(f"{index_dir}/partition={int(j)}/*.parquet"))]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int64())})
+    if not paths:
+        return rd.from_arrow(empty)
+    ref = ray.put({"qids": np.asarray(query_ids), "csims": csims,
+                   "probes": probes, "lut1": lut1, "lut2": lut2,
+                   "k": k, "R": max(k, refine_factor * k)})
+
+    def score(batch: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes = _codes_matrix(batch["code"], 2 * M)
+        c1, c2 = codes[:, :M], codes[:, M:]
+        marange = np.arange(M)[None, :]
+        # Σ_m LUT[qi, m, codes[:, m]] for every query at once:
+        # gather → [nq, n, M] would blow memory; loop queries (few).
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(p["qids"])):
+            cand = np.isin(lists, p["probes"][qi])
+            if not cand.any():
+                continue
+            sel = np.nonzero(cand)[0]
+            base = p["csims"][qi][lists[sel]]
+            coarse = base + p["lut1"][qi][marange, c1[sel]].sum(1)
+            R = min(p["R"], len(sel))
+            short = np.argpartition(-coarse, kth=R - 1)[:R]
+            refined = coarse[short] \
+                + p["lut2"][qi][marange, c2[sel[short]]].sum(1)
+            kk = min(p["k"], R)
+            top = np.argpartition(-refined, kth=kk - 1)[:kk]
+            out_q.append(np.full(kk, int(p["qids"][qi]), np.int64))
+            out_v.append(vec_ids[sel[short[top]]])
+            out_s.append(refined[top].astype(np.float64))
+        if not out_q:
+            return empty.drop_columns(["rank"])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v).astype(np.int64),
+                               pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    corpus = rd.read_parquet(paths)
+    partial = corpus.map_batches(score, batch_format="pyarrow",
+                                 batch_size=4096)
+    return partial.groupby("query_id").map_groups(
+        topk_per_query(k), batch_format="pyarrow")
+
+
+def ivfpq_topk(ds, query_ids, query_matrix, k: int = 10,
+               nlist: int | None = None, M: int = 8, ks: int = 256,
+               nprobe: int = 8, train_sample: int = 4096,
+               index_dir: str | None = None):
+    """Convenience build+search, mirroring ivf_topk's caching contract."""
+    import os
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="graft_ivfpq_")
+    if not os.path.exists(f"{index_dir}/codebooks.npy"):
+        ivfpq_build(ds, index_dir, nlist=nlist, M=M, ks=ks,
+                    train_sample=train_sample)
+    return ivfpq_search(index_dir, query_ids, query_matrix, k=k,
+                        nprobe=nprobe)
+
+
 def embedding_near_dup_pairs(emb, threshold: float = 0.4, round_dp: int = 3,
                              min_chunks: int = 8):
     """Exact all-pairs cosine near-duplicate join, distributed as a

@@ -175,3 +175,48 @@ def test_vector_norms_brute(ray_session):
         mi = [int(np.floor(float(v) * 1e6 + 0.5)) for v in emb]
         assert got.loc[vid].norm2_micro2 == sum(m * m for m in mi)
     assert len(got) == t.num_rows
+
+
+def test_ivfpq_topk_recall_on_planted_clusters(ray_session, tmp_path):
+    """IVF-PQ (compressed index: 8-byte ADC codes, no raw vectors) must
+    hold recall@10 >= 0.9 vs exact brute force on the planted-cluster
+    fixture — the ann_lsh bound, now for the product-quantized scale
+    path. Also asserts the index really is compressed: no float
+    embedding column in the persisted partitions."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    vecs = _planted()
+    n = len(vecs)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    qids = [0, 45, 130, 299]
+    qm = vecs[qids].astype(np.float64)
+
+    M = vecs.astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    Q = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    S = Q @ M.T
+    idx_dir = str(tmp_path / "ivfpq")
+    got = ann_stage.ivfpq_topk(ds, qids, qm, k=10,
+                               index_dir=idx_dir).to_pandas()
+    recalls = []
+    for pos, qid in enumerate(qids):
+        true = set(np.argsort(-S[pos])[:10].tolist())
+        mine = set(got[got.query_id == qid].vec_id.tolist())
+        recalls.append(len(true & mine) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+    # compression contract: the persisted index holds codes, not vectors
+    part = glob.glob(f"{idx_dir}/partition=*/*.parquet")[0]
+    schema = pq.read_schema(part)
+    assert "embedding" not in schema.names
+    assert "code" in schema.names
+    t = pq.read_table(part)
+    code_bytes = sum(len(v.as_py()) for v in t["code"])
+    # 8 B ADC code + 8 B refine code per vector vs 128 B raw float32
+    assert code_bytes == 16 * t.num_rows
