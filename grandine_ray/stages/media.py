@@ -7,13 +7,15 @@ codec work (JPEG decode, frame extraction, PCM decode) goes through a
 SEAM resolved once per actor at init:
 
 * ``deterministic_fake=None`` (stage default) auto-detects: Pillow /
-  ffmpeg / soundfile when importable (real decode), else the
-  deterministic fake derived from the payload bytes (stable across runs,
-  so tests can assert exact values — this container ships no codecs);
+  ffmpeg / soundfile when importable, else the dependency-free builtin
+  PNG/WAV codecs (stages/imagecodec.py) for image/audio — a real decode
+  path always exists for those two; video falls back to the
+  deterministic fake derived from the payload bytes when ffmpeg is
+  absent (stable across runs, so tests can assert exact values);
 * ``True`` pins the fake (the registered queries do this: their payloads
   come from the fake byte store and are not decodable media);
-* ``False`` pins real decode and raises NotImplementedError when the
-  codec is unavailable.
+* ``False`` pins real decode — NotImplementedError when no codec
+  exists (video), loud ValueError/OSError on undecodable payloads.
 
 Scale notes: media payloads are large, so these stages run as actor pools
 with SMALL ``batch_size`` (payload × batch × concurrency must fit worker
@@ -38,21 +40,27 @@ import pyarrow as pa
 
 
 def available_image_codec():
-    """Pillow's Image module when importable, else None."""
+    """Pillow's Image module when importable, else the dependency-free
+    builtin PNG codec (stages/imagecodec.py — zlib inflate + unfilter).
+    A real decode path therefore always exists; the builtin raises
+    loudly on non-PNG payloads instead of guessing."""
     try:
         from PIL import Image
         return Image
     except Exception:
-        return None
+        from . import imagecodec
+        return imagecodec
 
 
 def available_audio_codec():
-    """soundfile when importable, else None."""
+    """soundfile when importable, else the dependency-free builtin PCM
+    WAV parser (stages/imagecodec.py)."""
     try:
         import soundfile
         return soundfile
     except Exception:
-        return None
+        from . import imagecodec
+        return imagecodec
 
 
 def available_ffmpeg():
@@ -122,10 +130,16 @@ class ImageDecoder:
                 raise NotImplementedError(
                     "image decode requires Pillow/libjpeg — not in this "
                     "container")
-            import io
-            img = self.codec.open(io.BytesIO(payload)).convert("RGB")
-            img = img.resize((self.w, self.h))
-            return np.asarray(img, dtype=np.uint8)
+            if hasattr(self.codec, "open"):          # Pillow
+                import io
+                img = self.codec.open(io.BytesIO(payload)).convert("RGB")
+                img = img.resize((self.w, self.h))
+                return np.asarray(img, dtype=np.uint8)
+            # builtin PNG codec + nearest-neighbor resample
+            rgb = self.codec.png_to_rgb(self.codec.png_decode(payload))
+            yi = np.arange(self.h) * rgb.shape[0] // self.h
+            xi = np.arange(self.w) * rgb.shape[1] // self.w
+            return rgb[yi][:, xi]
         # deterministic fake: bytes → seeded uint8 tensor
         seed = int.from_bytes(payload[:8], "little")
         rng = np.random.default_rng(seed)
@@ -295,8 +309,12 @@ class AudioChunker:
                 raise NotImplementedError(
                     "audio decode requires soundfile/ffmpeg — not in this "
                     "container")
-            import io
-            data, _sr = self.codec.read(io.BytesIO(payload), dtype="int16")
+            if hasattr(self.codec, "read"):          # soundfile
+                import io
+                data, _sr = self.codec.read(io.BytesIO(payload),
+                                            dtype="int16")
+                return np.asarray(data, np.int16).tobytes()
+            data, _sr = self.codec.wav_decode(payload)   # builtin WAV
             return np.asarray(data, np.int16).tobytes()
         return payload
 

@@ -65,7 +65,7 @@ def test_image_stage_stubs_deterministic():
     again = media.fetch_media(batch)
     assert fetched["payload"].to_pylist() == again["payload"].to_pylist()
 
-    dec = media.ImageDecoder()
+    dec = media.ImageDecoder(deterministic_fake=True)  # fake-store bytes
     imgs = dec(fetched)
     assert imgs["image"].type == pa.list_(pa.uint8(), 16 * 16 * 3)
     res = media.ImageResizer()(imgs)
@@ -73,11 +73,14 @@ def test_image_stage_stubs_deterministic():
     feats = media.ImageFeatures()(res)
     assert len(feats["img_features"][0].as_py()) == 6
 
-    # the non-fake path marks the real codec boundary
-    with pytest.raises(NotImplementedError):
+    # the non-fake path fails LOUDLY on junk bytes (builtin codec:
+    # ValueError; Pillow: UnidentifiedImageError/OSError) — never a
+    # silent fake fallback
+    with pytest.raises((NotImplementedError, ValueError, OSError)):
         media.ImageDecoder(deterministic_fake=False)._decode(b"xx")
-    with pytest.raises(NotImplementedError):
-        media.FrameSampler(deterministic_fake=False)._frames(b"xx")
+    if media.available_ffmpeg() is None:   # no builtin video codec
+        with pytest.raises(NotImplementedError):
+            media.FrameSampler(deterministic_fake=False)._frames(b"xx")
 
 
 def test_frame_sampler():
@@ -122,41 +125,109 @@ def test_codec_seam_auto_detect_matches_environment():
     assert media.AudioChunker().fake == (media.available_audio_codec() is None)
 
 
-@pytest.mark.skipif(media.available_image_codec() is None,
-                    reason="Pillow not installed in this container")
 def test_real_image_decode_roundtrip():
-    """With Pillow present, the decoder must decode a real PNG byte string
-    (built with Pillow itself) into the stage's fixed h×w×3 tensor."""
-    import io
-
+    """The real-decode path must decode an actual PNG byte string into
+    the stage's fixed h×w×3 tensor. Runs unconditionally: with Pillow
+    the seam uses it; without, the builtin zlib+unfilter PNG codec
+    (stages/imagecodec.py) takes the path — no skips either way."""
     import numpy as np
     import pyarrow as pa
 
-    Image = media.available_image_codec()
+    from grandine_ray.stages import imagecodec
+
     src = np.zeros((4, 4, 3), np.uint8)
     src[:2, :, 0] = 255  # top half red
-    buf = io.BytesIO()
-    Image.fromarray(src).save(buf, format="PNG")
+    payload = imagecodec.png_encode(src)
     batch = pa.table({"media_ref": pa.array(["media://real"]),
-                      "payload": pa.array([buf.getvalue()], pa.binary())})
+                      "payload": pa.array([payload], pa.binary())})
     out = media.ImageDecoder(deterministic_fake=False)(batch)
     img = np.asarray(out["image"][0].as_py(), np.uint8).reshape(16, 16, 3)
     assert img[0, 0, 0] == 255 and img[15, 15, 0] == 0
 
 
-@pytest.mark.skipif(media.available_audio_codec() is None,
-                    reason="soundfile not installed in this container")
 def test_real_audio_decode_windows():
-    import io
-
+    """Real audio decode path, unconditional like the PNG test: a PCM
+    WAV built by the builtin encoder decodes through whatever codec the
+    seam resolved (soundfile or the builtin WAV parser)."""
     import numpy as np
     import pyarrow as pa
 
-    sf = media.available_audio_codec()
+    from grandine_ray.stages import imagecodec
+
     pcm = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
-    buf = io.BytesIO()
-    sf.write(buf, pcm, 8000, format="WAV")
+    payload = imagecodec.wav_encode(pcm, 8000)
     batch = pa.table({"media_ref": pa.array(["media://wav"]),
-                      "payload": pa.array([buf.getvalue()], pa.binary())})
+                      "payload": pa.array([payload], pa.binary())})
     out = media.AudioChunker(deterministic_fake=False)(batch)
     assert out.num_rows > 0 and out["energy"][0].as_py() > 0
+
+
+def test_builtin_png_codec_roundtrip_and_filters():
+    """The builtin PNG decoder must (a) round-trip its own encoder, and
+    (b) correctly unfilter a PNG hand-built with EVERY filter type
+    (Sub/Up/Average/Paeth applied per spec in this test, independently
+    of the encoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from grandine_ray.stages import imagecodec as ic
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(ic.png_decode(ic.png_encode(src)), src)
+
+    # hand-filtered PNG: one scanline per filter type (w=4, RGB)
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8).astype(np.int64)
+    ch, stride = 3, 12
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb and pa_ <= pc_:
+            return a
+        return b if pb <= pc_ else c
+
+    lines = []
+    prev = np.zeros(stride, np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y].reshape(-1)
+        raw = np.zeros(stride, np.int64)
+        for x in range(stride):
+            left = cur[x - ch] if x >= ch else 0
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                raw[x] = cur[x]
+            elif f == 1:
+                raw[x] = cur[x] - left
+            elif f == 2:
+                raw[x] = cur[x] - prev[x]
+            elif f == 3:
+                raw[x] = cur[x] - (left + prev[x]) // 2
+            else:
+                raw[x] = cur[x] - paeth(int(left), int(prev[x]), int(ul))
+        lines.append(bytes([f]) + (raw & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + ic._chunk(b"IHDR", ihdr)
+           + ic._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + ic._chunk(b"IEND", b""))
+    assert np.array_equal(ic.png_decode(png),
+                          img.astype(np.uint8).reshape(5, 4, 3))
+    # unsupported variants fail loudly, not wrongly
+    with pytest.raises(ValueError):
+        ic.png_decode(b"JFIF not a png")
+
+
+def test_builtin_wav_codec_roundtrip():
+    import numpy as np
+
+    from grandine_ray.stages import imagecodec as ic
+
+    pcm = (np.sin(np.linspace(0, 6, 100)) * 12345).astype(np.int16)
+    data, rate = ic.wav_decode(ic.wav_encode(pcm, 16000))
+    assert rate == 16000
+    assert np.array_equal(data[:, 0], pcm)
+    with pytest.raises(ValueError):
+        ic.wav_decode(b"OggS not a wav")
