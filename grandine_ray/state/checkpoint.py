@@ -69,6 +69,26 @@ def write_partition(group: pa.Table, out_dir: str, fragments: str) -> pa.Table:
     return write_tiles_partition(tiles, pid, out_dir, fragments)
 
 
+def _crash_hook(out_dir: str, final: str) -> None:
+    """Deterministic mid-job crash for the kill/resume test: when
+    GRAFT_KILL_AFTER_PARTITIONS=N is set and ≥N partition manifests are
+    already durable, die BEFORE completing this partition — leaving a
+    torn .tmp data file behind, exactly the state a SIGKILL between the
+    parquet write and the rename produces. Guarantees the interrupted
+    run ends with n_manifests ∈ [N, total−1] on every machine speed (the
+    old wall-clock watcher could miss the window entirely)."""
+    kill_after = os.environ.get("GRAFT_KILL_AFTER_PARTITIONS")
+    if kill_after is None:
+        return
+    mdir = os.path.join(out_dir, "manifest")
+    n_done = len(os.listdir(mdir)) if os.path.isdir(mdir) else 0
+    if n_done >= int(kill_after):
+        with open(final + ".tmp", "wb") as f:
+            f.write(b"torn mid-write payload")
+        raise RuntimeError(
+            "GRAFT_KILL_AFTER_PARTITIONS crash hook (test-only)")
+
+
 def write_tiles_partition(tiles: pa.Table, pid: int, out_dir: str,
                           fragments: str) -> pa.Table:
     """Write one partition's assembled tile rows + its manifest marker
@@ -78,6 +98,7 @@ def write_tiles_partition(tiles: pa.Table, pid: int, out_dir: str,
     os.makedirs(os.path.join(out_dir, "tiles"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     final = os.path.join(out_dir, "tiles", f"p{pid}.parquet")
+    _crash_hook(out_dir, final)
     tmp = final + ".tmp"
     pq.write_table(tiles, tmp)
     os.replace(tmp, final)
@@ -133,6 +154,7 @@ class PartitionWriter:
         pid = int(group["partition"][0].as_py())
         tiles = group.drop_columns(["partition"])
         final = os.path.join(self.out_dir, "tiles", f"p{pid}.parquet")
+        _crash_hook(self.out_dir, final)
         tmp = final + ".tmp"
         pq.write_table(tiles, tmp)
         os.replace(tmp, final)
