@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v17"  # v17: +layer_diameter, +segment_crossings (v16: +component_diameters)
+_VERSION = "v18"  # v18: +media_ahash, +media_neardup (v17: +layer_diameter, +segment_crossings)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -425,6 +425,93 @@ def expected_media_features(corpus_dir) -> pa.Table:
         "span_idx": pa.array(s_l, pa.int64()),
         "media_ref": pa.array(r_l, pa.string()),
         "mean_r": pa.array(m_l, pa.float64()),
+    })
+
+
+def _ahash_scalar(gray_flat) -> int:
+    """Average-hash of 64 gray values: bit i set iff v_i·64 > Σv (the
+    integer cross-multiplied mean comparison; plain Python loop)."""
+    s = sum(int(v) for v in gray_flat)
+    h = 0
+    for i, v in enumerate(gray_flat):
+        if int(v) * 64 > s:
+            h |= 1 << i
+    return h
+
+
+def _media_ahash_rows(corpus_dir):
+    """Scalar recomputation of the variant-store decode + aHash for every
+    media span: family base image (blake2b family seed), 16→8 nearest
+    downsample of the (r+g+b)//3 grayscale, ≤2 perturbed pixels, then
+    the bit loop in _ahash_scalar."""
+    t = pq.read_table(f"{corpus_dir}/documents.parquet")
+    doc_ids = t["doc_id"].to_pylist()
+    spans = t["spans"].to_pylist()
+    n_fam = 4096  # AHASH_N_FAM (spec constant, restated independently)
+    rows = []
+    for d, doc_spans in zip(doc_ids, spans):
+        for idx, sp in enumerate(doc_spans):
+            if sp["kind"] != "media":
+                continue
+            ref = sp["media_ref"]
+            ref_seed = _h8(ref.encode())
+            fam_seed = _h8(b"fam:%d" % (ref_seed % n_fam))
+            rgb = np.random.default_rng(fam_seed).integers(
+                0, 256, (16, 16, 3), dtype=np.uint8)
+            gray = [[(int(rgb[y][x][0]) + int(rgb[y][x][1])
+                      + int(rgb[y][x][2])) // 3
+                     for x in range(0, 16, 2)] for y in range(0, 16, 2)]
+            flat = [v for row in gray for v in row]
+            rngr = np.random.default_rng(ref_seed)
+            k = int(rngr.integers(0, 3))
+            if k:
+                pos = rngr.integers(0, 64, size=k)
+                val = rngr.integers(0, 256, size=k)
+                for p, v in zip(pos, val):
+                    flat[int(p)] = int(v)
+            rows.append((d, idx, ref, _ahash_scalar(flat)))
+    return rows
+
+
+def expected_media_ahash(corpus_dir) -> pa.Table:
+    rows = _media_ahash_rows(corpus_dir)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "span_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "ahash": pa.array([r[3] for r in rows], pa.uint64()),
+    })
+
+
+def expected_media_neardup(corpus_dir, threshold: int = 3) -> pa.Table:
+    """Brute-force O(n²) Hamming scan over the scalar aHash table —
+    every distinct media_ref pair within `threshold` bits (the banded
+    LSH query must find exactly these)."""
+    rows = _media_ahash_rows(corpus_dir)
+    by_ref = {}
+    for _, _, ref, h in rows:
+        by_ref[ref] = h
+    refs = sorted(by_ref, key=lambda r: int(r[8:], 16))
+    hs = np.array([by_ref[r] for r in refs], np.uint64)
+    n = len(refs)
+    pop = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+    out = []
+    chunk = 1024
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        x = np.bitwise_xor(hs[s:e, None], hs[None, :])
+        ham = pop[x.view(np.uint8).reshape(e - s, n, 8)] \
+            .sum(axis=2).astype(np.int64)
+        ii, jj = np.nonzero(ham <= threshold)
+        for a, b in zip(ii, jj):
+            ga = s + int(a)
+            if ga < int(b):
+                out.append((refs[ga], refs[int(b)],
+                            int(ham[int(a)][int(b)])))
+    out.sort()
+    return pa.table({
+        "ref_a": pa.array([o[0] for o in out], pa.string()),
+        "ref_b": pa.array([o[1] for o in out], pa.string()),
+        "hamming": pa.array([o[2] for o in out], pa.int64()),
     })
 
 
@@ -1134,6 +1221,8 @@ def expected_segment_crossings(corpus_dir) -> pa.Table:
 
 GENERATORS = {
     "media_features": ("corpus", expected_media_features),
+    "media_ahash": ("corpus", expected_media_ahash),
+    "media_neardup": ("corpus", expected_media_neardup),
     "lang_confusion": ("docs", expected_lang_confusion),
     "compression_ratio": ("docs", expected_compression_ratio),
     "pack_multimodal": ("corpus", expected_pack_multimodal),

@@ -3346,3 +3346,7 @@ from .queries_geo3 import QUERIES_GEO3, _oracle_sql_geo3  # noqa: E402
 
 QUERIES.update(QUERIES_GEO3)
 ORACLE_SQL.update(_oracle_sql_geo3())
+from .queries_media import QUERIES_MEDIA, ORACLE_SQL_MEDIA  # noqa: E402
+
+QUERIES.update(QUERIES_MEDIA)
+ORACLE_SQL.update(ORACLE_SQL_MEDIA)

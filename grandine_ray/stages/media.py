@@ -337,6 +337,97 @@ class AudioChunker:
         return pa.table(out)
 
 
+# ------------------------------------------------- perceptual hashing
+#
+# Average-hash (aHash) near-duplicate detection over decoded media — the
+# image-side analogue of simhash/minhash text dedup. The fake store here
+# is VARIANT-STRUCTURED: each media_ref hashes into one of AHASH_N_FAM
+# asset families and its image is that family's base image with a few
+# perturbed pixels (a re-encode/crop stand-in), so near-duplicate
+# structure actually exists for the pair stage to find (the flat
+# `fetch_media` store yields i.i.d. images whose hashes never collide
+# within Hamming 3). The fixed modulus is the synthetic store's dup-rate
+# knob: family size grows linearly with corpus size, mirroring how asset
+# reuse concentrates on popular assets in real crawls. With real codecs
+# the payload is a PNG and the decode is real; the hash math downstream
+# is identical either way.
+
+AHASH_N_FAM = 4096  # asset families in the synthetic variant store
+AHASH_HAM_T = 3     # near-dup threshold (bits of 64)
+
+
+def fetch_media_variants(batch: pa.Table) -> pa.Table:
+    """media_ref → 16-byte payload: first 8 bytes seed the asset-family
+    base image, next 8 the per-variant perturbation (deterministic fake
+    store with variant structure; a real store would return the encoded
+    image bytes here instead)."""
+    refs = batch["media_ref"].to_pylist()
+    payloads = []
+    for r in refs:
+        rd8 = hashlib.blake2b(r.encode(), digest_size=8).digest()
+        fam = int.from_bytes(rd8, "little") % AHASH_N_FAM
+        payloads.append(
+            hashlib.blake2b(b"fam:%d" % fam, digest_size=8).digest() + rd8)
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+class AverageHasher:
+    """Actor stage: payload → 64-bit average-hash (8×8 integer grayscale,
+    bit i set iff pixel_i·64 > Σpixels — the cross-multiplied form keeps
+    the comparison exact integer, no mean division).
+
+    Codec seam mirrors ImageDecoder: ``deterministic_fake=True`` (query
+    default — the variant store's payloads are seeds, not media) expands
+    the 16-byte payload into a family base image plus ≤2 perturbed
+    pixels; ``False`` decodes a real PNG via the builtin/Pillow codec.
+    """
+
+    def __init__(self, deterministic_fake: bool | None = True):
+        self.fake = _resolve_fake(deterministic_fake, available_image_codec)
+        self.codec = None if self.fake else available_image_codec()
+
+    def _gray8(self, payload: bytes) -> np.ndarray:
+        """payload → 8×8 int64 grayscale (sum//3 of RGB, nearest resize)."""
+        if not self.fake:
+            if hasattr(self.codec, "open"):          # Pillow
+                import io
+                img = self.codec.open(io.BytesIO(payload)).convert("RGB")
+                rgb = np.asarray(img, dtype=np.uint8)
+            else:
+                rgb = self.codec.png_to_rgb(self.codec.png_decode(payload))
+            gray = rgb.astype(np.int64).sum(axis=2) // 3
+            yi = np.arange(8) * gray.shape[0] // 8
+            xi = np.arange(8) * gray.shape[1] // 8
+            return gray[yi][:, xi]
+        # fake: family base image (16×16 RGB, same shape contract as
+        # ImageDecoder) + per-variant perturbation of ≤2 pixels
+        fam_seed = int.from_bytes(payload[:8], "little")
+        ref_seed = int.from_bytes(payload[8:16], "little")
+        rgb = np.random.default_rng(fam_seed).integers(
+            0, 256, (16, 16, 3), dtype=np.uint8)
+        gray = rgb.astype(np.int64).sum(axis=2) // 3
+        small = gray[::2, ::2].reshape(-1).copy()    # nearest 16→8
+        rngr = np.random.default_rng(ref_seed)
+        k = int(rngr.integers(0, 3))
+        if k:
+            pos = rngr.integers(0, 64, size=k)
+            val = rngr.integers(0, 256, size=k)
+            small[pos] = val
+        return small.reshape(8, 8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        g = np.empty((n, 64), np.int64)
+        for i, p in enumerate(payloads):
+            g[i] = self._gray8(p).reshape(-1)
+        s = g.sum(axis=1)
+        bits = (g * 64 > s[:, None]).astype(np.uint64)
+        h = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return batch.append_column("ahash", pa.array(h, pa.uint64()))
+
+
 def media_pipeline(docs_ds, concurrency=(1, 4), batch_size: int = 256,
                    deterministic_fake: bool | None = True):
     """documents → media spans → fetch → decode → resize → features.
