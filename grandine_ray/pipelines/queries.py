@@ -1841,6 +1841,98 @@ def q_media_ref_census(sf_dir: str):
             batch_format="pyarrow")
 
 
+def q_caption_context(sf_dir: str):
+    """Caption-affinity census over the interleaved schema: for every
+    media span, what sits immediately BEFORE and AFTER it in span order
+    within the document — neighbor kind (text / geom / media, or 'none'
+    at a document edge) plus the total and max character length of
+    text-kind neighbors (the caption-length profile a multimodal
+    curator uses to decide whether images are captioned or bare).
+    span_kind_bigrams cannot derive this: it has no doc-edge class and
+    no payload lengths. Fully vectorized per batch (flatten once, one
+    dictionary encode, int64 add.at/maximum.at over fused
+    direction×kind codes); the only exchange is the final
+    ≤ 2·(|kinds|+1)-row groupby on the repo's \\x1f-fused string key."""
+    from ray.data.aggregate import Max, Sum
+
+    docs = _docs_ds(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lens = pc.list_value_length(spans) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(spans)
+        kind = flat.field("kind")
+        if isinstance(kind, pa.ChunkedArray):
+            kind = kind.combine_chunks()
+        enc = pc.dictionary_encode(kind)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        V = len(vocab)                      # code V = 'none' (doc edge)
+        try:
+            media_code = vocab.index("media")
+        except ValueError:
+            z = pa.array([], pa.string())
+            zi = pa.array([], pa.int64())
+            return pa.table({"k": z, "n": zi, "s": zi, "m": zi})
+        # text char lengths, zeroed for non-text spans (geom spans carry
+        # WKB hex in .text — they must NOT count as caption chars)
+        tc = pc.utf8_length(flat.field("text")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if "text" in vocab:
+            tc[codes != vocab.index("text")] = 0
+        else:
+            tc[:] = 0
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        media = np.nonzero(codes == media_code)[0]
+        n_keys = 2 * (V + 1)
+        n_acc = np.zeros(n_keys, np.int64)
+        s_acc = np.zeros(n_keys, np.int64)
+        m_acc = np.zeros(n_keys, np.int64)
+        for d, off in ((0, -1), (1, 1)):    # 0 = before, 1 = after
+            nb = media + off
+            ok = (nb >= 0) & (nb < len(codes))
+            ok[ok] = doc_of[nb[ok]] == doc_of[media[ok]]
+            nk = np.full(len(media), V, np.int64)
+            nk[ok] = codes[nb[ok]]
+            ln = np.zeros(len(media), np.int64)
+            ln[ok] = tc[nb[ok]]
+            key = d * (V + 1) + nk
+            np.add.at(n_acc, key, 1)
+            np.add.at(s_acc, key, ln)
+            np.maximum.at(m_acc, key, ln)
+        nz = np.nonzero(n_acc)[0]
+        names = vocab + ["none"]
+        keys = [("before" if f < V + 1 else "after") + "\x1f"
+                + names[f % (V + 1)] for f in nz]
+        return pa.table({
+            "k": pa.array(keys, pa.string()),
+            "n": pa.array(n_acc[nz], pa.int64()),
+            "s": pa.array(s_acc[nz], pa.int64()),
+            "m": pa.array(m_acc[nz], pa.int64()),
+        })
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n"),
+                                Sum("s", alias_name="s"),
+                                Max("m", alias_name="m"))
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["k"], "\x1f")
+        return pa.table({
+            "direction": pc.list_element(parts, 0),
+            "neighbor_kind": pc.list_element(parts, 1),
+            "n_media": pc.cast(b["n"], pa.int64()),
+            "sum_text_chars": pc.cast(b["s"], pa.int64()),
+            "max_text_chars": pc.cast(b["m"], pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
 def q_zscore_events(sf_dir: str):
     """Per-event-type first/second moments (count, mean, population std)
     as one streaming pass of per-block partials (n, Σv, Σv²) + a tiny
@@ -2549,6 +2641,7 @@ QUERIES = {
     "span_type_runs": q_span_type_runs,
     "span_kind_bigrams": q_span_kind_bigrams,
     "media_ref_census": q_media_ref_census,
+    "caption_context": q_caption_context,
     "zscore_events": q_zscore_events,
     "sample_fixed_k": q_sample_fixed_k,
     "label_centroids": q_label_centroids,
@@ -3164,6 +3257,27 @@ c AS (SELECT mr, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM s GROUP BY mr)
 SELECT n_docs, CAST(COUNT(*) AS BIGINT) AS n_refs
 FROM c GROUP BY n_docs""",
+    "caption_context": f"""
+WITH s AS (
+  SELECT doc_id,
+         UNNEST(list_transform(spans, x -> x.kind)) AS kind,
+         UNNEST(list_transform(spans, x -> x.text)) AS text,
+         UNNEST(generate_series(1, len(spans))) AS pos
+  FROM read_parquet('{ORACLE_CORPUS}/documents.parquet')),
+m AS (SELECT doc_id, pos FROM s WHERE kind = 'media'),
+nb AS (
+  SELECT 'before' AS direction, COALESCE(p.kind, 'none') AS neighbor_kind,
+         CASE WHEN p.kind = 'text' THEN LENGTH(p.text) ELSE 0 END AS tc
+  FROM m LEFT JOIN s p ON p.doc_id = m.doc_id AND p.pos = m.pos - 1
+  UNION ALL
+  SELECT 'after', COALESCE(p.kind, 'none'),
+         CASE WHEN p.kind = 'text' THEN LENGTH(p.text) ELSE 0 END
+  FROM m LEFT JOIN s p ON p.doc_id = m.doc_id AND p.pos = m.pos + 1)
+SELECT direction, neighbor_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(tc) AS BIGINT) AS sum_text_chars,
+       CAST(MAX(tc) AS BIGINT) AS max_text_chars
+FROM nb GROUP BY direction, neighbor_kind""",
     "zscore_events": """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -147,3 +147,43 @@ def test_media_ref_census_brute_force(ray_session):
     got = q_media_ref_census(SF).to_pandas()
     mine = {r.n_docs: r.n_refs for r in got.itertuples()}
     assert mine == dict(want) and len(mine) > 0
+
+
+def test_caption_context_brute_force(ray_session):
+    """Media-neighbor census == scalar walk over spans in span order
+    (neighbor kind incl. 'none' at doc edges; caption chars counted
+    only for text-kind neighbors — geom spans carry WKB hex in .text
+    and must contribute 0)."""
+    import glob
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from grandine_ray.pipelines.queries import q_caption_context
+    from grandine_ray.sources import synth
+
+    SF = "/root/testdata/sf0.001"
+    corpus = synth.corpus_for_sf(SF)
+    acc = defaultdict(lambda: [0, 0, 0])        # n, sum_chars, max_chars
+    for f in sorted(glob.glob(f"{corpus}/documents/*.parquet")):
+        t = pq.read_table(f, columns=["spans"])
+        for spans in t["spans"].to_pylist():
+            spans = spans or []
+            for i, sp in enumerate(spans):
+                if sp["kind"] != "media":
+                    continue
+                for d, j in (("before", i - 1), ("after", i + 1)):
+                    if 0 <= j < len(spans):
+                        nk = spans[j]["kind"]
+                        tc = len(spans[j]["text"]) if nk == "text" else 0
+                    else:
+                        nk, tc = "none", 0
+                    a = acc[(d, nk)]
+                    a[0] += 1
+                    a[1] += tc
+                    a[2] = max(a[2], tc)
+    got = q_caption_context(SF).to_pandas()
+    mine = {(r.direction, r.neighbor_kind):
+            [r.n_media, r.sum_text_chars, r.max_text_chars]
+            for r in got.itertuples()}
+    assert mine == {k: list(v) for k, v in acc.items()} and len(mine) > 0
