@@ -81,7 +81,8 @@ def cmd_converter(argv):
     p.add_argument("-out", dest="out", required=True)
     p.add_argument("-mapping", default=None, help="YAML mapping rule file")
     p.add_argument("-format", default=None,
-                   help="spaten|geojson|parquet|wkt (default: by extension)")
+                   help="spaten|geojson|parquet|wkt|shp "
+                        "(default: by extension)")
     a = p.parse_args(argv)
     _ray_init(None)
     import ray
@@ -92,7 +93,8 @@ def cmd_converter(argv):
     if fmt is None:
         fmt = ("geojson" if a.out.endswith(".geojson")
                else "parquet" if a.out.endswith(".parquet")
-               else "wkt" if a.out.endswith(".wkt") else "spaten")
+               else "wkt" if a.out.endswith(".wkt")
+               else "shp" if a.out.lower().endswith(".shp") else "spaten")
     mapping = open(a.mapping).read() if a.mapping else None
     n = convert(a.inp, a.out, mapping_yaml=mapping, out_format=fmt)
     print(f"wrote {n} features to {a.out}")
@@ -108,7 +110,13 @@ def cmd_inspect(argv):
 
     parser = guess_codec(a.inp)
     raw = open(a.inp, "rb").read()
-    table = parser(raw if a.inp.endswith(".spaten") else raw.decode("utf-8"))
+    if a.inp.lower().endswith(".shp"):
+        from .sources.shapefile import read_sidecar_dbf
+
+        table = parser(raw, dbf=read_sidecar_dbf(a.inp))
+    else:
+        table = parser(
+            raw if a.inp.endswith(".spaten") else raw.decode("utf-8"))
     print(table.schema)
     print(table.slice(0, a.n).to_pandas())
 

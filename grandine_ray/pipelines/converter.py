@@ -41,6 +41,12 @@ def read_features(paths: list[str], **csv_kwargs):
                 from ..sources.wkt import parse_wkt_lines
 
                 tables.append(parse_wkt_lines(raw.decode("utf-8"), source=p))
+            elif p.lower().endswith(".shp"):
+                from ..sources.shapefile import (parse_shapefile,
+                                                 read_sidecar_dbf)
+
+                tables.append(parse_shapefile(
+                    raw, dbf=read_sidecar_dbf(p), source=p))
             else:
                 raise ValueError(f"no codec for {p}")
         return pa.concat_tables(tables, promote_options="default")
@@ -85,6 +91,15 @@ def convert(paths: list[str], out_path: str, mapping_yaml: str | None = None,
         with open(out_path, "w") as f:
             f.write(gj.features_to_geojson(table))
         return table.num_rows
+
+    if out_format in ("shapefile", "shp"):
+        from ..sources.shapefile import write_shapefile
+
+        table = pa.concat_tables(
+            list(ds.iter_batches(batch_size=4096, batch_format="pyarrow")),
+            promote_options="default",
+        )
+        return write_shapefile(table, out_path)
 
     if out_format == "wkt":
         from ..sources.wkt import features_to_wkt

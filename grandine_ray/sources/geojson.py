@@ -199,4 +199,8 @@ def guess_codec(filename: str):
         from .wkt import parse_wkt_lines
 
         return parse_wkt_lines
+    if fn.endswith(".shp"):
+        from .shapefile import parse_shapefile
+
+        return parse_shapefile
     raise ValueError(f"no codec for {filename}")
