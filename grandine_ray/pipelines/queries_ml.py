@@ -86,6 +86,86 @@ def q_ann_range(sf_dir: str):
     return emb.map_batches(scan, batch_format="pyarrow")
 
 
+HARD_K = 5
+
+
+def q_hard_negatives(sf_dir: str):
+    """Contrastive pair mining: for each query vector (vec_id < 6) the
+    HARD_K hardest negatives (different label, HIGHEST cosine — the
+    confusable impostors) and hardest positives (same label, LOWEST
+    cosine — the stretched in-class examples), the pair-selection stage
+    of contrastive/metric-learning data curation. Map-side scoring
+    against the broadcast query matrix emits per-batch partial
+    extrema (k rows per query×polarity×batch, never the corpus); the
+    only exchange is the tiny (query, polarity) groupby. Exact — same
+    float64-cosine + ROUND(...,4) contract as ann_topk/ann_range."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(expr="vec_id < 6").take_all()
+    qids = np.asarray([r["vec_id"] for r in qrows], np.int64)
+    qlab = np.asarray([r["label"] for r in qrows], np.int64)
+    qm = np.asarray([r["embedding"] for r in qrows], np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    ref = ray.put({"ids": qids, "labels": qlab, "matrix": qm})
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.ann import _to_matrix
+        q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(b["embedding"], dtype=np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        s = q["matrix"] @ (m / n).T                        # [nq, nb]
+        same = q["labels"][:, None] == lab[None, :]
+        not_self = q["ids"][:, None] != ids[None, :]
+        out_q, out_p, out_v, out_s = [], [], [], []
+        for qi in range(len(q["ids"])):
+            for pol, mask, sign in (("neg", ~same[qi], -1.0),
+                                    ("pos", same[qi], 1.0)):
+                cand = np.nonzero(mask & not_self[qi])[0]
+                if not len(cand):
+                    continue
+                # extremal-k candidates; ties on score resolved later
+                # by the deterministic (score, vec_id) global sort
+                k = min(HARD_K, len(cand))
+                sel = cand[np.argpartition(sign * s[qi, cand],
+                                           k - 1)[:k]]
+                out_q.append(np.full(k, q["ids"][qi], np.int64))
+                out_p.extend([pol] * k)
+                out_v.append(ids[sel])
+                out_s.append(s[qi, sel])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "polarity": pa.array([], pa.string()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "polarity": pa.array(out_p, pa.string()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        pol = g["polarity"][0].as_py()
+        order = pc.sort_indices(g, sort_keys=[
+            ("score", "descending" if pol == "neg" else "ascending"),
+            ("vec_id", "ascending")])[:HARD_K]
+        out = g.take(order)
+        return pa.table({
+            "query_id": out["query_id"],
+            "polarity": out["polarity"],
+            "vec_id": out["vec_id"],
+            "rank": pa.array(np.arange(1, len(out) + 1), pa.int64()),
+            "score": pc.round(out["score"], 4),
+        })
+
+    return emb.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096) \
+        .groupby(["query_id", "polarity"]) \
+        .map_groups(final, batch_format="pyarrow")
+
+
 def q_polygon_area(sf_dir: str):
     """Per-polygon shoelace statistics (ring count, vertex count, sum of
     absolute 2×ring-areas in micro-deg²) computed from the engine's own
@@ -2584,6 +2664,7 @@ QUERIES_ML = {
     "quality_score": q_quality_score,
     "target_affinity": q_target_affinity,
     "ann_range": q_ann_range,
+    "hard_negatives": q_hard_negatives,
     "polygon_area": q_polygon_area,
     "polygon_centroid": q_polygon_centroid,
     "polygon_edges": q_polygon_edges,
@@ -3077,6 +3158,25 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
        CAST((SELECT COUNT(*) FROM ero) AS BIGINT) AS n_eroded"""
 
     return {
+        "hard_negatives": f"""
+WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe
+           FROM embeddings WHERE vec_id < 6),
+s AS (SELECT q.query_id, q.ql, e.vec_id, e.label,
+             list_cosine_similarity(q.qe, e.embedding) AS score
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+neg AS (SELECT query_id, 'neg' AS polarity, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM s WHERE label <> ql),
+pos AS (SELECT query_id, 'pos' AS polarity, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score ASC, vec_id) AS rank
+        FROM s WHERE label = ql)
+SELECT CAST(query_id AS BIGINT) AS query_id, polarity,
+       CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(CAST(score AS DOUBLE), 4) AS score
+FROM (SELECT * FROM neg UNION ALL SELECT * FROM pos)
+WHERE rank <= {HARD_K}""",
         "polygon_area": polygon_area_sql,
         "polygon_centroid": centroid_sql,
         "polygon_edges": polygon_edges_sql,

@@ -1180,3 +1180,34 @@ def test_polygon_fill_invariants(ray_session):
         want = 0 if r.bbox_area2 == 0 else \
             int(r.area2_sum) * 1_000_000 // int(r.bbox_area2)
         assert r.fill_ppm == want
+
+
+def test_hard_negatives_matches_brute_force(ray_session):
+    import pyarrow.parquet as pq
+
+    got = queries_ml.q_hard_negatives(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    E = np.asarray(t["embedding"].to_pylist(), np.float64)
+    ids = t["vec_id"].to_numpy()
+    lab = t["label"].to_numpy()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    qm = ids < 6
+    S = En[qm] @ En.T
+    K = queries_ml.HARD_K
+    want = []
+    for qi, (qid, ql) in enumerate(zip(ids[qm], lab[qm])):
+        for pol, keep, key in (
+                ("neg", lab != ql, lambda s, v: (-s, v)),
+                ("pos", lab == ql, lambda s, v: (s, v))):
+            cand = [(key(S[qi, j], int(ids[j])), int(ids[j]))
+                    for j in np.nonzero(keep & (ids != qid))[0]]
+            for rank, (_, vid) in enumerate(sorted(cand)[:K], 1):
+                want.append((int(qid), pol, vid, rank))
+    got_rows = sorted(zip(got.query_id, got.polarity, got.vec_id,
+                          got["rank"]))
+    assert got_rows == sorted(want) and len(want) == 6 * 2 * K
+    # every neg scores a different label, every pos the same label
+    lab_of = dict(zip(ids.tolist(), lab.tolist()))
+    for r in got.itertuples():
+        same = lab_of[r.vec_id] == lab_of[r.query_id]
+        assert same == (r.polarity == "pos")
