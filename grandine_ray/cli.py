@@ -81,7 +81,7 @@ def cmd_converter(argv):
     p.add_argument("-out", dest="out", required=True)
     p.add_argument("-mapping", default=None, help="YAML mapping rule file")
     p.add_argument("-format", default=None,
-                   help="spaten|geojson|parquet|wkt|shp "
+                   help="spaten|geojson|parquet|wkt|shp|gpkg "
                         "(default: by extension)")
     a = p.parse_args(argv)
     _ray_init(None)
@@ -94,7 +94,9 @@ def cmd_converter(argv):
         fmt = ("geojson" if a.out.endswith(".geojson")
                else "parquet" if a.out.endswith(".parquet")
                else "wkt" if a.out.endswith(".wkt")
-               else "shp" if a.out.lower().endswith(".shp") else "spaten")
+               else "shp" if a.out.lower().endswith(".shp")
+               else "gpkg" if a.out.lower().endswith(".gpkg")
+               else "spaten")
     mapping = open(a.mapping).read() if a.mapping else None
     n = convert(a.inp, a.out, mapping_yaml=mapping, out_format=fmt)
     print(f"wrote {n} features to {a.out}")
@@ -114,9 +116,10 @@ def cmd_inspect(argv):
         from .sources.shapefile import read_sidecar_dbf
 
         table = parser(raw, dbf=read_sidecar_dbf(a.inp))
+    elif a.inp.endswith((".spaten", ".gpkg")):
+        table = parser(raw)
     else:
-        table = parser(
-            raw if a.inp.endswith(".spaten") else raw.decode("utf-8"))
+        table = parser(raw.decode("utf-8"))
     print(table.schema)
     print(table.slice(0, a.n).to_pandas())
 

@@ -47,6 +47,10 @@ def read_features(paths: list[str], **csv_kwargs):
 
                 tables.append(parse_shapefile(
                     raw, dbf=read_sidecar_dbf(p), source=p))
+            elif p.lower().endswith(".gpkg"):
+                from ..sources.gpkg import parse_gpkg
+
+                tables.append(parse_gpkg(raw, source=p))
             else:
                 raise ValueError(f"no codec for {p}")
         return pa.concat_tables(tables, promote_options="default")
@@ -91,6 +95,15 @@ def convert(paths: list[str], out_path: str, mapping_yaml: str | None = None,
         with open(out_path, "w") as f:
             f.write(gj.features_to_geojson(table))
         return table.num_rows
+
+    if out_format == "gpkg":
+        from ..sources.gpkg import write_gpkg
+
+        table = pa.concat_tables(
+            list(ds.iter_batches(batch_size=4096, batch_format="pyarrow")),
+            promote_options="default",
+        )
+        return write_gpkg(table, out_path)
 
     if out_format in ("shapefile", "shp"):
         from ..sources.shapefile import write_shapefile

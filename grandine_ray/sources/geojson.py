@@ -203,4 +203,8 @@ def guess_codec(filename: str):
         from .shapefile import parse_shapefile
 
         return parse_shapefile
+    if fn.endswith(".gpkg"):
+        from .gpkg import parse_gpkg
+
+        return parse_gpkg
     raise ValueError(f"no codec for {filename}")
