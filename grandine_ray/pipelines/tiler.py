@@ -81,8 +81,8 @@ def read_features_any(path: str, mapping_yaml: str | None = None) -> rd.Dataset:
     """Features from any input: interleaved documents (parquet/lance) or a
     Spaten / GeoJSON / CSV file tree (the reference tiler's input), with an
     optional mapping ruleset applied (converter → tiler flow)."""
-    if path.endswith((".spaten", ".geojson", ".geojsonseq", ".csv",
-                      ".tsv", ".wkt")):
+    if path.lower().endswith((".spaten", ".geojson", ".geojsonseq",
+                              ".csv", ".tsv", ".wkt", ".shp", ".gpkg")):
         from .converter import read_features
 
         feats = read_features([path])
