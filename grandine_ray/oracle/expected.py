@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_DIR = "/tmp/graft_expected"
-_VERSION = "v18"  # v18: +media_ahash, +media_neardup (v17: +layer_diameter, +segment_crossings)
+_VERSION = "v19"  # v19: +media_dup_clusters (v18: +media_ahash, +media_neardup)
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 _WS = re.compile(r"\s+")
@@ -512,6 +512,39 @@ def expected_media_neardup(corpus_dir, threshold: int = 3) -> pa.Table:
         "ref_a": pa.array([o[0] for o in out], pa.string()),
         "ref_b": pa.array([o[1] for o in out], pa.string()),
         "hamming": pa.array([o[2] for o in out], pa.int64()),
+    })
+
+
+def expected_media_dup_clusters(corpus_dir, threshold: int = 3) -> pa.Table:
+    """Union-find over the brute-force near-dup pair set; the cluster
+    representative is the minimum UNSIGNED asset id reachable (the
+    media_dup_clusters contract). Singletons (no pair) are absent."""
+    pairs = expected_media_neardup(corpus_dir, threshold=threshold)
+    parent: dict = {}
+
+    def find(r):
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in zip(pairs["ref_a"].to_pylist(),
+                    pairs["ref_b"].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    rep: dict = {}
+    for r in parent:
+        root = find(r)
+        cur = rep.get(root)
+        if cur is None or int(r[8:], 16) < int(cur[8:], 16):
+            rep[root] = r
+    out = sorted((r, rep[find(r)]) for r in parent)
+    return pa.table({
+        "media_ref": pa.array([o[0] for o in out], pa.string()),
+        "cluster_ref": pa.array([o[1] for o in out], pa.string()),
     })
 
 
@@ -1223,6 +1256,7 @@ GENERATORS = {
     "media_features": ("corpus", expected_media_features),
     "media_ahash": ("corpus", expected_media_ahash),
     "media_neardup": ("corpus", expected_media_neardup),
+    "media_dup_clusters": ("corpus", expected_media_dup_clusters),
     "lang_confusion": ("docs", expected_lang_confusion),
     "compression_ratio": ("docs", expected_compression_ratio),
     "pack_multimodal": ("corpus", expected_pack_multimodal),

@@ -72,12 +72,11 @@ def q_media_ahash(sf_dir: str):
         .map_batches(widen, batch_format="pyarrow")
 
 
-def q_media_neardup(sf_dir: str):
-    """EXACT media near-duplicate pairs: every pair of media_refs whose
-    aHash signatures differ in ≤ AHASH_HAM_T bits. Banded pigeonhole
-    (4 × 16-bit bands) exactly as simhash_hamming_pairs — no O(n²)
-    self-join; hot band buckets (a corpus dominated by one asset)
-    would take the pip_join salting treatment at scale."""
+def _neardup_pairs_i64(sf_dir: str):
+    """The media near-dup pair graph on 64-bit asset ids (signed views
+    of the uint64 ids): banded-pigeonhole candidates → exact popcount
+    verify → per-pair Min(hamming). Shared by q_media_neardup (string
+    output) and q_media_dup_clusters (connected components)."""
     from ray.data.aggregate import Min
 
     sigs = _ahash_ds(sf_dir, with_span=False)
@@ -145,11 +144,20 @@ def q_media_neardup(sf_dir: str):
             "hamming": pa.array(np.concatenate(out_h), pa.int64()),
         })
 
-    pairs = sigs.map_batches(band_fan_out, batch_format="pyarrow") \
+    return sigs.map_batches(band_fan_out, batch_format="pyarrow") \
         .map_batches(addpart, batch_format="pyarrow") \
         .groupby("_part").map_groups(bucket_pairs, batch_format="pyarrow") \
         .groupby(["ra", "rb"]).aggregate(Min("hamming",
                                              alias_name="hamming"))
+
+
+def q_media_neardup(sf_dir: str):
+    """EXACT media near-duplicate pairs: every pair of media_refs whose
+    aHash signatures differ in ≤ AHASH_HAM_T bits. Banded pigeonhole
+    (4 × 16-bit bands) exactly as simhash_hamming_pairs — no O(n²)
+    self-join; hot band buckets (a corpus dominated by one asset)
+    would take the pip_join salting treatment at scale."""
+    pairs = _neardup_pairs_i64(sf_dir)
 
     def to_refs(b: pa.Table) -> pa.Table:
         ra = b["ra"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -165,9 +173,53 @@ def q_media_neardup(sf_dir: str):
     return pairs.map_batches(to_refs, batch_format="pyarrow")
 
 
+_SIGN_FLIP = np.int64(np.uint64(1) << np.uint64(63))
+
+
+def q_media_dup_clusters(sf_dir: str):
+    """Media duplicate-cluster assignment: connected components over
+    the aHash near-dup pair graph → (media_ref, cluster_ref) with the
+    cluster representative = min asset id reachable (the canonical
+    keep-asset — the media-side twin of dedup_clusters). Reuses the
+    distributed min-label propagation of stages/text.py verbatim; asset
+    ids pass through an order-preserving uint64→int64 map (u XOR 2^63)
+    so the propagated MIN label selects the true minimum UNSIGNED ref.
+    Singleton assets (no near-dup pair) are not graph nodes and are
+    absent, matching dedup_clusters' contract."""
+    from ..stages.text import dedup_clusters
+
+    pairs = _neardup_pairs_i64(sf_dir)
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        ra = b["ra"].to_numpy(zero_copy_only=False)
+        rb = b["rb"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": pa.array(ra ^ _SIGN_FLIP, pa.int64()),
+            "doc_b": pa.array(rb ^ _SIGN_FLIP, pa.int64()),
+        })
+
+    labels = dedup_clusters(pairs.map_batches(to_nodes,
+                                              batch_format="pyarrow"))
+
+    def to_refs(b: pa.Table) -> pa.Table:
+        d = (b["doc_id"].to_numpy(zero_copy_only=False)
+             ^ _SIGN_FLIP).view(np.uint64)
+        c = (b["cluster_id"].to_numpy(zero_copy_only=False)
+             ^ _SIGN_FLIP).view(np.uint64)
+        return pa.table({
+            "media_ref": pa.array(["media://%016x" % v for v in d],
+                                  pa.string()),
+            "cluster_ref": pa.array(["media://%016x" % v for v in c],
+                                    pa.string()),
+        })
+
+    return labels.map_batches(to_refs, batch_format="pyarrow")
+
+
 QUERIES_MEDIA = {
     "media_ahash": q_media_ahash,
     "media_neardup": q_media_neardup,
+    "media_dup_clusters": q_media_dup_clusters,
 }
 
 
@@ -176,4 +228,7 @@ ORACLE_SQL_MEDIA = {
         "SELECT * FROM read_parquet('/tmp/graft_expected/media_ahash.parquet')",
     "media_neardup":
         "SELECT * FROM read_parquet('/tmp/graft_expected/media_neardup.parquet')",
+    "media_dup_clusters":
+        "SELECT * FROM read_parquet("
+        "'/tmp/graft_expected/media_dup_clusters.parquet')",
 }

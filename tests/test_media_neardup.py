@@ -89,3 +89,25 @@ def test_neardup_query_matches_brute_force(ray_session):
            for r in q_media_neardup(sf).take_all()}
     assert got == want
     assert len(want) > 0, "sf0.001 corpus produced no near-dup pairs"
+
+
+def test_media_dup_clusters_invariants(ray_session):
+    """CC labels agree with the pair graph: both endpoints of every
+    near-dup pair share a cluster, and each cluster's representative
+    is its minimum (unsigned) member."""
+    from grandine_ray.pipelines.queries_media import (q_media_dup_clusters,
+                                                      q_media_neardup)
+
+    SF = "/root/testdata/sf0.001"
+    lab = {r.media_ref: r.cluster_ref
+           for r in q_media_dup_clusters(SF).to_pandas().itertuples()}
+    pairs = q_media_neardup(SF).to_pandas()
+    assert len(pairs) > 0 and len(lab) > 0
+    for r in pairs.itertuples():
+        assert lab[r.ref_a] == lab[r.ref_b]
+    members = {}
+    for ref, c in lab.items():
+        members.setdefault(c, []).append(ref)
+    for c, ms in members.items():
+        assert c == min(ms, key=lambda s: int(s[8:], 16))
+        assert c in lab and lab[c] == c
