@@ -230,6 +230,18 @@ def run_suite() -> dict:
     queries["ml"] = round(time.perf_counter() - t0, 3)
     extras["ml_rows"] = int(n_ml)
 
+    # ---- media (round 5: per-span decode + aHash signature, the actor-
+    # pool multimodal stage; linear in spans. The PAIR stage is excluded
+    # on purpose: the synthetic corpus's 4096 asset families make dup
+    # density quadratic at sf0.1 — 33M pairs, a property of the fake
+    # decode's family structure, not of the engine) --------------------
+    from grandine_ray.pipelines import queries_media
+
+    t0 = time.perf_counter()
+    n_media = queries_media.q_media_ahash(sf_dir).count()
+    queries["media"] = round(time.perf_counter() - t0, 3)
+    extras["media_spans"] = int(n_media)
+
     total = round(sum(queries.values()), 3)
     # machine-state probe: single-core numpy-sort time (this VM's delivered
     # compute fluctuates ±2× between runs; lets BENCH numbers be read in
