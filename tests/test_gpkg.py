@@ -168,3 +168,14 @@ def test_converter_integration(ray_session, tmp_path):
     assert json.loads(rows[0]["props_json"])["name"] == "paris"
     gb = wkbmod.decode_wkb_batch([rows[0]["geom_wkb"]])
     assert gb.rings_of(0)[0][0] == pytest.approx([2.35, 48.86])
+
+
+def test_normalize_wkb_geometry_collection():
+    """Type-7 collection recursion: point + linestring explode flat."""
+    pt = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", 1.0, 2.0)
+    ls = (b"\x01" + struct.pack("<II", 2, 2)
+          + np.array([[0., 0.], [3., 4.]]).astype("<f8").tobytes())
+    gc = b"\x01" + struct.pack("<II", 7, 2) + pt + ls
+    out = normalize_wkb(gc)
+    gb = wkbmod.decode_wkb_batch(out)
+    assert list(gb.types) == [wkbmod.GEOM_POINT, wkbmod.GEOM_LINESTRING]

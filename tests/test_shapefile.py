@@ -202,3 +202,11 @@ def test_converter_integration(ray_session, tmp_path):
     assert gj["features"][0]["properties"]["name"] == "bbx"
     assert gj["features"][0]["geometry"]["coordinates"] == \
         pytest.approx([13.4, 52.52])
+
+
+def test_empty_shapefile_round_trip():
+    t = pa.table({"geom_wkb": pa.array([], pa.binary())})
+    parts = features_to_shapefile(t)
+    assert parse_shp(parts["shp"]) == []
+    back = parse_shapefile(parts["shp"], parts["dbf"], source="e")
+    assert back.num_rows == 0
