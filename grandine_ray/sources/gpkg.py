@@ -34,6 +34,12 @@ from ..geom import wkb as wkbmod
 
 _ENVELOPE_BYTES = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}
 
+
+def _q(ident: str) -> str:
+    """SQL identifier quoting (layer/table and column names come from
+    user data — embedded double quotes must not break out)."""
+    return '"' + ident.replace('"', '""') + '"'
+
 _WKB_POINT = 1
 _WKB_LINESTRING = 2
 _WKB_POLYGON = 3
@@ -139,12 +145,12 @@ def parse_gpkg(buf: bytes, source: str = "") -> pa.Table:
         out_layers: list[str] = []
         for layer in layers:
             geom_col = gcol.get(layer, "geom")
-            info = list(con.execute(f'PRAGMA table_info("{layer}")'))
+            info = list(con.execute(f'PRAGMA table_info({_q(layer)})'))
             names = [r[1] for r in info]
             is_pk = {r[1] for r in info if r[5]}
             is_bool = {r[1] for r in info
                        if (r[2] or "").upper() == "BOOLEAN"}
-            for row in con.execute(f'SELECT * FROM "{layer}"'):
+            for row in con.execute(f'SELECT * FROM {_q(layer)}'):
                 rec = dict(zip(names, row))
                 blob = rec.get(geom_col)
                 if blob is None:
@@ -259,8 +265,8 @@ def write_gpkg(table: pa.Table, out_path: str) -> int:
             keys = sorted({k for i in idx for k in props[i]})
             cols = {k: _sql_type([props[i][k] for i in idx
                                   if k in props[i]]) for k in keys}
-            col_sql = "".join(f', "{k}" {t}' for k, t in cols.items())
-            con.execute(f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY'
+            col_sql = "".join(f", {_q(k)} {t}" for k, t in cols.items())
+            con.execute(f'CREATE TABLE {_q(layer)} (fid INTEGER PRIMARY'
                         f' KEY AUTOINCREMENT, geom BLOB{col_sql})')
             lb = bb[idx]
             con.execute(
@@ -273,8 +279,8 @@ def write_gpkg(table: pa.Table, out_path: str) -> int:
             con.execute("INSERT INTO gpkg_geometry_columns VALUES"
                         " (?,?,?,4326,0,0)", (layer, "geom", "GEOMETRY"))
             ph = ",".join(["?"] * (1 + len(keys)))
-            ins = (f'INSERT INTO "{layer}" (geom'
-                   + "".join(f', "{k}"' for k in keys)
+            ins = (f'INSERT INTO {_q(layer)} (geom'
+                   + "".join(f", {_q(k)}" for k in keys)
                    + f") VALUES ({ph})")
             for i in idx:
                 gp = _gp_blob(blobs[i], bb[i, 0], bb[i, 2],
