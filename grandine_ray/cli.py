@@ -81,7 +81,7 @@ def cmd_converter(argv):
     p.add_argument("-out", dest="out", required=True)
     p.add_argument("-mapping", default=None, help="YAML mapping rule file")
     p.add_argument("-format", default=None,
-                   help="spaten|geojson|parquet|wkt|shp|gpkg "
+                   help="spaten|geojson|parquet|wkt|shp|gpkg|gpx "
                         "(default: by extension)")
     a = p.parse_args(argv)
     _ray_init(None)
@@ -96,6 +96,7 @@ def cmd_converter(argv):
                else "wkt" if a.out.endswith(".wkt")
                else "shp" if a.out.lower().endswith(".shp")
                else "gpkg" if a.out.lower().endswith(".gpkg")
+               else "gpx" if a.out.lower().endswith(".gpx")
                else "spaten")
     mapping = open(a.mapping).read() if a.mapping else None
     n = convert(a.inp, a.out, mapping_yaml=mapping, out_format=fmt)

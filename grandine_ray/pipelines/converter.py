@@ -51,6 +51,10 @@ def read_features(paths: list[str], **csv_kwargs):
                 from ..sources.gpkg import parse_gpkg
 
                 tables.append(parse_gpkg(raw, source=p))
+            elif p.lower().endswith(".gpx"):
+                from ..sources.gpx import parse_gpx
+
+                tables.append(parse_gpx(raw.decode("utf-8"), source=p))
             else:
                 raise ValueError(f"no codec for {p}")
         return pa.concat_tables(tables, promote_options="default")
@@ -94,6 +98,17 @@ def convert(paths: list[str], out_path: str, mapping_yaml: str | None = None,
         )
         with open(out_path, "w") as f:
             f.write(gj.features_to_geojson(table))
+        return table.num_rows
+
+    if out_format == "gpx":
+        from ..sources.gpx import features_to_gpx
+
+        table = pa.concat_tables(
+            list(ds.iter_batches(batch_size=4096, batch_format="pyarrow")),
+            promote_options="default",
+        )
+        with open(out_path, "w") as f:
+            f.write(features_to_gpx(table))
         return table.num_rows
 
     if out_format == "gpkg":

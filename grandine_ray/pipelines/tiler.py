@@ -82,7 +82,8 @@ def read_features_any(path: str, mapping_yaml: str | None = None) -> rd.Dataset:
     Spaten / GeoJSON / CSV file tree (the reference tiler's input), with an
     optional mapping ruleset applied (converter → tiler flow)."""
     if path.lower().endswith((".spaten", ".geojson", ".geojsonseq",
-                              ".csv", ".tsv", ".wkt", ".shp", ".gpkg")):
+                              ".csv", ".tsv", ".wkt", ".shp", ".gpkg",
+                              ".gpx")):
         from .converter import read_features
 
         feats = read_features([path])

@@ -207,4 +207,8 @@ def guess_codec(filename: str):
         from .gpkg import parse_gpkg
 
         return parse_gpkg
+    if fn.endswith(".gpx"):
+        from .gpx import parse_gpx
+
+        return parse_gpx
     raise ValueError(f"no codec for {filename}")
