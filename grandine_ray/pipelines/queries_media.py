@@ -216,10 +216,51 @@ def q_media_dup_clusters(sf_dir: str):
     return labels.map_batches(to_refs, batch_format="pyarrow")
 
 
+def q_media_cluster_hist(sf_dir: str):
+    """Media duplicate-cluster size distribution (the dedup-benefit
+    shape report for assets: how many 2-clusters vs mega-clusters) —
+    chains the CC labels through two count reduces exactly like the
+    text-side cluster_size_hist. Singletons are absent on both engines
+    (same contract). Oracle: genuine SQL aggregation over the
+    independently-generated cluster table."""
+    from ray.data.aggregate import Sum
+
+    labels = q_media_dup_clusters(sf_dir)
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        col = b["cluster_ref"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"c": enc.dictionary,
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    sizes = labels.map_batches(size_partial, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("n", alias_name="sz"))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            b["sz"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"cluster_size": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    return sizes.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("cluster_size") \
+        .aggregate(Sum("n", alias_name="n_clusters")) \
+        .map_batches(lambda b: pa.table({
+            "cluster_size": pc.cast(b["cluster_size"], pa.int64()),
+            "n_clusters": pc.cast(b["n_clusters"], pa.int64())}),
+            batch_format="pyarrow")
+
+
 QUERIES_MEDIA = {
     "media_ahash": q_media_ahash,
     "media_neardup": q_media_neardup,
     "media_dup_clusters": q_media_dup_clusters,
+    "media_cluster_hist": q_media_cluster_hist,
 }
 
 
@@ -231,4 +272,11 @@ ORACLE_SQL_MEDIA = {
     "media_dup_clusters":
         "SELECT * FROM read_parquet("
         "'/tmp/graft_expected/media_dup_clusters.parquet')",
+    "media_cluster_hist": """
+WITH c AS (
+  SELECT cluster_ref, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM read_parquet('/tmp/graft_expected/media_dup_clusters.parquet')
+  GROUP BY cluster_ref)
+SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY sz""",
 }

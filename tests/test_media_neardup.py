@@ -111,3 +111,21 @@ def test_media_dup_clusters_invariants(ray_session):
     for c, ms in members.items():
         assert c == min(ms, key=lambda s: int(s[8:], 16))
         assert c in lab and lab[c] == c
+
+
+def test_media_cluster_hist_consistent(ray_session):
+    """Histogram == recount of the labels table; Σ(size·count) equals
+    the number of labeled assets."""
+    from collections import Counter
+
+    from grandine_ray.pipelines.queries_media import (
+        q_media_cluster_hist, q_media_dup_clusters)
+
+    SF = "/root/testdata/sf0.001"
+    lab = q_media_dup_clusters(SF).to_pandas()
+    want = Counter(Counter(lab.cluster_ref).values())
+    got = {r.cluster_size: r.n_clusters
+           for r in q_media_cluster_hist(SF).to_pandas().itertuples()}
+    assert got == dict(want) and len(got) > 0
+    assert sum(s * n for s, n in got.items()) == len(lab)
+    assert min(got) >= 2                    # singletons are not nodes
